@@ -1,0 +1,201 @@
+"""K-means and semi-supervised k-means (SSKM), TPU-native.
+
+Behavior matches the reference clusterers
+(``gcd/methods/clustering/faster_mix_k_means_pytorch.py``,
+``local_utils/sskm_constrained.py`` minus the size constraint — see
+``scd_tpu.cluster.constrained`` for that):
+
+- k-means++ init (optionally seeded with labelled class means),
+- Lloyd iterations with best-inertia tracking and a
+  ``center_shift**2 < tol`` stopping rule,
+- ``n_init`` restarts with best-inertia selection.
+
+TPU-first re-design rather than a port:
+
+- restarts are a **vmapped axis** (the reference uses a joblib process pool,
+  ``sskm_constrained.py:177-187``) — all restarts advance in lockstep inside
+  one compiled ``while_loop`` that runs until every restart has converged;
+- the E-step is one MXU matmul + row-min (no 1024-row host chunking);
+- the M-step is a fused one-hot matmul segment-sum; for SSKM the labelled
+  contribution (fixed across iterations) is precomputed once and added as
+  constant (sums, counts) to the unlabelled scatter;
+- the best-restart argmin happens on device; a single (labels, centers)
+  pair is transferred to host at the end.
+
+Note on the reference's iteration accounting: ``fit_mix_once`` returns
+``i + 1`` where ``i`` is a stale loop variable (reference
+``sskm_constrained.py:139``) — we return the true iteration count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scd_tpu.core.config import ClusterConfig
+from scd_tpu.ops.distance import estep_assign, pairwise_sqdist
+from scd_tpu.ops.kpp import kmeans_plus_plus
+from scd_tpu.ops.segment import segment_mean
+
+
+@dataclasses.dataclass
+class KMeansResult:
+    labels: np.ndarray  # [N] int32 — for SSKM: concat(labelled, unlabelled) order
+    centers: np.ndarray  # [K, D] f32
+    inertia: float
+    n_iter: int
+
+
+class _LoopState(NamedTuple):
+    it: jnp.ndarray
+    centers: jnp.ndarray
+    shift_sq: jnp.ndarray
+    best_labels: jnp.ndarray
+    best_inertia: jnp.ndarray
+    best_centers: jnp.ndarray
+
+
+def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
+                max_iter: int, tol: float,
+                row_w: jnp.ndarray,
+                extra_sums: Optional[jnp.ndarray] = None,
+                extra_counts: Optional[jnp.ndarray] = None,
+                extra_inertia_fn=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared Lloyd iteration engine.
+
+    ``row_w`` [N] weights (0 for padded rows).  ``extra_sums``/``extra_counts``
+    add a constant labelled contribution to the M-step; ``extra_inertia_fn``
+    maps centers -> scalar labelled inertia.  Returns
+    (best_labels, best_inertia, best_centers, n_iter).
+    """
+    n = x.shape[0]
+
+    def estep(centers):
+        labels, mindist = estep_assign(x, centers)
+        inertia = jnp.sum(mindist * row_w)
+        if extra_inertia_fn is not None:
+            inertia = inertia + extra_inertia_fn(centers)
+        return labels, mindist, inertia
+
+    def mstep(labels, centers):
+        one_hot_sums, counts = segment_mean(x, labels, k, weights=row_w)
+        # segment_mean returns means; recover sums for the labelled merge
+        sums = one_hot_sums * jnp.maximum(counts, 1.0)[:, None]
+        if extra_sums is not None:
+            sums = sums + extra_sums
+            counts = counts + extra_counts
+        new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+        # empty cluster: keep previous center
+        return jnp.where((counts < 0.5)[:, None], centers, new_centers)
+
+    def cond(s: _LoopState):
+        return (s.it < max_iter) & (s.shift_sq >= tol)
+
+    def body(s: _LoopState):
+        labels, mindist, inertia = estep(s.centers)
+        new_centers = mstep(labels, s.centers)
+        better = inertia < s.best_inertia
+        best_labels = jnp.where(better, labels, s.best_labels)
+        best_inertia = jnp.where(better, inertia, s.best_inertia)
+        best_centers = jnp.where(better, new_centers, s.best_centers)
+        shift = jnp.sum(jnp.sqrt(jnp.sum((new_centers - s.centers) ** 2, axis=1)))
+        return _LoopState(s.it + 1, new_centers, shift ** 2,
+                          best_labels, best_inertia, best_centers)
+
+    init = _LoopState(
+        it=jnp.zeros((), jnp.int32),
+        centers=centers0,
+        shift_sq=jnp.full((), jnp.inf, jnp.float32),
+        best_labels=jnp.zeros((n,), jnp.int32),
+        best_inertia=jnp.full((), jnp.inf, jnp.float32),
+        best_centers=centers0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.best_labels, final.best_inertia, final.best_centers, final.it
+
+
+@partial(jax.jit, static_argnames=("k", "max_iter", "n_init"))
+def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
+                       k: int, max_iter: int, tol: float, n_init: int):
+    row_w = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
+
+    def one_restart(sub):
+        centers0 = kmeans_plus_plus(sub, x, k, n_valid=n_valid)
+        return _lloyd_loop(x, centers0, k, max_iter, tol, row_w)
+
+    keys = jax.random.split(key, n_init)
+    labels, inertias, centers, iters = jax.vmap(one_restart)(keys)
+    best = jnp.argmin(inertias)
+    return labels[best], inertias[best], centers[best], iters[best]
+
+
+def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig) -> KMeansResult:
+    """Plain unsupervised k-means (reference baseline at ``main_unsup.py:362``)."""
+    x_j = jnp.asarray(np.asarray(x, dtype=np.float32))
+    n_valid = jnp.asarray(x_j.shape[0])
+    labels, inertia, centers, n_iter = _fit_kmeans_device(
+        key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
+        cfg.tolerance, cfg.n_init)
+    return KMeansResult(np.asarray(labels), np.asarray(centers),
+                        float(inertia), int(n_iter))
+
+
+@partial(jax.jit, static_argnames=("k", "n_l_classes", "max_iter", "n_init"))
+def _fit_sskm_device(key: jax.Array, u: jnp.ndarray, l: jnp.ndarray,
+                     l_labels: jnp.ndarray, n_valid: jnp.ndarray,
+                     k: int, n_l_classes: int, max_iter: int, tol: float,
+                     n_init: int):
+    row_w = (jnp.arange(u.shape[0]) < n_valid).astype(jnp.float32)
+
+    # Labelled structure is constant across iterations and restarts.
+    l_means_part, l_counts = segment_mean(l, l_labels, k)
+    l_sums = l_means_part * jnp.maximum(l_counts, 1.0)[:, None]
+    l_centers = (l_sums / jnp.maximum(l_counts, 1.0)[:, None])[:n_l_classes]
+
+    def l_inertia_fn(centers):
+        diffs = l.astype(jnp.float32) - centers[l_labels]
+        return jnp.sum(diffs * diffs)
+
+    def one_restart(sub):
+        centers0 = kmeans_plus_plus(sub, u, k, pre_centers=l_centers,
+                                    n_valid=n_valid)
+        return _lloyd_loop(u, centers0, k, max_iter, tol, row_w,
+                           extra_sums=l_sums, extra_counts=l_counts,
+                           extra_inertia_fn=l_inertia_fn)
+
+    keys = jax.random.split(key, n_init)
+    labels, inertias, centers, iters = jax.vmap(one_restart)(keys)
+    best = jnp.argmin(inertias)
+    return labels[best], inertias[best], centers[best], iters[best]
+
+
+def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
+             l_targets: np.ndarray, cfg: ClusterConfig) -> KMeansResult:
+    """Semi-supervised k-means: labelled points are pinned to their class
+    centroid; the first ``n_labelled_classes`` centroids are seeded from
+    labelled class means (reference ``fit_mix_once``,
+    ``faster_mix_k_means_pytorch.py:161-216``).
+
+    Returned ``labels`` follow the reference contract: labelled instances
+    first (their remapped class ids), then unlabelled assignments.
+    """
+    u = jnp.asarray(np.asarray(u_feats, dtype=np.float32))
+    l = jnp.asarray(np.asarray(l_feats, dtype=np.float32))
+    l_targets = np.asarray(l_targets).astype(np.int64)
+    classes, l_mapped = np.unique(l_targets, return_inverse=True)
+    n_l_classes = len(classes)
+    if cfg.n_clusters < n_l_classes:
+        raise ValueError(f"n_clusters={cfg.n_clusters} < labelled classes {n_l_classes}")
+
+    u_labels, inertia, centers, n_iter = _fit_sskm_device(
+        key, u, l, jnp.asarray(l_mapped.astype(np.int32)),
+        jnp.asarray(u.shape[0]), cfg.n_clusters, n_l_classes,
+        cfg.max_iterations, cfg.tolerance, cfg.n_init)
+
+    all_labels = np.concatenate([l_mapped.astype(np.int32), np.asarray(u_labels)])
+    return KMeansResult(all_labels, np.asarray(centers), float(inertia), int(n_iter))

@@ -1,0 +1,3 @@
+from scd_tpu.ops.distance import pairwise_sqdist, estep_assign  # noqa: F401
+from scd_tpu.ops.segment import segment_mean, mstep_update  # noqa: F401
+from scd_tpu.ops.kpp import kmeans_plus_plus  # noqa: F401

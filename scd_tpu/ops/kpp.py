@@ -1,0 +1,70 @@
+"""k-means++ seeding, fully on device.
+
+The reference's ``kpp`` (``sskm_constrained.py:28-44``) recomputes the full
+point×center distance matrix after every added center (O(N·K²·D) total) and
+samples via an explicit cumsum scan.  Here the running min-distance ``d2`` is
+maintained incrementally (O(N·K·D) total) inside a ``lax.fori_loop`` — the
+sampling distribution is identical, only cheaper to maintain — and the draw
+uses ``jax.random`` categorical-by-inverse-CDF exactly as the reference's
+``cum_prob >= r`` search.
+
+Supports ``pre_centers``: the semi-supervised variant seeds the first
+``n_pre`` centers from labelled class means and only samples the remainder
+(``sskm_constrained.py:108``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from scd_tpu.ops.distance import pairwise_sqdist
+
+
+@partial(jax.jit, static_argnames=("k",))
+def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
+                     pre_centers: Optional[jnp.ndarray] = None,
+                     n_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Sample ``k`` centers from ``x`` [N, D] (f32).
+
+    ``pre_centers`` [P, D] pins the first P centers (P static).  ``n_valid``
+    masks padded rows of ``x`` out of the sampling distribution.
+    """
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    row_valid = (jnp.arange(n) < (n if n_valid is None else n_valid))
+
+    centers = jnp.zeros((k, d), jnp.float32)
+    if pre_centers is not None:
+        p = pre_centers.shape[0]
+        centers = centers.at[:p].set(pre_centers.astype(jnp.float32))
+        d2 = jnp.min(pairwise_sqdist(x, pre_centers), axis=1)
+        start = p
+    else:
+        key, sub = jax.random.split(key)
+        first = jax.random.randint(sub, (), 0, n if n_valid is None else n_valid)
+        centers = centers.at[0].set(x[first])
+        d2 = jnp.sum((x - x[first]) ** 2, axis=1)
+        start = 1
+
+    d2 = jnp.where(row_valid, d2, 0.0)
+
+    def body(i, carry):
+        key, centers, d2 = carry
+        key, sub = jax.random.split(key)
+        prob = d2 / jnp.maximum(d2.sum(), 1e-30)
+        cum = jnp.cumsum(prob)
+        r = jax.random.uniform(sub, ())
+        idx = jnp.argmax(cum >= r)  # first index with cum_prob >= r
+        new_c = x[idx]
+        centers = centers.at[i].set(new_c)
+        d_new = jnp.sum((x - new_c) ** 2, axis=1)
+        d2 = jnp.where(row_valid, jnp.minimum(d2, d_new), 0.0)
+        return key, centers, d2
+
+    if start < k:
+        _, centers, _ = jax.lax.fori_loop(start, k, body, (key, centers, d2))
+    return centers

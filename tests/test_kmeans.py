@@ -1,0 +1,119 @@
+"""Clusterer tests on the blobs fixture (the reference's own self-check
+pattern, ``sskm_constrained.py:358-412``)."""
+
+import jax
+import numpy as np
+import pytest
+from sklearn.metrics import normalized_mutual_info_score as nmi
+
+from scd_tpu.core.config import ClusterConfig
+from scd_tpu.cluster import fit_kmeans, fit_sskm
+from scd_tpu.ops.distance import estep_assign, pairwise_sqdist
+from scd_tpu.ops.kpp import kmeans_plus_plus
+from scd_tpu.ops.segment import mstep_update, segment_mean
+
+
+def test_pairwise_sqdist_matches_numpy(rng):
+    x = rng.standard_normal((37, 16)).astype(np.float32)
+    c = rng.standard_normal((5, 16)).astype(np.float32)
+    d = np.asarray(pairwise_sqdist(x, c))
+    ref = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(d, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_estep_assign(rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    c = rng.standard_normal((4, 8)).astype(np.float32)
+    labels, mindist = estep_assign(x, c)
+    ref = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(labels), ref.argmin(1))
+    np.testing.assert_allclose(np.asarray(mindist), ref.min(1), rtol=1e-4, atol=1e-4)
+
+
+def test_segment_mean(rng):
+    x = rng.standard_normal((20, 4)).astype(np.float32)
+    labels = rng.integers(0, 3, 20).astype(np.int32)
+    means, counts = segment_mean(x, labels, 4)
+    for k in range(3):
+        sel = x[labels == k]
+        if len(sel):
+            np.testing.assert_allclose(np.asarray(means)[k], sel.mean(0),
+                                       rtol=1e-5, atol=1e-5)
+            assert counts[k] == len(sel)
+    assert counts[3] == 0
+
+
+def test_mstep_empty_keep(rng):
+    x = rng.standard_normal((10, 4)).astype(np.float32)
+    labels = np.zeros(10, dtype=np.int32)  # all points in cluster 0
+    prev = rng.standard_normal((3, 4)).astype(np.float32)
+    new = np.asarray(mstep_update(x, labels, 3, prev))
+    np.testing.assert_allclose(new[0], x.mean(0), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(new[1], prev[1])
+    np.testing.assert_allclose(new[2], prev[2])
+
+
+def test_kpp_spreads_centers(blobs):
+    X, y = blobs
+    key = jax.random.PRNGKey(0)
+    centers = np.asarray(kmeans_plus_plus(key, X, 4))
+    # k-means++ on well-separated blobs should spread centers across blobs
+    # (a single seed can still double-place one blob, hence the loose bound)
+    labels, _ = estep_assign(X, centers)
+    assert len(np.unique(np.asarray(labels))) >= 3
+    assert nmi(y, np.asarray(labels)) > 0.6
+
+
+def test_kpp_pre_centers(blobs):
+    X, y = blobs
+    pre = X[:2].copy()
+    centers = np.asarray(kmeans_plus_plus(jax.random.PRNGKey(1), X, 4,
+                                          pre_centers=pre))
+    np.testing.assert_allclose(centers[:2], pre, rtol=1e-6)
+
+
+def test_fit_kmeans_blobs(blobs):
+    X, y = blobs
+    cfg = ClusterConfig(n_clusters=4, n_init=4, max_iterations=50)
+    res = fit_kmeans(jax.random.PRNGKey(0), X, cfg)
+    assert res.labels.shape == (len(X),)
+    assert nmi(y, res.labels) > 0.9
+    assert res.inertia > 0 and res.n_iter >= 1
+
+
+def test_fit_kmeans_matches_sklearn_inertia(blobs):
+    from sklearn.cluster import KMeans
+
+    X, y = blobs
+    cfg = ClusterConfig(n_clusters=4, n_init=4, max_iterations=100)
+    res = fit_kmeans(jax.random.PRNGKey(0), X, cfg)
+    sk = KMeans(n_clusters=4, n_init=4, random_state=0).fit(X)
+    # same optimum on clean blobs
+    assert res.inertia == pytest.approx(sk.inertia_, rel=1e-2)
+
+
+def test_fit_sskm_pins_labelled(blobs):
+    X, y = blobs
+    # classes {2,3} labelled, {0,1} unlabelled (reference main() fixture split)
+    l_mask = y > 1
+    l_feats, l_targets = X[l_mask], y[l_mask]
+    u_feats, u_targets = X[~l_mask], y[~l_mask]
+    cfg = ClusterConfig(n_clusters=4, n_init=4, max_iterations=50)
+    res = fit_sskm(jax.random.PRNGKey(0), u_feats, l_feats, l_targets, cfg)
+    n_l = len(l_targets)
+    # labelled block keeps its (remapped) class ids
+    classes, l_mapped = np.unique(l_targets, return_inverse=True)
+    np.testing.assert_array_equal(res.labels[:n_l], l_mapped)
+    # overall clustering must recover the 4 blobs
+    y_cat = np.concatenate([l_targets, u_targets])
+    assert nmi(y_cat, res.labels) > 0.9
+
+
+def test_fit_sskm_unlabelled_clusters_get_high_ids(blobs):
+    X, y = blobs
+    l_mask = y > 1
+    cfg = ClusterConfig(n_clusters=4, n_init=2, max_iterations=50)
+    res = fit_sskm(jax.random.PRNGKey(0), X[~l_mask][:100], X[l_mask],
+                   y[l_mask], cfg)
+    assert res.centers.shape == (4, 2)
+    assert set(np.unique(res.labels)) <= set(range(4))
