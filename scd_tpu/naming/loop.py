@@ -1,0 +1,171 @@
+"""Iterative CLIP vocabulary-voting loops (unsupervised & partially supervised).
+
+Reference: the ``while set(cur_voted_names) != set(prev_voted_names)`` loops
+of ``main_unsup.py:568-641`` and ``main_ptsup.py:629-705``.  Each round:
+
+1. per-cluster histograms over the members' (fixed) top-k full-vocabulary
+   name indices;
+2. candidate pool = union of each cluster's ``num_common_vote`` most common
+   names (ptsup: known labelled-class names are pruned from the histograms,
+   ``main_ptsup.py:638``);
+3. Hungarian assignment over the cluster×candidate vote matrix picks one
+   candidate per cluster; unsup keeps the resulting name list **positional**
+   (row order), ptsup rebuilds ``cand_names = sorted(voted ∪ labelled)``
+   (``main_ptsup.py:657-659``);
+4. every unlabelled image is re-classified against only the selected names'
+   text embeddings — one [N, D]·[D, K] device matmul
+   (``main_unsup.py:601-614``); the argmaxes become the new memberships;
+5. repeat until the voted name set reaches a fixpoint.
+
+Host work is only set algebra and a tiny Hungarian; all N-sized work is
+jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from scd_tpu.core.config import NamingConfig
+from scd_tpu.naming.vote import assign_name, cluster_name_counters
+
+
+@dataclasses.dataclass
+class VotingResult:
+    cand_names: List[str]  # candidate index -> name (u_preds index into this)
+    u_preds: np.ndarray  # final per-image candidate assignment
+    n_iters: int
+    history: List[dict]  # per-iteration diagnostics from the callback
+    lab_class_index: Optional[List[int]] = None  # ptsup: candidate cols of labelled names
+
+
+def _reclassify(clip_u_feats: np.ndarray, zeroshot_weights: np.ndarray,
+                name_cols: Sequence[int], scale: float) -> np.ndarray:
+    """argmax over the selected name columns (reference ``main_unsup.py:601-614``)."""
+    import jax
+    import jax.numpy as jnp
+
+    w_sel = jnp.asarray(np.asarray(zeroshot_weights)[:, list(name_cols)],
+                        dtype=jnp.float32)
+    feats = jnp.asarray(clip_u_feats, dtype=jnp.float32)
+    logits = scale * jax.lax.dot_general(
+        feats, w_sel, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return np.asarray(jnp.argmax(logits, axis=-1))
+
+
+def voting_loop(nouns: Sequence[str],
+                name_idx_topk: np.ndarray,
+                clip_u_feats: np.ndarray,
+                zeroshot_weights: np.ndarray,
+                u_preds_init: np.ndarray,
+                n_clusters: int,
+                cfg: NamingConfig,
+                metrics_cb: Optional[Callable[[int, np.ndarray, List[str]], dict]] = None,
+                ) -> VotingResult:
+    """Unsupervised voting loop (``main_unsup.py:568-641``).
+
+    ``cand_names`` is positional: entry ``i`` is the name the Hungarian gave
+    the ``i``-th cluster id present in ``u_preds`` (sorted), truncated to
+    ``n_clusters`` rows, exactly as the reference builds it.
+    """
+    noun_to_col = {n: i for i, n in enumerate(nouns)}
+    u_preds = np.asarray(u_preds_init).copy()
+    cur_voted = [0]
+    prev_voted = [1]
+    history: List[dict] = []
+    it = 0
+    cand_names: List[str] = []
+
+    while set(cur_voted) != set(prev_voted) and it < cfg.max_vote_iters:
+        it += 1
+        counters = cluster_name_counters(name_idx_topk, u_preds, cfg.topk)
+
+        voted_idx = sorted({n for e in counters.values()
+                            for n, _ in e[:cfg.num_common_vote]})
+        ind, _w = assign_name(voted_idx, counters,
+                              num_common=cfg.num_common_linear)
+
+        prev_voted = cur_voted
+        # positional: row i of ind is the i-th cluster in sorted-cluster order;
+        # rows past len(voted_idx) would KeyError in the reference — skip them.
+        cur_voted = [nouns[voted_idx[col]] for _row, col in ind[:n_clusters]
+                     if col < len(voted_idx)]
+        cand_names = list(cur_voted)
+
+        u_preds = _reclassify(clip_u_feats, zeroshot_weights,
+                              [noun_to_col[n] for n in cand_names],
+                              cfg.logit_scale)
+        if metrics_cb is not None:
+            history.append(metrics_cb(it, u_preds, cand_names) or {})
+
+    return VotingResult(cand_names=cand_names, u_preds=u_preds,
+                        n_iters=it, history=history)
+
+
+def voting_loop_ptsup(nouns: Sequence[str],
+                      name_idx_topk: np.ndarray,
+                      clip_u_feats: np.ndarray,
+                      zeroshot_weights: np.ndarray,
+                      u_preds_init: np.ndarray,
+                      unlab_cluster_idx_init: Sequence[int],
+                      lab_names: Sequence[str],
+                      n_clusters: int,
+                      cfg: NamingConfig,
+                      metrics_cb: Optional[Callable[[int, np.ndarray, List[str]], dict]] = None,
+                      ) -> VotingResult:
+    """Partially-supervised voting loop (``main_ptsup.py:629-705``).
+
+    Labelled classes pin their ground-truth names; only unlabelled clusters
+    vote, with labelled names pruned from the histograms.  After each round
+    ``cand_names = sorted(voted ∪ labelled)`` and the cluster/known index
+    sets are recomputed against the new candidate list.
+    """
+    noun_to_col = {n: i for i, n in enumerate(nouns)}
+    lab_names = list(lab_names)
+    num_unlab_classes = n_clusters - len(lab_names)
+
+    u_preds = np.asarray(u_preds_init).copy()
+    known_name_idx = {noun_to_col[n] for n in lab_names}
+    unlab_cluster_idx = list(unlab_cluster_idx_init)  # clusters not owned by labelled classes
+    unlab_cluster_set = set(unlab_cluster_idx)
+    cur_voted = [0]
+    prev_voted = [1]
+    history: List[dict] = []
+    it = 0
+    cand_names: List[str] = []
+    lab_class_index: List[int] = []
+
+    while set(cur_voted) != set(prev_voted) and it < cfg.max_vote_iters:
+        it += 1
+        counters = cluster_name_counters(name_idx_topk, u_preds, cfg.topk)
+        counters = {c: [(n, v) for n, v in e if n not in known_name_idx]
+                    for c, e in counters.items() if c in unlab_cluster_set}
+
+        voted_idx = sorted({n for e in counters.values()
+                            for n, _ in e[:cfg.num_common_vote]})
+        ind, _w = assign_name(voted_idx, counters,
+                              num_common=cfg.num_common_linear)
+
+        prev_voted = cur_voted
+        cur_voted = [nouns[voted_idx[col]] for _row, col in ind[:num_unlab_classes]
+                     if col < len(voted_idx)]
+
+        cand_names = sorted(set(cur_voted) | set(lab_names))
+        lab_class_index = [cand_names.index(n) for n in lab_names]
+        unlab_cluster_idx = [cand_names.index(n)
+                             for n in set(cand_names) - set(lab_names)]
+        unlab_cluster_set = set(unlab_cluster_idx)
+        known_name_idx = {noun_to_col[n] for n in lab_names}
+
+        u_preds = _reclassify(clip_u_feats, zeroshot_weights,
+                              [noun_to_col[n] for n in cand_names],
+                              cfg.logit_scale)
+        if metrics_cb is not None:
+            history.append(metrics_cb(it, u_preds, cand_names) or {})
+
+    return VotingResult(cand_names=cand_names, u_preds=u_preds,
+                        n_iters=it, history=history,
+                        lab_class_index=lab_class_index)

@@ -1,0 +1,86 @@
+"""Fused vocabulary classification: logits -> softmax -> top-k.
+
+Replaces the reference's host-managed 1024-row chunking over the N×V
+similarity matrix (``main_unsup.py:504-531``) with a single jitted
+matmul+softmax+top_k.  For multi-chip runs the vocabulary axis V is sharded
+over the ``model`` mesh axis with ``shard_map``: each shard computes its
+local top-k, softmax normalization is exact via a global ``psum`` of the
+logit max/denominator, and the per-shard candidates are merged with one
+small all-gather — the full N×V matrix never exists in one chip's HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@partial(jax.jit, static_argnames=("k", "apply_softmax"))
+def classify_topk(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
+                  scale: float = 100.0,
+                  apply_softmax: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k names per row. feats [N, D] (L2-normalized), weights [D, V].
+
+    Returns (values [N, k] f32, indices [N, k] i32).  ``apply_softmax``
+    mirrors the reference's ``F.softmax(100 * feats @ W)`` before top-k
+    (softmax is monotonic, so indices are unaffected; the values feed the
+    logit-weighted vote variant).
+    """
+    logits = scale * jax.lax.dot_general(
+        feats.astype(jnp.float32), weights.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if apply_softmax:
+        logits = jax.nn.softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(logits, k)
+    return vals, idx.astype(jnp.int32)
+
+
+def classify_topk_sharded(feats, weights, k: int, mesh: Mesh,
+                          scale: float = 100.0, apply_softmax: bool = True,
+                          model_axis: str = "model"):
+    """Vocabulary-sharded top-k: weights [D, V] split over ``model_axis``.
+
+    Per-shard top-k candidates are globally merged; softmax uses the exact
+    global normalizer (max-subtracted logsumexp psum'd across shards).
+    """
+    n_shards = mesh.shape[model_axis]
+    v = weights.shape[1]
+    assert v % n_shards == 0, f"V={v} not divisible by {n_shards} shards"
+    v_local = v // n_shards
+
+    def shard_fn(f, w_local):
+        logits = scale * jax.lax.dot_general(
+            f.astype(jnp.float32), w_local.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [N, V/s]
+        if apply_softmax:
+            gmax = jax.lax.pmax(jnp.max(logits, axis=1), model_axis)  # [N]
+            ex = jnp.exp(logits - gmax[:, None])
+            denom = jax.lax.psum(jnp.sum(ex, axis=1), model_axis)  # [N]
+            logits = ex / denom[:, None]
+        lv, li = jax.lax.top_k(logits, k)  # local candidates
+        shard_id = jax.lax.axis_index(model_axis)
+        li_global = li + shard_id * v_local
+        # merge: gather all shards' candidates, re-top-k
+        all_v = jax.lax.all_gather(lv, model_axis, axis=1, tiled=True)  # [N, k*s]
+        all_i = jax.lax.all_gather(li_global, model_axis, axis=1, tiled=True)
+        mv, mpos = jax.lax.top_k(all_v, k)
+        mi = jnp.take_along_axis(all_i, mpos, axis=1)
+        return mv, mi.astype(jnp.int32)
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(None, model_axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    feats = jax.device_put(feats, NamedSharding(mesh, P()))
+    weights = jax.device_put(weights, NamedSharding(mesh, P(None, model_axis)))
+    return jax.jit(fn)(feats, weights)

@@ -1,0 +1,188 @@
+"""Naming stack tests: taxonomy/lch, vote counters, Hungarian name
+assignment, and the full voting loop on a synthetic vocabulary."""
+
+import math
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from scd_tpu.core.config import NamingConfig
+from scd_tpu.naming import (
+    SyntheticTaxonomy,
+    assign_name,
+    cluster_name_counters,
+    topk_names,
+    voting_loop,
+    voting_loop_ptsup,
+)
+from scd_tpu.naming.vote import _most_common, vote_candidates
+from scd_tpu.naming.zeroshot import build_zeroshot_weights
+
+
+# ---------------- taxonomy ----------------
+
+def test_lch_formula():
+    tax = SyntheticTaxonomy()
+    # taxonomy depth: puppy at depth 4 (entity->animal->canine->dog->puppy)
+    assert tax.max_depth() == 4
+    # dog vs cat: dog->canine->animal<-feline<-cat = 4 edges
+    d = tax.shortest_path_distance(tax.wnid_to_idx["n00000004"],
+                                   tax.wnid_to_idx["n00000007"])
+    assert d == 4
+    lch = tax.lch_similarity(tax.wnid_to_idx["n00000004"],
+                             tax.wnid_to_idx["n00000007"])
+    assert lch == pytest.approx(-math.log(5 / (2 * 4)))
+
+
+def test_lch_self_similarity_is_max():
+    tax = SyntheticTaxonomy()
+    i = tax.wnid_to_idx["n00000004"]
+    assert tax.lch_similarity(i, i) == pytest.approx(-math.log(1 / 8))
+
+
+def test_name_similarity_and_table():
+    tax = SyntheticTaxonomy()
+    s_dog_wolf = tax.name_similarity("dog", "wolf")
+    s_dog_car = tax.name_similarity("dog", "car")
+    assert s_dog_wolf > s_dog_car
+    table = tax.similarity_table(["dog", "cat"], ["dog", "wolf", "car"])
+    assert table.shape == (2, 3)
+    assert table[0, 0] == pytest.approx(tax.name_similarity("dog", "dog"))
+
+
+def test_nltk_parity_if_corpus_available():
+    try:
+        from nltk.corpus import wordnet as wn
+        wn.synsets("dog")
+    except LookupError:
+        pytest.skip("nltk wordnet corpus not installed")
+    from scd_tpu.naming.wordnet import Taxonomy
+
+    tax = Taxonomy.from_nltk()
+    dog = wn.synset("dog.n.01")
+    cat = wn.synset("cat.n.01")
+    ours = tax.lch_similarity(tax.wnid_to_idx[f"n{dog.offset():08d}"],
+                              tax.wnid_to_idx[f"n{cat.offset():08d}"])
+    assert ours == pytest.approx(dog.lch_similarity(cat), abs=1e-6)
+
+
+# ---------------- vote counters ----------------
+
+def test_most_common_matches_counter(rng):
+    vals = rng.integers(0, 10, size=200)
+    ours = _most_common(vals)
+    ref = Counter(int(x) for x in vals).most_common()
+    # counts must agree; order must agree where counts are distinct
+    assert dict(ours) == dict(ref)
+    assert [c for _, c in ours] == [c for _, c in ref]
+    # full order parity incl. Counter's insertion-order tie-break
+    assert ours == ref
+
+
+def test_cluster_name_counters():
+    name_idx = np.array([[1, 2], [1, 3], [5, 6], [5, 1]])
+    u_preds = np.array([0, 0, 1, 1])
+    counters = cluster_name_counters(name_idx, u_preds, top_k=2)
+    assert counters[0][0] == (1, 2)  # name 1 twice in cluster 0
+    assert counters[1][0] == (5, 2)
+
+
+def test_assign_name_diagonal():
+    counters = {
+        0: [(10, 5), (11, 1)],
+        1: [(11, 4), (10, 2)],
+    }
+    uniq = vote_candidates(counters, num_common_vote=2)
+    assert uniq == [10, 11]
+    ind, w = assign_name(uniq, counters, num_common=2)
+    # optimal: cluster0->10, cluster1->11
+    assert dict(ind) == {0: 0, 1: 1}
+    assert w[0, 0] == 5 and w[1, 1] == 4
+
+
+# ---------------- end-to-end voting on synthetic vocab ----------------
+
+def _synthetic_world(rng, n_classes=8, vocab=64, dim=32, per_class=30):
+    """A vocabulary of unit embeddings; images cluster near their true
+    name's embedding."""
+    W = rng.standard_normal((dim, vocab)).astype(np.float32)
+    W /= np.linalg.norm(W, axis=0, keepdims=True)
+    true_name_cols = rng.choice(vocab, size=n_classes, replace=False)
+    feats, targets = [], []
+    for k, col in enumerate(true_name_cols):
+        f = W[:, col][None, :] + 0.12 * rng.standard_normal((per_class, dim))
+        feats.append(f)
+        targets.extend([k] * per_class)
+    feats = np.concatenate(feats).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    targets = np.array(targets)
+    nouns = [f"name_{v}" for v in range(vocab)]
+    return W, nouns, true_name_cols, feats, targets
+
+
+def test_topk_names_recovers_truth(rng):
+    W, nouns, cols, feats, targets = _synthetic_world(rng)
+    idx, vals = topk_names(feats, W, k=5)
+    top1 = idx[:, 0]
+    acc = (top1 == cols[targets]).mean()
+    assert acc > 0.9
+    assert np.all(vals[:, 0] >= vals[:, 1])
+
+
+def test_voting_loop_end_to_end(rng):
+    W, nouns, cols, feats, targets = _synthetic_world(rng)
+    n_classes = len(cols)
+    idx, _ = topk_names(feats, W, k=5)
+    # crude initial clustering: true classes with 20% label noise
+    u_preds0 = targets.copy()
+    noise = rng.random(len(targets)) < 0.2
+    u_preds0[noise] = rng.integers(0, n_classes, noise.sum())
+
+    cfg = NamingConfig(topk=5, num_common_vote=5, num_common_linear=3)
+    res = voting_loop(nouns, idx, feats, W, u_preds0, n_classes, cfg)
+    assert res.n_iters >= 1
+    true_names = {nouns[c] for c in cols}
+    assert set(res.cand_names) == true_names
+    # final predictions should map each image to its true name
+    pred_names = [res.cand_names[p] for p in res.u_preds]
+    gt_names = [nouns[cols[t]] for t in targets]
+    acc = np.mean([p == g for p, g in zip(pred_names, gt_names)])
+    assert acc > 0.9
+
+
+def test_voting_loop_ptsup_pins_lab_names(rng):
+    W, nouns, cols, feats, targets = _synthetic_world(rng)
+    n_classes = len(cols)
+    idx, _ = topk_names(feats, W, k=5)
+    lab_classes = [0, 1, 2]
+    lab_names = [nouns[cols[c]] for c in lab_classes]
+    u_preds0 = targets.copy()
+    unlab_clusters = [c for c in range(n_classes) if c not in lab_classes]
+
+    cfg = NamingConfig(topk=5, num_common_vote=5, num_common_linear=3)
+    res = voting_loop_ptsup(nouns, idx, feats, W, u_preds0, unlab_clusters,
+                            lab_names, n_classes, cfg)
+    assert set(lab_names) <= set(res.cand_names)
+    assert res.lab_class_index == [res.cand_names.index(n) for n in lab_names]
+    # candidates are sorted per the ptsup contract
+    assert res.cand_names == sorted(res.cand_names)
+
+
+def test_build_zeroshot_weights(rng):
+    def fake_encoder(texts):
+        # deterministic per-text embedding
+        out = np.zeros((len(texts), 16), dtype=np.float32)
+        for i, t in enumerate(texts):
+            r = np.random.default_rng(abs(hash(t)) % (2**32))
+            out[i] = r.standard_normal(16)
+        return out
+
+    templates = ["a photo of a {}.", "art of the {}."]
+    w = build_zeroshot_weights(fake_encoder, ["dog", "cat", "car"], templates,
+                               names_per_batch=2)
+    assert w.shape == (16, 3)
+    np.testing.assert_allclose(np.linalg.norm(w, axis=0), 1.0, rtol=1e-5)
+    # column depends only on its own name's prompts
+    w2 = build_zeroshot_weights(fake_encoder, ["dog"], templates)
+    np.testing.assert_allclose(w[:, 0], w2[:, 0], rtol=1e-5)
