@@ -1,0 +1,238 @@
+"""Size-constrained (semi-supervised) k-means — ConSSKM.
+
+Reference behavior (``local_utils/sskm_constrained.py``): Lloyd iterations
+where the E-step is a constrained assignment forcing every cluster to hold
+``size_min <= |c| <= size_max`` unlabelled points; labelled points stay
+pinned to their class centroid; k-means++ seeds the non-labelled centers;
+``n_init`` restarts keep the best inertia.
+
+Two interchangeable E-step backends:
+
+- ``"sinkhorn"`` (TPU-native, default): the whole Lloyd loop is one compiled
+  ``while_loop`` with the entropic-OT assignment of
+  ``scd_tpu.ops.sinkhorn`` — zero host round-trips, restarts vmapped.
+  If a restart's final assignment is infeasible (rare), the driver
+  transparently re-runs that restart on the exact backend.
+- ``"mcf"`` (exact/parity): per-iteration native C++ min-cost-flow with the
+  reference's exact int32 cost rounding (``round(1000*sqrt(dist))``,
+  ``sskm_constrained.py:324``); distances and M-steps stay on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scd_tpu.core.config import ClusterConfig
+from scd_tpu.cluster.kmeans import KMeansResult
+from scd_tpu.ops.distance import pairwise_sqdist
+from scd_tpu.ops.kpp import kmeans_plus_plus
+from scd_tpu.ops.native import constrained_assign
+from scd_tpu.ops.segment import segment_mean
+from scd_tpu.ops.sinkhorn import sinkhorn_constrained_assign
+
+
+class _State(NamedTuple):
+    it: jnp.ndarray
+    centers: jnp.ndarray
+    shift_sq: jnp.ndarray
+    best_labels: jnp.ndarray
+    best_inertia: jnp.ndarray
+    best_centers: jnp.ndarray
+    best_feasible: jnp.ndarray
+
+
+def _labelled_stats(l_feats: jnp.ndarray, l_labels: jnp.ndarray, k: int,
+                    n_l_classes: int):
+    means, counts = segment_mean(l_feats, l_labels, k)
+    sums = means * jnp.maximum(counts, 1.0)[:, None]
+    centers = (sums / jnp.maximum(counts, 1.0)[:, None])[:n_l_classes]
+    return sums, counts, centers
+
+
+@partial(jax.jit, static_argnames=("k", "n_l_classes", "max_iter", "n_init",
+                                   "size_min", "size_max", "sk_iters"))
+def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
+                              max_iter: int, tol: float, n_init: int,
+                              size_min: int, size_max: int,
+                              sk_eps: float, sk_iters: int):
+    n_u = u.shape[0]
+    l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)
+
+    def l_inertia(centers):
+        diff = l.astype(jnp.float32) - centers[l_labels]
+        return jnp.sum(diff * diff)
+
+    def estep(centers):
+        d = pairwise_sqdist(u, centers)
+        assign = sinkhorn_constrained_assign(
+            jnp.sqrt(d), k, size_min, size_max, eps=sk_eps, iters=sk_iters)
+        picked = jnp.take_along_axis(d, assign.labels[:, None], axis=1)[:, 0]
+        inertia = jnp.sum(picked) + l_inertia(centers)
+        return assign.labels, inertia, assign.feasible
+
+    def mstep(labels, centers):
+        means, counts = segment_mean(u, labels, k)
+        sums = means * jnp.maximum(counts, 1.0)[:, None] + l_sums
+        counts = counts + l_counts
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where((counts < 0.5)[:, None], centers, new)
+
+    def cond(s: _State):
+        return (s.it < max_iter) & (s.shift_sq >= tol)
+
+    def body(s: _State):
+        labels, inertia, feasible = estep(s.centers)
+        new_centers = mstep(labels, s.centers)
+        better = inertia < s.best_inertia
+        shift = jnp.sum(jnp.sqrt(jnp.sum((new_centers - s.centers) ** 2, axis=1)))
+        return _State(
+            s.it + 1, new_centers, shift ** 2,
+            jnp.where(better, labels, s.best_labels),
+            jnp.where(better, inertia, s.best_inertia),
+            jnp.where(better, new_centers, s.best_centers),
+            jnp.where(better, feasible, s.best_feasible),
+        )
+
+    def one_restart(sub):
+        centers0 = kmeans_plus_plus(sub, u, k, pre_centers=l_centers)
+        init = _State(jnp.zeros((), jnp.int32), centers0,
+                      jnp.full((), jnp.inf, jnp.float32),
+                      jnp.zeros((n_u,), jnp.int32),
+                      jnp.full((), jnp.inf, jnp.float32),
+                      centers0, jnp.array(False))
+        s = jax.lax.while_loop(cond, body, init)
+        return s.best_labels, s.best_inertia, s.best_centers, s.it, s.best_feasible
+
+    keys = jax.random.split(key, n_init)
+    labels, inertias, centers, iters, feas = jax.vmap(one_restart)(keys)
+    # prefer feasible restarts: infeasible ones get +inf inertia
+    ranked = jnp.where(feas, inertias, jnp.inf)
+    best = jnp.argmin(jnp.where(jnp.any(feas), ranked, inertias))
+    return (labels[best], inertias[best], centers[best], iters[best],
+            feas[best])
+
+
+def _fit_constrained_mcf_once(key, u_j, l_sums, l_counts, l_centers,
+                              l_inertia_fn, cfg: ClusterConfig,
+                              k: int) -> Tuple[np.ndarray, float, np.ndarray, int]:
+    """One restart with the exact native MCF E-step (host solver, device
+    distances/M-step) — the reference's algorithm with the reference's cost
+    rounding."""
+    centers = kmeans_plus_plus(key, u_j, k, pre_centers=l_centers)
+    n_u = u_j.shape[0]
+    best_labels, best_inertia, best_centers = None, np.inf, None
+    it = 0
+    for it in range(1, cfg.max_iterations + 1):
+        d = np.asarray(pairwise_sqdist(u_j, centers))
+        costs = np.around(np.sqrt(d) * 1000.0).astype(np.int32)
+        labels = constrained_assign(costs, cfg.size_min, cfg.size_max)
+        inertia = float(d[np.arange(n_u), labels].sum()) + float(l_inertia_fn(centers))
+
+        labels_j = jnp.asarray(labels)
+        means, counts = segment_mean(u_j, labels_j, k)
+        sums = means * jnp.maximum(counts, 1.0)[:, None] + l_sums
+        counts = counts + l_counts
+        new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+        new_centers = jnp.where((counts < 0.5)[:, None], centers, new_centers)
+
+        if inertia < best_inertia:
+            best_labels, best_inertia = labels, inertia
+            best_centers = np.asarray(new_centers)
+
+        shift = float(jnp.sum(jnp.sqrt(jnp.sum((new_centers - centers) ** 2,
+                                               axis=1))))
+        centers = new_centers
+        if shift ** 2 < cfg.tolerance:
+            break
+    return best_labels, best_inertia, best_centers, it
+
+
+def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
+                    l_targets: np.ndarray, cfg: ClusterConfig) -> KMeansResult:
+    """ConSSKM ``fit_mix``: labelled pinned + size-constrained unlabelled
+    E-step (reference ``sskm_constrained.py:87-139,165-187``).
+
+    Returned labels follow the reference contract: labelled instances first
+    (remapped class ids), then unlabelled assignments.
+    """
+    k = cfg.n_clusters
+    u = jnp.asarray(np.asarray(u_feats, np.float32))
+    l = jnp.asarray(np.asarray(l_feats, np.float32))
+    l_targets = np.asarray(l_targets).astype(np.int64)
+    classes, l_mapped = np.unique(l_targets, return_inverse=True)
+    n_l_classes = len(classes)
+    if k < n_l_classes:
+        raise ValueError(f"n_clusters={k} < labelled classes {n_l_classes}")
+    n_u = u.shape[0]
+    if cfg.size_min * k > n_u or cfg.size_max * k < n_u:
+        raise ValueError(
+            f"infeasible size constraints for {n_u} unlabelled points: "
+            f"k={k}, size_min={cfg.size_min}, size_max={cfg.size_max}")
+    l_labels = jnp.asarray(l_mapped.astype(np.int32))
+
+    if cfg.constrained_backend == "sinkhorn":
+        labels, inertia, centers, n_iter, feasible = _fit_constrained_sinkhorn(
+            key, u, l, l_labels, k, n_l_classes, cfg.max_iterations,
+            cfg.tolerance, cfg.n_init, cfg.size_min, cfg.size_max,
+            cfg.sinkhorn_epsilon, cfg.sinkhorn_iters)
+        if bool(feasible):
+            all_labels = np.concatenate([l_mapped.astype(np.int32),
+                                         np.asarray(labels)])
+            return KMeansResult(all_labels, np.asarray(centers),
+                                float(inertia), int(n_iter))
+        # fall through to the exact backend if the OT repair didn't converge
+
+    # exact MCF backend (also the sinkhorn fallback)
+    l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)
+
+    def l_inertia_fn(centers):
+        diff = l.astype(jnp.float32) - centers[l_labels]
+        return jnp.sum(diff * diff)
+
+    best = None
+    for sub in jax.random.split(key, cfg.n_init):
+        labels, inertia, centers, n_iter = _fit_constrained_mcf_once(
+            sub, u, l_sums, l_counts, l_centers, l_inertia_fn, cfg, k)
+        if best is None or inertia < best[1]:
+            best = (labels, inertia, centers, n_iter)
+    labels, inertia, centers, n_iter = best
+    all_labels = np.concatenate([l_mapped.astype(np.int32), labels])
+    return KMeansResult(all_labels, centers, float(inertia), int(n_iter))
+
+
+def fit_constrained_unsup(key: jax.Array, x: np.ndarray,
+                          cfg: ClusterConfig) -> KMeansResult:
+    """Fully-unsupervised constrained k-means (reference ``fit_once``,
+    ``sskm_constrained.py:47-85``): same E-step, k-means++ from scratch."""
+    k = cfg.n_clusters
+    x_j = jnp.asarray(np.asarray(x, np.float32))
+    n = x_j.shape[0]
+    if cfg.size_min * k > n or cfg.size_max * k < n:
+        raise ValueError("infeasible size constraints")
+    empty_l = jnp.zeros((0, x_j.shape[1]), jnp.float32)
+    empty_labels = jnp.zeros((0,), jnp.int32)
+
+    if cfg.constrained_backend == "sinkhorn":
+        labels, inertia, centers, n_iter, feasible = _fit_constrained_sinkhorn(
+            key, x_j, empty_l, empty_labels, k, 0, cfg.max_iterations,
+            cfg.tolerance, cfg.n_init, cfg.size_min, cfg.size_max,
+            cfg.sinkhorn_epsilon, cfg.sinkhorn_iters)
+        if bool(feasible):
+            return KMeansResult(np.asarray(labels), np.asarray(centers),
+                                float(inertia), int(n_iter))
+
+    l_sums = jnp.zeros((k, x_j.shape[1]), jnp.float32)
+    l_counts = jnp.zeros((k,), jnp.float32)
+    best = None
+    for sub in jax.random.split(key, cfg.n_init):
+        labels, inertia, centers, n_iter = _fit_constrained_mcf_once(
+            sub, x_j, l_sums, l_counts, None, lambda c: 0.0, cfg, k)
+        if best is None or inertia < best[1]:
+            best = (labels, inertia, centers, n_iter)
+    labels, inertia, centers, n_iter = best
+    return KMeansResult(labels, centers, float(inertia), int(n_iter))

@@ -37,6 +37,8 @@ def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
     x = x.astype(jnp.float32)
     row_valid = (jnp.arange(n) < (n if n_valid is None else n_valid))
 
+    if pre_centers is not None and pre_centers.shape[0] == 0:
+        pre_centers = None  # empty pin set == unsupervised seeding
     centers = jnp.zeros((k, d), jnp.float32)
     if pre_centers is not None:
         p = pre_centers.shape[0]

@@ -1,0 +1,151 @@
+"""On-device size-constrained assignment via entropic OT + integral repair.
+
+The reference solves its cluster-size-constrained E-step with a host-side
+min-cost flow every Lloyd iteration, shipping the full distance matrix
+GPU->CPU and labels back (``sskm_constrained.py:67,116`` — its main
+structural bottleneck).  This module is the TPU-native alternative: the
+whole E-step stays in one jitted computation.
+
+1. **Sinkhorn scaling with column box constraints.**  Minimize <C, P> +
+   eps*H(P) s.t. row sums = 1 (each point assigned once) and column sums in
+   [size_min, size_max].  Alternating Bregman projections in the log domain:
+   the row step is exact; the column step rescales each column into the box
+   (the KL projection onto an interval constraint).  The repo's own UNO
+   baseline uses the equality-constrained special case of this scheme
+   (Sinkhorn-Knopp, reference ``gcd/methods/baselines/uno_v2.py:72``).
+
+2. **Integral rounding + repair.**  Take labels = argmin_j (C_ij - g_j)
+   (reduced cost under the learned column duals), then run a fixed number of
+   vectorized repair passes: overfull clusters evict their cheapest-to-move
+   members toward clusters with room; underfull clusters steal the
+   cheapest-to-move members from clusters with spare capacity.  Both passes
+   use a within-cluster ranking computed by one argsort — no Python loops.
+
+Returns a feasibility flag; callers fall back to the exact native
+min-cost-flow solver (``scd_tpu.ops.native``) in the rare unconverged case.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ConstrainedAssignment(NamedTuple):
+    labels: jnp.ndarray  # [N] int32
+    feasible: jnp.ndarray  # scalar bool
+    col_duals: jnp.ndarray  # [K] f32 (g)
+
+
+def _sinkhorn_duals(cost: jnp.ndarray, size_min, size_max,
+                    eps: float, iters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Log-domain scaling; returns (f [N], g [K]) duals."""
+    n, k = cost.shape
+    f = jnp.zeros((n,), jnp.float32)
+    g = jnp.zeros((k,), jnp.float32)
+    log_lo = jnp.log(jnp.maximum(jnp.asarray(size_min, jnp.float32), 1e-9))
+    log_hi = jnp.log(jnp.maximum(jnp.asarray(size_max, jnp.float32), 1e-9))
+
+    def body(_, fg):
+        f, g = fg
+        # row projection: rows sum to exactly 1
+        f = -eps * jax.nn.logsumexp((g[None, :] - cost) / eps, axis=1)
+        # column box projection: scale columns into [size_min, size_max]
+        log_col = jax.nn.logsumexp((f[:, None] + g[None, :] - cost) / eps,
+                                   axis=0)  # log column sums
+        target = jnp.clip(log_col, log_lo, log_hi)
+        g = g + eps * (target - log_col)
+        return f, g
+
+    f, g = jax.lax.fori_loop(0, iters, body, (f, g))
+    return f, g
+
+
+def _within_cluster_rank(labels: jnp.ndarray, key: jnp.ndarray,
+                         k: int) -> jnp.ndarray:
+    """Rank of each point inside its cluster when ordered by ``key`` asc."""
+    n = labels.shape[0]
+    kmin = jnp.min(key)
+    kptp = jnp.maximum(jnp.max(key) - kmin, 1e-12)
+    key_n = (key - kmin) / kptp  # [0, 1]
+    composite = labels.astype(jnp.float32) * 2.0 + key_n
+    order = jnp.argsort(composite)
+    pos = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    counts = jnp.bincount(labels, length=k)
+    start = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                             jnp.cumsum(counts)[:-1]])
+    return pos - start[labels].astype(jnp.int32)
+
+
+def _evict_pass(cost, labels, g, size_min, size_max, k):
+    """Move the cheapest members of overfull clusters to clusters with room."""
+    counts = jnp.bincount(labels, length=k)
+    excess = jnp.maximum(counts - size_max, 0)
+    red = cost - g[None, :]
+    cur = jnp.take_along_axis(red, labels[:, None], axis=1)[:, 0]
+    has_room = (counts < size_max)[None, :]
+    not_self = jax.nn.one_hot(labels, k, dtype=jnp.bool_) == False  # noqa: E712
+    allowed = has_room & not_self
+    masked = jnp.where(allowed, red, jnp.inf)
+    alt = jnp.min(masked, axis=1)
+    alt_j = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    regret = jnp.where(jnp.isfinite(alt), alt - cur, jnp.inf)
+    rank = _within_cluster_rank(labels, regret, k)
+    evict = (rank < excess[labels]) & jnp.isfinite(regret)
+    return jnp.where(evict, alt_j, labels)
+
+
+def _steal_pass(cost, labels, g, size_min, size_max, k):
+    """Move the cheapest outside members into underfull clusters."""
+    counts = jnp.bincount(labels, length=k)
+    deficit = jnp.maximum(size_min - counts, 0)
+    red = cost - g[None, :]
+    cur = jnp.take_along_axis(red, labels[:, None], axis=1)[:, 0]
+    # sources must keep >= size_min after losing a member
+    src_spare = (counts > size_min)[labels]
+    dest_underfull = (deficit > 0)[None, :]
+    masked = jnp.where(dest_underfull, red, jnp.inf)
+    move_cost = jnp.min(masked, axis=1) - cur
+    dest = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    candidate = src_spare & jnp.isfinite(move_cost)
+    move_key = jnp.where(candidate, move_cost, jnp.inf)
+    rank = _within_cluster_rank(dest, move_key, k)
+    move = candidate & (rank < deficit[dest])
+    return jnp.where(move, dest, labels)
+
+
+@partial(jax.jit, static_argnames=("k", "iters", "repair_passes"))
+def sinkhorn_constrained_assign(cost: jnp.ndarray, k: int,
+                                size_min: int, size_max: int,
+                                eps: float = 0.05, iters: int = 200,
+                                repair_passes: int = 8) -> ConstrainedAssignment:
+    """Size-constrained assignment for cost matrix [N, K] (f32).
+
+    ``cost`` should be on the scale of unit-norm distances (the ConSSKM
+    caller passes sqrt of squared distances, matching the reference's MCF
+    costs); ``eps`` is relative to the cost std.
+    """
+    cost = cost.astype(jnp.float32)
+    c_std = jnp.maximum(jnp.std(cost), 1e-6)
+    cost_n = cost / c_std
+    eff_eps = eps
+
+    _f, g = _sinkhorn_duals(cost_n, size_min, size_max, eff_eps, iters)
+
+    labels = jnp.argmin(cost_n - g[None, :], axis=1).astype(jnp.int32)
+
+    def repair(_, lab):
+        lab = _evict_pass(cost_n, lab, g, size_min, size_max, k)
+        lab = _steal_pass(cost_n, lab, g, size_min, size_max, k)
+        return lab
+
+    labels = jax.lax.fori_loop(0, repair_passes, repair, labels)
+
+    counts = jnp.bincount(labels, length=k)
+    feasible = jnp.all((counts >= size_min) & (counts <= size_max))
+    return ConstrainedAssignment(labels=labels, feasible=feasible,
+                                 col_duals=g * c_std)

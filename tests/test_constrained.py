@@ -1,0 +1,93 @@
+"""Constrained clustering tests: Sinkhorn assignment vs exact MCF, and the
+full ConSSKM fit on blobs with both backends."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.metrics import normalized_mutual_info_score as nmi
+
+from scd_tpu.core.config import ClusterConfig
+from scd_tpu.cluster.constrained import fit_constrained, fit_constrained_unsup
+from scd_tpu.ops.native import constrained_assign
+from scd_tpu.ops.sinkhorn import sinkhorn_constrained_assign
+
+
+def test_sinkhorn_assign_feasible(rng):
+    cost = rng.random((120, 4)).astype(np.float32)
+    res = sinkhorn_constrained_assign(jnp.asarray(cost), 4, size_min=20,
+                                      size_max=40)
+    counts = np.bincount(np.asarray(res.labels), minlength=4)
+    assert bool(res.feasible)
+    assert counts.min() >= 20 and counts.max() <= 40
+
+
+def test_sinkhorn_assign_respects_structure(rng):
+    # 3 well-separated groups of 30 with k=3 and loose bounds: plain argmin
+    centers = np.eye(3, 8, dtype=np.float32) * 5
+    cost = np.concatenate([
+        np.linalg.norm(centers[i] + 0.05 * rng.standard_normal((30, 8))
+                       - centers[:, None], axis=-1).T
+        for i in range(3)
+    ]).astype(np.float32)
+    res = sinkhorn_constrained_assign(jnp.asarray(cost), 3, size_min=10,
+                                      size_max=50)
+    labels = np.asarray(res.labels)
+    want = np.repeat(np.arange(3), 30)
+    assert (labels == want).mean() > 0.95
+
+
+def test_sinkhorn_close_to_mcf_cost(rng):
+    cost = rng.random((90, 3)).astype(np.float32)
+    size_min, size_max = 20, 40
+    res = sinkhorn_constrained_assign(jnp.asarray(cost), 3, size_min, size_max,
+                                      iters=400, repair_passes=12)
+    assert bool(res.feasible)
+    sk_cost = cost[np.arange(90), np.asarray(res.labels)].sum()
+    exact = constrained_assign(np.around(cost * 100000).astype(np.int32),
+                               size_min, size_max)
+    mcf_cost = cost[np.arange(90), exact].sum()
+    # entropic solution within a few percent of the exact optimum
+    assert sk_cost <= mcf_cost * 1.10 + 1e-6
+
+
+@pytest.mark.parametrize("backend", ["sinkhorn", "mcf"])
+def test_fit_constrained_blobs(blobs, backend):
+    X, y = blobs  # 500 points, 4 blobs of 125
+    l_mask = y > 1
+    # size_min=0: blobs 2/3 have no unlabelled points, so any lower bound
+    # would force misassignments into the labelled clusters
+    cfg = ClusterConfig(n_clusters=4, n_init=3, max_iterations=20,
+                        size_min=0, size_max=200,
+                        constrained_backend=backend)
+    res = fit_constrained(jax.random.PRNGKey(0), X[~l_mask], X[l_mask],
+                          y[l_mask], cfg)
+    n_l = int(l_mask.sum())
+    classes, l_mapped = np.unique(y[l_mask], return_inverse=True)
+    np.testing.assert_array_equal(res.labels[:n_l], l_mapped)
+    u_counts = np.bincount(res.labels[n_l:], minlength=4)
+    # constraint applies to the unlabelled assignment
+    assert u_counts.max() <= 200
+    y_cat = np.concatenate([y[l_mask], y[~l_mask]])
+    assert nmi(y_cat, res.labels) > 0.9
+
+
+@pytest.mark.parametrize("backend", ["sinkhorn", "mcf"])
+def test_fit_constrained_forces_balance(rng, backend):
+    # one tight gaussian: unconstrained k-means would put ~everything in one
+    # cluster; size_max forces a split
+    X = (0.1 * rng.standard_normal((200, 8))).astype(np.float32)
+    cfg = ClusterConfig(n_clusters=4, n_init=2, max_iterations=10,
+                        size_min=30, size_max=70,
+                        constrained_backend=backend)
+    res = fit_constrained_unsup(jax.random.PRNGKey(0), X, cfg)
+    counts = np.bincount(res.labels, minlength=4)
+    assert counts.min() >= 30 and counts.max() <= 70
+
+
+def test_fit_constrained_infeasible_raises(blobs):
+    X, y = blobs
+    cfg = ClusterConfig(n_clusters=4, size_min=200, size_max=300)
+    with pytest.raises(ValueError):
+        fit_constrained(jax.random.PRNGKey(0), X[:100], X[100:150], y[100:150],
+                        cfg)
