@@ -1,0 +1,173 @@
+"""CLIP ViT-B/16 (image + text) in Flax, with OpenAI checkpoint loading.
+
+Both encoders are load-bearing for the pipeline (reference
+``main_unsup.py:237`` image feats, ``clip_lang_util.py:96-108`` vocabulary
+text embeddings), so this is a faithful functional re-implementation —
+QuickGELU, pre-norm blocks, causal text transformer, EOT-token pooling,
+learned logit scale — structured for TPU (bf16 compute / fp32 layernorm,
+fused attention) rather than a port of the torch module tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scd_tpu.models.vit import Block, ViTConfig, VisionTransformer
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    vision: ViTConfig
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_width: int = 512
+    text_depth: int = 12
+    text_heads: int = 8
+    embed_dim: int = 512
+    compute_dtype: Any = jnp.float32
+
+
+def clip_vit_b16_config(compute_dtype=jnp.float32) -> CLIPConfig:
+    return CLIPConfig(
+        vision=ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
+                         heads=12, quick_gelu=True, pre_post_norm=True,
+                         output_proj=512, patch_bias=False,
+                         compute_dtype=compute_dtype),
+        compute_dtype=compute_dtype,
+    )
+
+
+class TextTransformer(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """tokens: [B, L] int32 -> text features [B, embed_dim] (unnormalized)."""
+        c = self.cfg
+        B, L = tokens.shape
+        tok_emb = self.param("token_embedding", nn.initializers.normal(0.02),
+                             (c.vocab_size, c.text_width))
+        pos_emb = self.param("pos_embed", nn.initializers.normal(0.01),
+                             (c.context_length, c.text_width))
+        x = tok_emb[tokens] + pos_emb[None, :L]
+        x = x.astype(c.compute_dtype)
+
+        causal = jnp.tril(jnp.ones((L, L), jnp.bool_))[None, None]
+        blk_cfg = ViTConfig(width=c.text_width, depth=c.text_depth,
+                            heads=c.text_heads, quick_gelu=True,
+                            compute_dtype=c.compute_dtype)
+        for i in range(c.text_depth):
+            x = Block(blk_cfg, name=f"block_{i}")(x, mask=causal)
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+
+        # pool at the EOT token (highest token id per row, CLIP convention)
+        eot = jnp.argmax(tokens, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        proj = self.param("text_projection",
+                          nn.initializers.normal(c.text_width ** -0.5),
+                          (c.text_width, c.embed_dim))
+        return jnp.dot(pooled.astype(jnp.float32), proj,
+                       preferred_element_type=jnp.float32)
+
+
+class CLIPModel(nn.Module):
+    cfg: CLIPConfig
+
+    def setup(self):
+        self.visual = VisionTransformer(self.cfg.vision)
+        self.text = TextTransformer(self.cfg)
+        self.logit_scale = self.param("logit_scale",
+                                      lambda *_: jnp.asarray(np.log(1 / 0.07),
+                                                             jnp.float32))
+
+    def encode_image(self, images):
+        return self.visual(images)
+
+    def encode_text(self, tokens):
+        return self.text(tokens)
+
+    def __call__(self, images, tokens):
+        img = self.encode_image(images)
+        txt = self.encode_text(tokens)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        return scale * img @ txt.T
+
+
+# ----------------------------------------------------------- weight loading
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def load_openai_clip_weights(state_dict: Dict[str, Any],
+                             cfg: Optional[CLIPConfig] = None) -> Dict:
+    """Convert an OpenAI CLIP ViT state dict (torch tensor names) into this
+    module's Flax param tree.
+
+    Accepts either torch tensors or numpy arrays as values.  Key layout
+    follows the public OpenAI CLIP release (``visual.transformer.resblocks.N.
+    attn.in_proj_weight`` etc.).
+    """
+    cfg = cfg or clip_vit_b16_config()
+    sd = {k: _t(v.cpu().numpy() if hasattr(v, "cpu") else v)
+          for k, v in state_dict.items()}
+
+    def block_params(prefix: str, width: int) -> Dict:
+        w_in = sd[f"{prefix}.attn.in_proj_weight"]  # [3D, D]
+        b_in = sd[f"{prefix}.attn.in_proj_bias"]
+        return {
+            "norm1": {"scale": sd[f"{prefix}.ln_1.weight"],
+                      "bias": sd[f"{prefix}.ln_1.bias"]},
+            "norm2": {"scale": sd[f"{prefix}.ln_2.weight"],
+                      "bias": sd[f"{prefix}.ln_2.bias"]},
+            "attn": {
+                "qkv": {"kernel": w_in.T, "bias": b_in},
+                "proj": {"kernel": sd[f"{prefix}.attn.out_proj.weight"].T,
+                         "bias": sd[f"{prefix}.attn.out_proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": sd[f"{prefix}.mlp.c_fc.weight"].T,
+                        "bias": sd[f"{prefix}.mlp.c_fc.bias"]},
+                "fc2": {"kernel": sd[f"{prefix}.mlp.c_proj.weight"].T,
+                        "bias": sd[f"{prefix}.mlp.c_proj.bias"]},
+            },
+        }
+
+    visual = {
+        "patch_embed": {
+            # torch conv [D, 3, P, P] -> flax [P, P, 3, D]
+            "kernel": sd["visual.conv1.weight"].transpose(2, 3, 1, 0),
+        },
+        "cls_token": sd["visual.class_embedding"].reshape(1, 1, -1),
+        "pos_embed": sd["visual.positional_embedding"][None],
+        "ln_pre": {"scale": sd["visual.ln_pre.weight"],
+                   "bias": sd["visual.ln_pre.bias"]},
+        "ln_post": {"scale": sd["visual.ln_post.weight"],
+                    "bias": sd["visual.ln_post.bias"]},
+        "proj": sd["visual.proj"],
+    }
+    for i in range(cfg.vision.depth):
+        visual[f"block_{i}"] = block_params(
+            f"visual.transformer.resblocks.{i}", cfg.vision.width)
+
+    text = {
+        "token_embedding": sd["token_embedding.weight"],
+        "pos_embed": sd["positional_embedding"],
+        "ln_final": {"scale": sd["ln_final.weight"],
+                     "bias": sd["ln_final.bias"]},
+        "text_projection": sd["text_projection"],
+    }
+    for i in range(cfg.text_depth):
+        text[f"block_{i}"] = block_params(f"transformer.resblocks.{i}",
+                                          cfg.text_width)
+
+    return {"params": {"visual": visual, "text": text,
+                       "logit_scale": sd["logit_scale"].reshape(())}}

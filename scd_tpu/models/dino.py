@@ -1,0 +1,70 @@
+"""DINO ViT-B/16 config and checkpoint loading (also GCD-finetuned ckpts).
+
+The reference uses ``torch.hub dino_vitb16`` as its frozen 768-d feature
+extractor and loads GCD-finetuned variants of the same architecture
+(``main_unsup.py:240-255``); the architecture itself lives in our shared
+``VisionTransformer`` (``scd_tpu.models.vit``).  This module maps the
+facebookresearch/dino state-dict names (the same layout the GCD checkpoints
+use, reference ``gcd/models/vision_transformer.py``) into the Flax tree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from scd_tpu.models.vit import ViTConfig
+
+
+def dino_vit_b16_config(compute_dtype=None) -> ViTConfig:
+    import jax.numpy as jnp
+
+    return ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
+                     heads=12, quick_gelu=False, pre_post_norm=False,
+                     output_proj=None, patch_bias=True,
+                     compute_dtype=compute_dtype or jnp.float32)
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.cpu().numpy() if hasattr(x, "cpu") else x,
+                      dtype=np.float32)
+
+
+def load_dino_weights(state_dict: Dict[str, Any],
+                      cfg: Optional[ViTConfig] = None) -> Dict:
+    """Convert a DINO/GCD ViT state dict (``blocks.N.attn.qkv.weight`` naming)
+    into the Flax param tree for ``VisionTransformer``."""
+    cfg = cfg or dino_vit_b16_config()
+    sd = {k: _t(v) for k, v in state_dict.items()}
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "cls_token": sd["cls_token"].reshape(1, 1, -1),
+        "pos_embed": sd["pos_embed"],
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+    }
+    for i in range(cfg.depth):
+        p = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1": {"scale": sd[f"{p}.norm1.weight"],
+                      "bias": sd[f"{p}.norm1.bias"]},
+            "norm2": {"scale": sd[f"{p}.norm2.weight"],
+                      "bias": sd[f"{p}.norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": sd[f"{p}.attn.qkv.weight"].T,
+                        "bias": sd[f"{p}.attn.qkv.bias"]},
+                "proj": {"kernel": sd[f"{p}.attn.proj.weight"].T,
+                         "bias": sd[f"{p}.attn.proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": sd[f"{p}.mlp.fc1.weight"].T,
+                        "bias": sd[f"{p}.mlp.fc1.bias"]},
+                "fc2": {"kernel": sd[f"{p}.mlp.fc2.weight"].T,
+                        "bias": sd[f"{p}.mlp.fc2.bias"]},
+            },
+        }
+    return {"params": params}

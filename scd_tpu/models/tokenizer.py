@@ -1,0 +1,169 @@
+"""CLIP byte-pair-encoding tokenizer (self-contained host implementation).
+
+The reference calls ``clip.tokenize`` (OpenAI package) whose BPE merges ship
+as ``bpe_simple_vocab_16e6.txt.gz``.  This reimplements the same scheme —
+byte-to-unicode table, end-of-word markers, merge ranks, the CLIP text regex
+— loading the merges from a configurable path (``DataConfig`` surfaces it;
+the file is a public asset distributed with every CLIP release).
+
+``HashTokenizer`` is a deterministic stand-in with the same interface for
+tests and environments without the merges file.
+"""
+
+from __future__ import annotations
+
+import gzip
+import html
+from functools import lru_cache
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import regex as re
+except ImportError:  # pragma: no cover
+    import re  # type: ignore
+
+SOT = "<|startoftext|>"
+EOT = "<|endoftext|>"
+CONTEXT_LENGTH = 77
+
+
+@lru_cache()
+def bytes_to_unicode() -> Dict[int, str]:
+    """Reversible byte -> printable-unicode table (standard GPT-2/CLIP BPE)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word: Tuple[str, ...]) -> set:
+    return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+
+
+def _clean(text: str) -> str:
+    # reference also runs ftfy.fix_text (mojibake repair) — a no-op for the
+    # ASCII prompt templates and class names this pipeline tokenizes
+    text = html.unescape(html.unescape(text))
+    text = re.sub(r"\s+", " ", text)
+    return text.strip().lower()
+
+
+class CLIPTokenizer:
+    def __init__(self, bpe_path: str):
+        opener = gzip.open if bpe_path.endswith(".gz") else open
+        with opener(bpe_path, "rt", encoding="utf-8") as f:
+            merges = f.read().split("\n")
+        merges = merges[1:49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges if m]
+
+        self.byte_encoder = bytes_to_unicode()
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        vocab.extend("".join(m) for m in merges)
+        vocab.extend([SOT, EOT])
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self.cache: Dict[str, str] = {SOT: SOT, EOT: EOT}
+        self.pat = re.compile(
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+            r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            re.IGNORECASE)
+
+    def bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        tokens: List[int] = []
+        for tok in re.findall(self.pat, _clean(text)):
+            tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            tokens.extend(self.encoder[t] for t in self.bpe(tok).split(" "))
+        return tokens
+
+    def __call__(self, texts: Sequence[str],
+                 context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+        """Tokenize to a fixed [B, context_length] int32 batch, SOT/EOT framed,
+        truncated like ``clip.tokenize(truncate=True)``."""
+        sot, eot = self.encoder[SOT], self.encoder[EOT]
+        out = np.zeros((len(texts), context_length), np.int32)
+        for i, text in enumerate(texts):
+            toks = [sot] + self.encode(text) + [eot]
+            if len(toks) > context_length:
+                toks = toks[:context_length]
+                toks[-1] = eot
+            out[i, :len(toks)] = toks
+        return out
+
+
+class HashTokenizer:
+    """Deterministic fallback with the CLIP tokenizer interface: words hash
+    into the CLIP vocab id range.  For tests / missing-asset environments —
+    NOT compatible with real CLIP checkpoints."""
+
+    def __init__(self, vocab_size: int = 49408):
+        self.vocab_size = vocab_size
+        self.sot = vocab_size - 2
+        self.eot = vocab_size - 1
+
+    def encode(self, text: str) -> List[int]:
+        import hashlib
+
+        out = []
+        for word in _clean(text).split():
+            h = int(hashlib.md5(word.encode()).hexdigest(), 16)
+            out.append(h % (self.vocab_size - 2))
+        return out
+
+    def __call__(self, texts: Sequence[str],
+                 context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+        out = np.zeros((len(texts), context_length), np.int32)
+        for i, text in enumerate(texts):
+            toks = [self.sot] + self.encode(text) + [self.eot]
+            toks = toks[:context_length]
+            if toks[-1] != self.eot:
+                toks[-1] = self.eot
+            out[i, :len(toks)] = toks
+        return out

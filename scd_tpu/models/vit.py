@@ -1,0 +1,152 @@
+"""Vision Transformer in Flax, covering both backbone families the pipeline
+needs (reference Lx layer, SURVEY §2.6):
+
+- **DINO ViT-B/16** (reference ``gcd/models/vision_transformer.py``):
+  standard pre-norm ViT, GELU MLP, learned cls token + pos embed with
+  bicubic interpolation for off-grid image sizes, CLS-token output.
+- **CLIP visual ViT-B/16** (reference loads ``clip.load("ViT-B/16")``):
+  same skeleton plus pre/post layernorms, QuickGELU activation, and a
+  D->proj_dim output projection.
+
+One parameterized module instead of two ports: the differences are config
+flags.  All matmuls carry ``preferred_element_type=float32``; activations
+can run bf16 (``compute_dtype``) with fp32 layernorms/accumulation — the
+standard TPU recipe.  Attention uses ``jax.nn.dot_product_attention`` so XLA
+lowers it to the fused path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    width: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False  # CLIP uses x*sigmoid(1.702x)
+    pre_post_norm: bool = False  # CLIP: ln_pre / ln_post around the trunk
+    output_proj: Optional[int] = None  # CLIP: project CLS to this dim
+    patch_bias: bool = True  # CLIP conv has no bias
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        hidden = int(c.width * c.mlp_ratio)
+        x = nn.Dense(hidden, dtype=c.compute_dtype, name="fc1")(x)
+        x = quick_gelu(x) if c.quick_gelu else nn.gelu(x, approximate=False)
+        x = nn.Dense(c.width, dtype=c.compute_dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        c = self.cfg
+        B, L, D = x.shape
+        head_dim = c.width // c.heads
+        qkv = nn.Dense(3 * c.width, dtype=c.compute_dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, L, c.heads, head_dim)
+
+        out = jax.nn.dot_product_attention(
+            heads(q), heads(k), heads(v), mask=mask)
+        out = out.reshape(B, L, D)
+        return nn.Dense(c.width, dtype=c.compute_dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        c = self.cfg
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + Attention(c, name="attn")(y, mask=mask)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + Mlp(c, name="mlp")(y)
+        return x
+
+
+def interpolate_pos_embed(pos: jnp.ndarray, new_grid: int) -> jnp.ndarray:
+    """Bicubic pos-embed interpolation for off-grid inputs (reference
+    ``vision_transformer.py:175-191``).  ``pos``: [1, 1+g*g, D]."""
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    g = int(np.sqrt(patch_pos.shape[1]))
+    if g == new_grid:
+        return pos
+    d = patch_pos.shape[-1]
+    grid = patch_pos.reshape(1, g, g, d)
+    grid = jax.image.resize(grid, (1, new_grid, new_grid, d), method="bicubic")
+    return jnp.concatenate([cls_pos, grid.reshape(1, new_grid * new_grid, d)],
+                           axis=1)
+
+
+class VisionTransformer(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images: [B, H, W, 3] (NHWC) -> features [B, width or output_proj]."""
+        c = self.cfg
+        B, H, W, _ = images.shape
+        x = nn.Conv(c.width, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size),
+                    use_bias=c.patch_bias, dtype=c.compute_dtype,
+                    name="patch_embed")(images.astype(c.compute_dtype))
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(B, gh * gw, c.width)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, c.width))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, c.width)).astype(x.dtype), x],
+                            axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, c.seq_len, c.width))
+        x = x + interpolate_pos_embed(pos, gh).astype(x.dtype)
+
+        if c.pre_post_norm:
+            x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x)
+        for i in range(c.depth):
+            x = Block(c, name=f"block_{i}")(x)
+        if c.pre_post_norm:
+            x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, :1])[:, 0]
+        else:
+            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)[:, 0]
+
+        if c.output_proj is not None:
+            proj = self.param("proj", nn.initializers.normal(c.width ** -0.5),
+                              (c.width, c.output_proj))
+            x = jnp.dot(x.astype(jnp.float32), proj,
+                        preferred_element_type=jnp.float32)
+        return x.astype(jnp.float32)
