@@ -1,0 +1,119 @@
+"""Image transforms (PIL + numpy; no torchvision in this image).
+
+Two families, matching the reference's behavior:
+
+- ``get_transform("imagenet")`` — resize(size/crop_pct, bicubic) + crop +
+  flip + color jitter for train, resize + center crop for eval
+  (reference ``gcd/data/augmentations/__init__.py:7-33``);
+- ``clip_preprocess`` — CLIP's own pipeline (resize 224 bicubic on the short
+  side, center crop, CLIP mean/std), which both mains actually use for
+  feature extraction (``main_unsup.py:271``: the test transform is
+  overridden with ``preprocess``).
+
+Outputs are numpy float32 HWC (NHWC batches downstream — the TPU-friendly
+conv layout); normalization constants are the standard published values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def _to_float(img: Image.Image) -> np.ndarray:
+    return np.asarray(img.convert("RGB"), np.float32) / 255.0
+
+
+def _normalize(x: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
+    return (x - mean) / std
+
+
+def _resize_short(img: Image.Image, size: int,
+                  resample=Image.BICUBIC) -> Image.Image:
+    w, h = img.size
+    if w < h:
+        nw, nh = size, max(1, round(h * size / w))
+    else:
+        nw, nh = max(1, round(w * size / h)), size
+    return img.resize((nw, nh), resample)
+
+
+def _center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def clip_preprocess(image_size: int = 224):
+    """CLIP's published eval preprocess."""
+
+    def fn(img: Image.Image) -> np.ndarray:
+        img = _resize_short(img, image_size)
+        img = _center_crop(img, image_size)
+        return _normalize(_to_float(img), CLIP_MEAN, CLIP_STD)
+
+    return fn
+
+
+def _rand_resized_crop(img: Image.Image, size: int, rng: np.random.Generator,
+                       scale=(0.3, 1.0)) -> Image.Image:
+    w, h = img.size
+    area = w * h
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        ar = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+        cw = int(round(np.sqrt(target * ar)))
+        ch = int(round(np.sqrt(target / ar)))
+        if cw <= w and ch <= h:
+            left = rng.integers(0, w - cw + 1)
+            top = rng.integers(0, h - ch + 1)
+            return img.crop((left, top, left + cw, top + ch)).resize(
+                (size, size), Image.BICUBIC)
+    return _center_crop(_resize_short(img, size), size)
+
+
+def _color_jitter(x: np.ndarray, rng: np.random.Generator,
+                  brightness=0.4, contrast=0.4, saturation=0.4) -> np.ndarray:
+    b = rng.uniform(1 - brightness, 1 + brightness)
+    c = rng.uniform(1 - contrast, 1 + contrast)
+    s = rng.uniform(1 - saturation, 1 + saturation)
+    x = np.clip(x * b, 0, 1)
+    mean = x.mean()
+    x = np.clip((x - mean) * c + mean, 0, 1)
+    grey = x.mean(axis=-1, keepdims=True)
+    return np.clip((x - grey) * s + grey, 0, 1)
+
+
+def get_transform(name: str = "imagenet", image_size: int = 224,
+                  crop_pct: float = 0.875, train: bool = False,
+                  seed: int = 0):
+    """Train/eval transforms (reference ``get_transform``); pass
+    ``train=True`` for the augmenting variant."""
+    if name not in ("imagenet", "cifar", "herbarium"):
+        raise ValueError(f"unknown transform family {name!r}")
+    mean, std = IMAGENET_MEAN, IMAGENET_STD
+    rng = np.random.default_rng(seed)
+
+    if not train:
+        def eval_fn(img: Image.Image) -> np.ndarray:
+            im = _resize_short(img, int(image_size / crop_pct))
+            im = _center_crop(im, image_size)
+            return _normalize(_to_float(im), mean, std)
+
+        return eval_fn
+
+    def train_fn(img: Image.Image) -> np.ndarray:
+        im = _rand_resized_crop(img, image_size, rng)
+        x = _to_float(im)
+        if rng.random() < 0.5:
+            x = x[:, ::-1]
+        x = _color_jitter(x, rng)
+        return _normalize(np.ascontiguousarray(x), mean, std)
+
+    return train_fn

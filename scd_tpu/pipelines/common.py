@@ -1,0 +1,164 @@
+"""Shared pipeline stages for the unsup/ptsup entry points.
+
+Mirrors the stage structure of the reference mains (``main_unsup.py``,
+``main_ptsup.py``): encoder setup -> feature extraction (cached) ->
+clustering (cached) -> vocabulary + zero-shot weights -> per-image top-k
+names -> voting loop -> metric printouts.  Every stage's output goes through
+the ``ArtifactCache`` so runs re-enter from cache exactly like the
+reference's ``.pt`` protocol (``main_unsup.py:294-311``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from scd_tpu.core.cache import ArtifactCache
+from scd_tpu.core.config import PipelineConfig, config_hash
+from scd_tpu.cluster.kmeans import fit_kmeans, fit_sskm
+from scd_tpu.cluster.constrained import fit_constrained
+from scd_tpu.data import get_datasets, iterate_batches
+from scd_tpu.metrics import (
+    evaluate_semantic_acc,
+    name_set_iou,
+    split_cluster_acc_v2,
+)
+from scd_tpu.metrics.semantic import evaluate_soft_semantic_acc
+
+
+def extract_features(encode_image: Callable[[np.ndarray], np.ndarray],
+                     dataset, train_classes: Sequence[int],
+                     batch_size: int = 256, num_workers: int = 8,
+                     normalize: bool = True) -> Dict[str, np.ndarray]:
+    """Batched feature extraction with the reference's output contract
+    (``main_unsup.py:114-147``): all_feats (L2-normalized), mask_lab,
+    mask_cls, targets."""
+    feats, targets, mask_lab, mask_cls = [], [], [], []
+    train_set = set(int(c) for c in train_classes)
+    for images, labels, _uq, mlab in iterate_batches(dataset, batch_size,
+                                                     num_workers=num_workers):
+        f = np.asarray(encode_image(images), np.float32)
+        if normalize:
+            f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+        feats.append(f)
+        targets.append(labels)
+        mask_lab.append(mlab)
+        mask_cls.append(np.isin(labels, list(train_set)))
+    return {
+        "all_feats": np.concatenate(feats),
+        "targets": np.concatenate(targets).astype(np.float64),
+        "mask_lab": np.concatenate(mask_lab),
+        "mask_cls": np.concatenate(mask_cls),
+    }
+
+
+def run_clustering(cfg: PipelineConfig, feats: Dict[str, np.ndarray]
+                   ) -> Dict[str, np.ndarray]:
+    """Cluster per config (reference ``main_unsup.py:334-364``).  Returns the
+    reference's cluster_result contract: all_preds (None for KM), u_preds,
+    u_targets, mask."""
+    c = cfg.cluster
+    all_feats = feats["all_feats"]
+    mask_lab = feats["mask_lab"].astype(bool)
+    mask_cls = feats["mask_cls"].astype(bool)
+    targets = feats["targets"].astype(np.int64)
+
+    l_feats, u_feats = all_feats[mask_lab], all_feats[~mask_lab]
+    l_targets, u_targets = targets[mask_lab], targets[~mask_lab]
+    mask = mask_cls[~mask_lab]
+
+    key = jax.random.PRNGKey(c.seed)
+    if c.algorithm == "KM":
+        res = fit_kmeans(key, u_feats, c)
+        preds = res.labels
+        all_preds = np.full(len(all_feats), -1, np.int64)
+        all_preds[~mask_lab] = preds
+    elif c.algorithm == "SSKM":
+        res = fit_sskm(key, u_feats, l_feats, l_targets, c)
+        all_preds = np.empty(len(all_feats), np.int64)
+        all_preds[mask_lab] = res.labels[:mask_lab.sum()]
+        all_preds[~mask_lab] = res.labels[mask_lab.sum():]
+        preds = all_preds[~mask_lab]
+    elif c.algorithm == "ConSSKM":
+        res = fit_constrained(key, u_feats, l_feats, l_targets, c)
+        all_preds = np.empty(len(all_feats), np.int64)
+        all_preds[mask_lab] = res.labels[:mask_lab.sum()]
+        all_preds[~mask_lab] = res.labels[mask_lab.sum():]
+        preds = all_preds[~mask_lab]
+    elif c.algorithm == "FINCH":
+        from scd_tpu.cluster.finch import finch_fit
+
+        preds = finch_fit(u_feats, req_clust=c.n_clusters)
+        all_preds = np.full(len(all_feats), -1, np.int64)
+        all_preds[~mask_lab] = preds
+    else:
+        raise ValueError(f"unknown cluster algorithm {c.algorithm!r}")
+
+    return {"all_preds": all_preds, "u_preds": np.asarray(preds, np.int64),
+            "u_targets": u_targets, "mask": mask}
+
+
+def print_acc_block(tag: str, u_targets, u_preds, mask,
+                    cidx_to_cname, cand_names,
+                    name_similarity: Optional[Callable] = None,
+                    eval_soft: bool = True) -> Dict[str, float]:
+    """The reference's per-iteration metric printout
+    (``main_unsup.py:617-641``), returning the numbers as a dict."""
+    out: Dict[str, float] = {}
+    all_acc, old_acc, new_acc = split_cluster_acc_v2(u_targets, u_preds, mask)
+    out.update(all_acc=all_acc, old_acc=old_acc, new_acc=new_acc)
+    print(f"Accuracies: All {all_acc} | Old {old_acc} | New {new_acc}")
+
+    subsets = {"All": np.ones(len(u_preds), bool), "old": mask, "new": ~mask}
+    sacc = {}
+    for name, sel in subsets.items():
+        if sel.sum() == 0:
+            sacc[name] = (0.0, 0.0)
+            continue
+        sacc[name] = evaluate_semantic_acc(u_targets[sel], cidx_to_cname,
+                                           u_preds[sel], cand_names)
+    for label, (acc_key, sel_name) in (("All", ("all_acc", "All")),
+                                       ("old", ("old_acc", "old")),
+                                       ("new", ("new_acc", "new"))):
+        avg, allv = sacc[sel_name]
+        print(f"ACC/sACC_avg/sACC_all: {label} "
+              f"{round(out[acc_key] * 100, 2)}/{round(avg * 100, 2)}"
+              f"/{round(allv * 100, 2)} ")
+        out[f"sacc_avg_{label}"] = avg
+        out[f"sacc_all_{label}"] = allv
+
+    if eval_soft and name_similarity is not None:
+        for label, sel in subsets.items():
+            if sel.sum() == 0:
+                continue
+            try:
+                soft = evaluate_soft_semantic_acc(
+                    u_targets[sel], cidx_to_cname, u_preds[sel], cand_names,
+                    name_similarity)
+            except KeyError:
+                break
+            acc_val = {"All": all_acc, "old": old_acc, "new": new_acc}[label]
+            print(f"ACC/Soft sACC: {label} {round(acc_val * 100, 2)}"
+                  f"/{round(soft * 100, 2)}")
+            out[f"soft_sacc_{label}"] = soft
+    return out
+
+
+def stage_cache(cfg: PipelineConfig) -> ArtifactCache:
+    root = cfg.data.cache_dir
+    if not os.path.isabs(root):
+        root = os.path.join(os.getcwd(), root)
+    return ArtifactCache(root)
+
+
+def feature_cache_key(cfg: PipelineConfig, which: str) -> str:
+    return config_hash(cfg.data, extra={"model": which,
+                                        "feat": cfg.feature.feat_model})
+
+
+def cluster_cache_key(cfg: PipelineConfig) -> str:
+    return config_hash(cfg.cluster, extra={
+        "data": config_hash(cfg.data), "feat": cfg.feature.feat_model})

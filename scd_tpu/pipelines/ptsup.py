@@ -1,0 +1,173 @@
+"""Partially-supervised SCD pipeline — the ``main_ptsup.py`` equivalent.
+
+Same skeleton as the unsupervised pipeline plus (reference SURVEY §3.2):
+
+- zero-shot sACC lower bound (full vocabulary) and upper bound (vocabulary
+  restricted to the ground-truth names) before any voting
+  (``main_ptsup.py:548-585``);
+- labelled classes pin their ground-truth names; the voting loop runs only
+  over unlabelled clusters with known-name pruning
+  (``main_ptsup.py:629-705``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scd_tpu.core.config import PipelineConfig
+from scd_tpu.data import get_class_splits, get_datasets
+from scd_tpu.metrics import name_set_iou, split_cluster_acc_v2
+from scd_tpu.naming.classnames import resolve_class_names
+from scd_tpu.naming.loop import voting_loop_ptsup
+from scd_tpu.naming.templates import IMAGENET_TEMPLATES
+from scd_tpu.naming.vote import topk_names
+from scd_tpu.naming.zeroshot import build_zeroshot_weights
+from scd_tpu.pipelines.common import (
+    cluster_cache_key,
+    extract_features,
+    feature_cache_key,
+    print_acc_block,
+    run_clustering,
+    stage_cache,
+)
+from scd_tpu.pipelines.unsup import (
+    build_argparser,
+    build_encoders,
+    config_from_args,
+    load_vocabulary,
+)
+
+
+def zero_shot_top1(clip_feats: np.ndarray, targets: np.ndarray,
+                   cidx_to_cname: Dict[int, str], names: Sequence[str],
+                   weights: np.ndarray, scale: float = 100.0) -> float:
+    """Zero-shot top-1 accuracy of CLIP features against a name list
+    (reference ``evaluate_semantic_acc_ub_lb``, ``main_ptsup.py:102-129``)."""
+    name_to_idx = {n: i for i, n in enumerate(names)}
+    gt = np.array([name_to_idx[cidx_to_cname[int(t)]] for t in targets])
+    logits = scale * jnp.asarray(clip_feats, jnp.float32) @ jnp.asarray(
+        weights, jnp.float32)
+    preds = np.asarray(jnp.argmax(logits, axis=-1))
+    return float((preds == gt).mean() * 100.0)
+
+
+def run_ptsup(cfg: PipelineConfig) -> Dict:
+    from scd_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    cache = stage_cache(cfg)
+    train_classes, unlabeled_classes = get_class_splits(cfg.data)
+    train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data)
+
+    feat_encode, clip_encode, encode_text = build_encoders(cfg, extras)
+
+    feats = cache.load_or_compute(
+        "features", feature_cache_key(cfg, "feat"),
+        lambda: extract_features(feat_encode, train_merged, train_classes,
+                                 cfg.data.batch_size, cfg.data.num_workers),
+        refresh=cfg.extract_feat)
+    clip_feats = cache.load_or_compute(
+        "features", feature_cache_key(cfg, "clip"),
+        lambda: extract_features(clip_encode, train_merged, train_classes,
+                                 cfg.data.batch_size, cfg.data.num_workers),
+        refresh=cfg.extract_feat)
+
+    cluster_result = cache.load_or_compute(
+        "cluster", cluster_cache_key(cfg),
+        lambda: run_clustering(cfg, feats), refresh=cfg.run_cluster)
+
+    all_preds = cluster_result["all_preds"].astype(np.int64)
+    u_preds = cluster_result["u_preds"].astype(np.int64)
+    u_targets = cluster_result["u_targets"].astype(np.int64)
+    mask = cluster_result["mask"].astype(bool)
+
+    nouns, taxonomy = load_vocabulary(cfg, extras)
+    if cfg.data.zeroshot_weights:
+        zw = np.load(cfg.data.zeroshot_weights)["weights"] \
+            if cfg.data.zeroshot_weights.endswith(".npz") else \
+            np.load(cfg.data.zeroshot_weights)
+    else:
+        zw = cache.load_or_compute(
+            "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
+            lambda: {"weights": build_zeroshot_weights(
+                encode_text, nouns, IMAGENET_TEMPLATES)})["weights"]
+
+    cidx_to_cname = resolve_class_names(
+        cfg.data.dataset_name, extras, nouns, zw, encode_text,
+        IMAGENET_TEMPLATES,
+        wnid_to_name=taxonomy.wnid_to_name if taxonomy else None,
+        corpus=cfg.naming.corpus)
+
+    clip_all = clip_feats["all_feats"]
+    mask_lab = clip_feats["mask_lab"].astype(bool)
+    clip_u = clip_all[~mask_lab]
+
+    # ---- sACC bounds (reference main_ptsup.py:548-561)
+    noun_cols = {n: i for i, n in enumerate(nouns)}
+    print("=====sACC lower bound=====")
+    lb_all = zero_shot_top1(clip_u, u_targets, cidx_to_cname, nouns, zw)
+    lb_old = zero_shot_top1(clip_u[mask], u_targets[mask], cidx_to_cname,
+                            nouns, zw)
+    lb_new = zero_shot_top1(clip_u[~mask], u_targets[~mask], cidx_to_cname,
+                            nouns, zw)
+    print(f"sACC all {lb_all},sACC old {lb_old}, sACC new {lb_new}")
+
+    print("=====sACC upper bound=====")
+    gt_cand = [n.lower().replace("-", "_") for n in cidx_to_cname.values()]
+    zw_gt = zw[:, [noun_cols[n] for n in gt_cand]]
+    ub_all = zero_shot_top1(clip_u, u_targets, cidx_to_cname, gt_cand, zw_gt)
+    ub_old = zero_shot_top1(clip_u[mask], u_targets[mask], cidx_to_cname,
+                            gt_cand, zw_gt)
+    ub_new = zero_shot_top1(clip_u[~mask], u_targets[~mask], cidx_to_cname,
+                            gt_cand, zw_gt)
+    print(f"sACC all {ub_all},sACC old {ub_old}, sACC new {ub_new}")
+
+    # ---- clustering ACC + voting (reference main_ptsup.py:588-705)
+    name_idx, _ = topk_names(clip_all, zw, cfg.naming.topk,
+                             scale=cfg.naming.logit_scale)
+    name_idx_u = name_idx[~mask_lab]
+
+    all_acc, old_acc, new_acc = split_cluster_acc_v2(u_targets, u_preds, mask)
+    print(f"{cfg.cluster.algorithm} Accuracies: All {all_acc} | Old {old_acc} "
+          f"| New {new_acc}")
+
+    gt_names = list(cidx_to_cname.values())
+    lab_names = [gt_names[c] for c in range(len(train_classes))]
+    l_preds = all_preds[mask_lab]
+    lab_cluster_idx = sorted(set(l_preds.tolist()))
+    unlab_cluster_idx = sorted(set(u_preds.tolist()) - set(lab_cluster_idx))
+
+    name_sim = taxonomy.name_similarity if taxonomy else None
+    eval_soft = cfg.eval_soft_sacc and cfg.data.dataset_name != "cub"
+
+    def metrics_cb(it: int, preds: np.ndarray, cand_names: List[str]) -> Dict:
+        print(f"iter: {it}")
+        return print_acc_block("vote", u_targets, preds, mask, cidx_to_cname,
+                               cand_names, name_similarity=name_sim,
+                               eval_soft=eval_soft)
+
+    result = voting_loop_ptsup(nouns, name_idx_u, clip_u, zw, u_preds,
+                               unlab_cluster_idx, lab_names,
+                               cfg.cluster.n_clusters, cfg.naming,
+                               metrics_cb=metrics_cb)
+
+    iou = name_set_iou(result.cand_names, gt_names)
+    print(f"IoU: {iou}")
+    return {"bounds": {"lb": (lb_all, lb_old, lb_new),
+                       "ub": (ub_all, ub_old, ub_new)},
+            "cluster_acc": (all_acc, old_acc, new_acc),
+            "voting": result, "iou": iou,
+            "cidx_to_cname": cidx_to_cname}
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args, partially_supervised=True)
+    return run_ptsup(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+"""Unsupervised SCD pipeline — the ``main_unsup.py`` equivalent.
+
+Stages (reference call stack, SURVEY §3.1): encoders -> cached feature
+extraction (clustering features + CLIP features) -> clustering (KM / SSKM /
+ConSSKM / FINCH) -> ACC v2 -> vocabulary + zero-shot weights -> fused
+per-image top-k names -> iterative voting loop with per-iteration
+ACC/sACC/Soft-sACC printouts -> name-set IoU.
+
+Run: ``python -m scd_tpu.pipelines.unsup --dataset_name synthetic
+--cluster SSKM`` (synthetic needs no assets; real datasets take
+``--root_dir`` plus weight paths in the config overrides).
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Optional
+
+import numpy as np
+
+from scd_tpu.core.config import (
+    ClusterConfig,
+    DataConfig,
+    FeatureConfig,
+    NamingConfig,
+    PipelineConfig,
+)
+from scd_tpu.data import get_class_splits, get_datasets
+from scd_tpu.metrics import name_set_iou, split_cluster_acc_v2
+from scd_tpu.naming.classnames import resolve_class_names
+from scd_tpu.naming.loop import voting_loop
+from scd_tpu.naming.templates import IMAGENET_TEMPLATES
+from scd_tpu.naming.vote import topk_names
+from scd_tpu.naming.zeroshot import build_zeroshot_weights
+from scd_tpu.pipelines.common import (
+    cluster_cache_key,
+    extract_features,
+    feature_cache_key,
+    print_acc_block,
+    run_clustering,
+    stage_cache,
+)
+
+
+def build_encoders(cfg: PipelineConfig, extras: Dict):
+    """Returns (feat_encode_image, clip_encode_image, encode_text)."""
+    name = cfg.feature.feat_model
+    if cfg.data.dataset_name == "synthetic" or name == "synthetic":
+        from scd_tpu.models.synthetic import SyntheticCLIP
+
+        clip = SyntheticCLIP(extras["class_colors"])
+        return clip.encode_image, clip.encode_image, clip.encode_text
+
+    import jax.numpy as jnp
+
+    from scd_tpu.models import (
+        CLIPModel,
+        CLIPTokenizer,
+        VisionTransformer,
+        clip_vit_b16_config,
+        dino_vit_b16_config,
+        load_dino_weights,
+        load_openai_clip_weights,
+    )
+
+    if not cfg.data.clip_weights:
+        raise FileNotFoundError(
+            "cfg.data.clip_weights must point to an OpenAI CLIP ViT-B/16 "
+            "checkpoint for non-synthetic datasets")
+    import torch
+
+    clip_cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
+    clip_sd = torch.load(cfg.data.clip_weights, map_location="cpu")
+    clip_vars = load_openai_clip_weights(
+        clip_sd.state_dict() if hasattr(clip_sd, "state_dict") else clip_sd,
+        clip_cfg)
+    clip_model = CLIPModel(clip_cfg)
+    tokenizer = CLIPTokenizer(cfg.data.corpus_dir + "/bpe_simple_vocab_16e6.txt.gz")
+
+    import jax
+
+    @jax.jit
+    def _clip_img(x):
+        return clip_model.apply(clip_vars, x, method=CLIPModel.encode_image)
+
+    @jax.jit
+    def _clip_txt(toks):
+        return clip_model.apply(clip_vars, toks, method=CLIPModel.encode_text)
+
+    def clip_encode_image(images: np.ndarray) -> np.ndarray:
+        return np.asarray(_clip_img(jnp.asarray(images)))
+
+    def encode_text(texts) -> np.ndarray:
+        return np.asarray(_clip_txt(jnp.asarray(tokenizer(texts))))
+
+    if name == "clip":
+        feat_encode = clip_encode_image
+    elif name in ("dino_vit", "gcd"):
+        path = cfg.data.dino_weights if name == "dino_vit" else (
+            f"{cfg.data.gcd_weights_dir}/{cfg.data.dataset_name}_model_best.pt")
+        vit_cfg = dino_vit_b16_config(compute_dtype=jnp.bfloat16)
+        sd = torch.load(path, map_location="cpu")
+        dino_vars = load_dino_weights(sd, vit_cfg)
+        dino = VisionTransformer(vit_cfg)
+
+        @jax.jit
+        def _dino(x):
+            return dino.apply(dino_vars, x)
+
+        def feat_encode(images: np.ndarray) -> np.ndarray:
+            return np.asarray(_dino(jnp.asarray(images)))
+    else:
+        raise ValueError(f"unknown feat_model {name!r}")
+
+    return feat_encode, clip_encode_image, encode_text
+
+
+def load_vocabulary(cfg: PipelineConfig, extras: Dict):
+    """Returns (nouns, taxonomy_or_None).  Corpus names follow the reference
+    (wordnet | wikibird | wikidog, ``clip_lang_util.py:139-149``); synthetic
+    builds a class-names+distractors list."""
+    corpus = cfg.naming.corpus
+    if cfg.data.dataset_name == "synthetic" or corpus == "synthetic":
+        from scd_tpu.models.synthetic import synthetic_vocabulary
+
+        return synthetic_vocabulary(extras["class_names"]), None
+
+    import os
+
+    taxonomy = None
+    if corpus == "wordnet":
+        from scd_tpu.naming.wordnet import Taxonomy
+
+        if cfg.data.wordnet_db_dir:
+            taxonomy = Taxonomy.from_wndb(cfg.data.wordnet_db_dir)
+        else:
+            taxonomy = Taxonomy.from_nltk()
+        path = os.path.join(cfg.data.corpus_dir, "wordnet_all_noun.txt")
+        if os.path.exists(path):
+            nouns = [line.rstrip("\n") for line in open(path)]
+        else:
+            nouns = taxonomy.all_names()
+    elif corpus in ("wikibird", "wikidog"):
+        fname = ("wiki_birdclass_names.txt" if corpus == "wikibird"
+                 else "wiki_dogclass_names.txt")
+        nouns = [line.rstrip("\n")
+                 for line in open(os.path.join(cfg.data.corpus_dir, fname))]
+        nouns = [n.lower().replace("'s", "").replace(" ", "_") for n in nouns]
+    else:
+        nouns = [line.rstrip("\n") for line in open(corpus)]
+    nouns = [n.lower().replace("-", "_") for n in nouns]
+    return nouns, taxonomy
+
+
+def run_unsup(cfg: PipelineConfig) -> Dict:
+    from scd_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    cache = stage_cache(cfg)
+    train_classes, unlabeled_classes = get_class_splits(cfg.data)
+    train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data)
+
+    feat_encode, clip_encode, encode_text = build_encoders(cfg, extras)
+
+    feats = cache.load_or_compute(
+        "features", feature_cache_key(cfg, "feat"),
+        lambda: extract_features(feat_encode, train_merged, train_classes,
+                                 cfg.data.batch_size, cfg.data.num_workers),
+        refresh=cfg.extract_feat)
+    clip_feats = cache.load_or_compute(
+        "features", feature_cache_key(cfg, "clip"),
+        lambda: extract_features(clip_encode, train_merged, train_classes,
+                                 cfg.data.batch_size, cfg.data.num_workers),
+        refresh=cfg.extract_feat)
+
+    cluster_result = cache.load_or_compute(
+        "cluster", cluster_cache_key(cfg),
+        lambda: run_clustering(cfg, feats),
+        refresh=cfg.run_cluster)
+
+    u_preds = cluster_result["u_preds"].astype(np.int64)
+    u_targets = cluster_result["u_targets"].astype(np.int64)
+    mask = cluster_result["mask"].astype(bool)
+    all_acc, old_acc, new_acc = split_cluster_acc_v2(u_targets, u_preds, mask)
+    print(f"{cfg.cluster.algorithm} Accuracies: All {all_acc} | Old {old_acc} "
+          f"| New {new_acc}")
+
+    nouns, taxonomy = load_vocabulary(cfg, extras)
+
+    if cfg.data.zeroshot_weights:
+        zw = np.load(cfg.data.zeroshot_weights)["weights"] \
+            if cfg.data.zeroshot_weights.endswith(".npz") \
+            else np.load(cfg.data.zeroshot_weights)
+    else:
+        zw = cache.load_or_compute(
+            "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
+            lambda: {"weights": build_zeroshot_weights(
+                encode_text, nouns, IMAGENET_TEMPLATES)})["weights"]
+
+    cidx_to_cname = resolve_class_names(
+        cfg.data.dataset_name, extras, nouns, zw, encode_text,
+        IMAGENET_TEMPLATES,
+        wnid_to_name=taxonomy.wnid_to_name if taxonomy else None,
+        corpus=cfg.naming.corpus)
+
+    clip_all = clip_feats["all_feats"]
+    mask_lab = clip_feats["mask_lab"].astype(bool)
+    name_idx, _vals = topk_names(clip_all, zw, cfg.naming.topk,
+                                 scale=cfg.naming.logit_scale)
+    name_idx_u = name_idx[~mask_lab]
+    clip_u_feats = clip_all[~mask_lab]
+
+    name_sim = taxonomy.name_similarity if taxonomy else None
+    eval_soft = cfg.eval_soft_sacc and cfg.data.dataset_name != "cub"
+
+    def metrics_cb(it: int, preds: np.ndarray, cand_names) -> Dict:
+        print(f"iter: {it}")
+        return print_acc_block("vote", u_targets, preds, mask, cidx_to_cname,
+                               cand_names, name_similarity=name_sim,
+                               eval_soft=eval_soft)
+
+    result = voting_loop(nouns, name_idx_u, clip_u_feats, zw, u_preds,
+                         cfg.cluster.n_clusters, cfg.naming,
+                         metrics_cb=metrics_cb)
+
+    gt_names = list(cidx_to_cname.values())
+    iou = name_set_iou(result.cand_names, gt_names)
+    print(f"IoU: {iou}")
+
+    return {"cluster_acc": (all_acc, old_acc, new_acc),
+            "voting": result, "iou": iou,
+            "history": result.history,
+            "cidx_to_cname": cidx_to_cname}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Unsupervised SCD pipeline (TPU)")
+    p.add_argument("--batch_size", default=256, type=int)
+    p.add_argument("--num_workers", default=8, type=int)
+    p.add_argument("--root_dir", type=str, default="/data")
+    p.add_argument("--dataset_name", type=str, default="synthetic")
+    p.add_argument("--feat_model", type=str, default="synthetic",
+                   help="synthetic | clip | dino_vit | gcd")
+    p.add_argument("--prop_train_labels", type=float, default=0.5)
+    p.add_argument("--cluster", type=str, default="SSKM",
+                   help="KM | SSKM | ConSSKM | FINCH")
+    p.add_argument("--n_cluster", type=int, default=10)
+    p.add_argument("--cluster_size_min", type=int, default=0)
+    p.add_argument("--cluster_size_max", type=int, default=10 ** 9)
+    p.add_argument("--corpus", type=str, default="synthetic")
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--num_common_vote", type=int, default=20)
+    p.add_argument("--num_common_linear", type=int, default=4)
+    p.add_argument("--extract_feat", action="store_true")
+    p.add_argument("--run_cluster", action="store_true", default=True)
+    p.add_argument("--cache_dir", type=str, default="artifacts")
+    return p
+
+
+def config_from_args(args, partially_supervised: bool = False) -> PipelineConfig:
+    return PipelineConfig(
+        data=DataConfig(dataset_name=args.dataset_name, root_dir=args.root_dir,
+                        prop_train_labels=args.prop_train_labels,
+                        batch_size=args.batch_size,
+                        num_workers=args.num_workers,
+                        cache_dir=args.cache_dir),
+        feature=FeatureConfig(feat_model=args.feat_model),
+        cluster=ClusterConfig(algorithm=args.cluster,
+                              n_clusters=args.n_cluster,
+                              size_min=args.cluster_size_min,
+                              size_max=args.cluster_size_max),
+        naming=NamingConfig(corpus=args.corpus, topk=args.topk,
+                            num_common_vote=args.num_common_vote,
+                            num_common_linear=args.num_common_linear),
+        partially_supervised=partially_supervised,
+        extract_feat=args.extract_feat,
+        run_cluster=args.run_cluster,
+    )
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    return run_unsup(config_from_args(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Runtime helpers: persistent compilation cache, timing, profiling.
+
+First TPU compilation of the vmapped clustering loops runs through a remote
+compile service in this environment and can take minutes; the persistent
+compilation cache amortizes that across processes (the reference has no
+equivalent concern — eager CUDA — but its ``.pt`` stage caches play the same
+role for data).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    cache_dir = cache_dir or os.environ.get(
+        "SCD_COMPILE_CACHE", os.path.expanduser("~/.cache/scd_tpu_xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs — harmless
+
+
+@contextlib.contextmanager
+def block_timed(label: str, results: Optional[dict] = None) -> Iterator[None]:
+    """Wall-time a pipeline stage with device completion barrier."""
+    t0 = time.perf_counter()
+    yield
+    jax.effects_barrier()
+    dt = time.perf_counter() - t0
+    if results is not None:
+        results[label] = dt
+    print(f"[timing] {label}: {dt:.3f}s")
+
+
+@contextlib.contextmanager
+def profile_trace(out_dir: str) -> Iterator[None]:
+    """jax.profiler trace around a stage (SURVEY §5 tracing gap)."""
+    jax.profiler.start_trace(out_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,189 @@
+"""Data layer tests: split algebra invariants (the reference's dataset
+__main__ checks), RNG parity of instance subsampling, reader formats via
+tiny generated fixtures, loader batching."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from scd_tpu.core.config import DataConfig
+from scd_tpu.data import (
+    MergedDataset,
+    build_gcd_splits,
+    get_class_splits,
+    get_datasets,
+    iterate_batches,
+    subsample_instances,
+)
+from scd_tpu.data.core import ImageTable
+from scd_tpu.data.datasets import make_cifar, make_cub, make_imagefolder, make_synthetic
+from scd_tpu.data.transforms import clip_preprocess, get_transform
+
+
+def test_subsample_instances_parity():
+    """Must reproduce the reference's np.random.seed(0) draw exactly."""
+    np.random.seed(0)
+    expected = np.random.choice(range(100), replace=False, size=(50,))
+    got = subsample_instances(100, 0.5)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_split_invariants_synthetic():
+    whole, test, _ = make_synthetic(n_classes=10, per_class=20)
+    splits = build_gcd_splits(whole, test, train_classes=range(5),
+                              prop_train_labels=0.5)
+    lab, unlab = splits.train_labelled, splits.train_unlabelled
+    # the reference's dataset __main__ checks: no uq overlap, total preserved
+    assert not (set(lab.uq_idxs) & set(unlab.uq_idxs))
+    assert len(lab) + len(unlab) == len(whole)
+    # labelled only contains Old classes, half of them
+    assert set(lab.targets) <= set(range(5))
+    assert len(lab) == int(0.5 * 10 * 20 / 2 * 1)  # 5 classes * 20 * 0.5
+    # unlabelled contains all of classes 5-9 plus the other half of 0-4
+    assert set(unlab.targets) == set(range(10))
+
+
+def test_merged_dataset_contract():
+    whole, test, _ = make_synthetic(n_classes=4, per_class=10)
+    splits = build_gcd_splits(whole, test, train_classes=range(2),
+                              prop_train_labels=0.5)
+    m = MergedDataset(splits.train_labelled, splits.train_unlabelled)
+    img, label, uq, lab_flag = m[0]
+    assert lab_flag == np.array([1])
+    img, label, uq, lab_flag = m[len(splits.train_labelled)]
+    assert lab_flag == np.array([0])
+    assert m.mask_lab.sum() == len(splits.train_labelled)
+
+
+def test_get_datasets_synthetic_end_to_end():
+    cfg = DataConfig(dataset_name="synthetic")
+    train, test, unlab_test, extras = get_datasets(cfg)
+    assert len(train) == len(extras["splits"].train_labelled) + len(unlab_test)
+    # target transform remaps classes to 0..9 (identity for synthetic ranges)
+    _img, label, _uq, _m = train[0]
+    assert 0 <= label < 10
+
+
+def test_iterate_batches_shapes():
+    cfg = DataConfig(dataset_name="synthetic")
+    train, *_ = get_datasets(cfg)
+    batches = list(iterate_batches(train, batch_size=32, num_workers=2))
+    total = sum(b[0].shape[0] for b in batches)
+    assert total == len(train)
+    imgs, labels, uqs, mask = batches[0]
+    assert imgs.shape == (32, 32, 32, 3) and imgs.dtype == np.float32
+    assert labels.shape == (32,) and mask.dtype == bool
+    # labelled-first ordering from MergedDataset
+    assert mask.all()
+
+
+def _write_img(path, color, size=20):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.new("RGB", (size, size), color).save(path)
+
+
+def test_imagefolder_reader(tmp_path):
+    for split in ("train", "val"):
+        for ci, cls in enumerate(["ants", "bees"]):
+            for i in range(3):
+                _write_img(str(tmp_path / split / cls / f"{i}.png"),
+                           (ci * 100, 50, 50))
+    whole, test, extra = make_imagefolder(str(tmp_path / "train"),
+                                          str(tmp_path / "val"))
+    assert len(whole) == 6 and len(test) == 6
+    assert extra["classes"] == ["ants", "bees"]
+    img, target, uq = whole[0]
+    assert target == 0 and np.asarray(img).shape == (20, 20, 3)
+
+
+def test_cub_reader(tmp_path):
+    base = tmp_path / "CUB_200_2011"
+    os.makedirs(base / "images")
+    names = ["001.Black_footed_Albatross", "002.Laysan_Albatross"]
+    (base / "classes.txt").write_text("1 001.Black_footed_Albatross\n"
+                                     "2 002.Laysan_Albatross\n")
+    images, labels, split = [], [], []
+    idx = 1
+    for ci, cls in enumerate(names):
+        for i in range(4):
+            rel = f"{cls}/img_{i}.jpg"
+            _write_img(str(base / "images" / rel), (ci * 80, 100, 100))
+            images.append(f"{idx} {rel}")
+            labels.append(f"{idx} {ci + 1}")
+            split.append(f"{idx} {1 if i < 3 else 0}")  # 3 train, 1 test each
+            idx += 1
+    (base / "images.txt").write_text("\n".join(images) + "\n")
+    (base / "image_class_labels.txt").write_text("\n".join(labels) + "\n")
+    (base / "train_test_split.txt").write_text("\n".join(split) + "\n")
+
+    whole, test, extra = make_cub(str(tmp_path))
+    assert len(whole) == 6 and len(test) == 2
+    assert extra["classnames"] == names
+    img, target, uq = whole[0]
+    assert target == 0
+
+
+def test_cifar_reader(tmp_path):
+    base = tmp_path / "cifar-10-batches-py"
+    os.makedirs(base)
+    rng = np.random.default_rng(0)
+
+    def batch(n):
+        return {b"data": rng.integers(0, 255, (n, 3072), dtype=np.uint8),
+                b"labels": rng.integers(0, 10, n).tolist()}
+
+    for i in range(1, 6):
+        with open(base / f"data_batch_{i}", "wb") as f:
+            pickle.dump(batch(20), f)
+    with open(base / "test_batch", "wb") as f:
+        pickle.dump(batch(10), f)
+    with open(base / "batches.meta", "wb") as f:
+        pickle.dump({b"label_names": [f"c{i}".encode() for i in range(10)]}, f)
+
+    whole, test, extra = make_cifar(str(tmp_path), 10)
+    assert len(whole) == 100 and len(test) == 10
+    img, target, uq = whole[0]
+    assert np.asarray(img).shape == (32, 32, 3)
+
+
+def test_transforms_shapes(tmp_path):
+    img = Image.new("RGB", (300, 200), (120, 80, 40))
+    out = clip_preprocess(224)(img)
+    assert out.shape == (224, 224, 3) and out.dtype == np.float32
+    ev = get_transform("imagenet", image_size=224)(img)
+    assert ev.shape == (224, 224, 3)
+    tr = get_transform("imagenet", image_size=224, train=True)(img)
+    assert tr.shape == (224, 224, 3)
+
+
+def test_feature_vector_dataset(tmp_path):
+    from scd_tpu.data.features import (FeatureVectorDataset,
+                                       save_features_packed,
+                                       save_features_tree)
+
+    whole, test, _ = make_synthetic(n_classes=3, per_class=4)
+    feats = np.arange(len(whole) * 8, dtype=np.float32).reshape(len(whole), 8)
+
+    tree_root = str(tmp_path / "tree")
+    save_features_tree(tree_root, feats, whole.targets, whole.uq_idxs)
+    fvd = FeatureVectorDataset(whole, tree_root)
+    f0, label0, uq0 = fvd[0]
+    np.testing.assert_array_equal(f0, feats[0])
+
+    packed_root = str(tmp_path / "packed")
+    save_features_packed(packed_root, feats, whole.uq_idxs)
+    fvd2 = FeatureVectorDataset(whole, packed_root)
+    f5, *_ = fvd2[5]
+    np.testing.assert_array_equal(f5, feats[5])
+
+
+def test_class_splits_defaults():
+    cfg = DataConfig(dataset_name="imagenet_100")
+    old, new = get_class_splits(cfg)
+    assert list(old) == list(range(50)) and list(new) == list(range(50, 100))
+    cfg = DataConfig(dataset_name="cub", use_ssb_splits=False)
+    old, new = get_class_splits(cfg)
+    assert list(old) == list(range(100))
