@@ -1,1 +1,7 @@
 from scd_tpu.cluster.kmeans import KMeansResult, fit_kmeans, fit_sskm  # noqa: F401
+from scd_tpu.cluster.constrained import (  # noqa: F401
+    fit_constrained,
+    fit_constrained_unsup,
+)
+from scd_tpu.cluster.finch import finch, finch_fit  # noqa: F401
+from scd_tpu.cluster.estimate_k import estimate_k  # noqa: F401

@@ -1,0 +1,12 @@
+from scd_tpu.train.losses import (  # noqa: F401
+    info_nce_loss,
+    label_smoothing_ce,
+    nt_xent_loss,
+    supcon_loss,
+)
+from scd_tpu.train.gcd import DINOHead, GCDTrainer, make_gcd_state  # noqa: F401
+from scd_tpu.train.schedulers import (  # noqa: F401
+    cosine_warmup_schedule,
+    linear_rampup,
+    sigmoid_rampup,
+)

@@ -1,0 +1,86 @@
+"""FINCH and estimate-K tests."""
+
+import numpy as np
+import pytest
+from sklearn.metrics import normalized_mutual_info_score as nmi
+
+from scd_tpu.cluster.estimate_k import (
+    binary_search_k,
+    estimate_k,
+    scipy_optimise_k,
+)
+from scd_tpu.cluster.finch import finch, finch_fit, first_neighbors
+
+
+def test_first_neighbors_cosine(rng):
+    x = rng.standard_normal((50, 8)).astype(np.float32)
+    nn, nd = first_neighbors(x, "cosine")
+    xs = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = 1 - xs @ xs.T
+    np.fill_diagonal(d, 1000.0)
+    np.testing.assert_array_equal(nn, d.argmin(1))
+    np.testing.assert_allclose(nd, d.min(1), atol=1e-5)
+
+
+def test_finch_recovers_blobs(blobs):
+    X, y = blobs
+    c, num_clust, _ = finch(X, distance="euclidean")
+    assert c.shape[0] == len(X)
+    # some partition should align well with the 4 blobs
+    best = max(nmi(y, c[:, p]) for p in range(c.shape[1]))
+    assert best > 0.8
+    assert num_clust[0] > num_clust[-1] >= 1
+
+
+def test_finch_req_clust(blobs):
+    X, y = blobs
+    labels = finch_fit(X, req_clust=4, distance="euclidean")
+    assert len(np.unique(labels)) == 4
+    assert nmi(y, labels) > 0.8
+
+
+def test_finch_req_clust_exact_merge(rng):
+    x = rng.standard_normal((60, 4)).astype(np.float32)
+    labels = finch_fit(x, req_clust=7, distance="cosine")
+    assert len(np.unique(labels)) == 7
+
+
+def _quadratic_objective(best=25):
+    return lambda k: 1.0 - ((k - best) / 50.0) ** 2
+
+
+def test_binary_search_finds_peak():
+    best_k, best_acc = binary_search_k(_quadratic_objective(25), 10, 100)
+    assert abs(best_k - 25) <= 12  # halving search on a smooth curve
+    assert best_acc > 0.9
+
+
+def test_scipy_brent_finds_peak():
+    best_k, best_acc = scipy_optimise_k(_quadratic_objective(42), 10, 100)
+    assert abs(best_k - 42) <= 2
+    assert best_acc > 0.99
+
+
+def test_estimate_k_on_blobs(blobs):
+    import jax
+
+    from scd_tpu.core.config import ClusterConfig
+    from scd_tpu.cluster.kmeans import fit_kmeans
+    from scd_tpu.metrics import cluster_acc
+
+    X, y = blobs
+    mask_lab = np.zeros(len(y), bool)
+    mask_lab[: len(y) // 2] = True
+
+    # custom objective without L2 normalization (2-d blobs collapse on the
+    # unit circle; the default objective normalizes because real features
+    # are embeddings)
+    def objective(k):
+        cfg = ClusterConfig(n_clusters=int(k), n_init=3, max_iterations=50)
+        res = fit_kmeans(jax.random.PRNGKey(0), X, cfg)
+        return float(cluster_acc(y[mask_lab], res.labels[mask_lab]))
+
+    best_k, best_acc = estimate_k(X, y, mask_lab, min_k=2, max_k=10,
+                                  method="binary", objective=objective)
+    assert 3 <= best_k <= 6  # true K = 4
+    assert best_acc > 0.8
