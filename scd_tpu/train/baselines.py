@@ -1,0 +1,231 @@
+"""Baseline NCD methods: UNO v2 and AutoNovel, plus the supervised
+classifier + combine-with-kmeans evaluator.
+
+References: ``gcd/methods/baselines/uno_v2.py`` / ``uno_v2_utils.py``
+(multi-head prototype classifier, Sinkhorn-Knopp pseudo-labels, swapped
+prediction), ``rerun_autonovel.py`` / ``auto_novel_utils.py`` (ranking
+statistics pairwise pseudo-labels + pairwise BCE + consistency),
+``cluster_and_classifier/train_supervised.py`` (label-smoothed linear head,
+OSR max-prob thresholding) and ``combine_classifier_and_kmeans.py``.
+
+TPU-first: multi-head projectors/prototypes are a vmapped head axis (the
+reference loops over ``nn.ModuleList``); pseudo-label generation
+(Sinkhorn-Knopp, ranking-stats pair enumeration) is fully vectorized inside
+the jitted step — no [B², D] host materialization.  Projector norm layers
+use LayerNorm (batch-size-independent, SPMD-friendly) where the reference
+uses BatchNorm1d.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------------ UNO v2
+
+def sinkhorn_knopp(logits: jnp.ndarray, n_iters: int = 3,
+                   epsilon: float = 0.05) -> jnp.ndarray:
+    """SwAV-style equality-constrained pseudo-labels (reference
+    ``uno_v2.py:72,113-121``).  logits [B, K] -> soft targets [B, K] whose
+    rows sum to 1 and columns balance to B/K."""
+    q = jnp.exp(logits.astype(jnp.float32) / epsilon).T  # [K, B]
+    b = q.shape[1]
+    k = q.shape[0]
+    q = q / jnp.maximum(jnp.sum(q), 1e-12)
+
+    def body(_, q):
+        q = q / jnp.maximum(jnp.sum(q, axis=1, keepdims=True), 1e-12) / k
+        q = q / jnp.maximum(jnp.sum(q, axis=0, keepdims=True), 1e-12) / b
+        return q
+
+    q = jax.lax.fori_loop(0, n_iters, body, q)
+    return (q * b).T
+
+
+class MultiHeadPrototypes(nn.Module):
+    """H independent (projector MLP -> unit-norm prototype layer) heads,
+    vmapped over the head axis (reference ``MultiHead``,
+    ``uno_v2_utils.py:64-91``)."""
+
+    num_heads: int = 4
+    hidden_dim: int = 2048
+    proj_dim: int = 256
+    num_prototypes: int = 100
+    num_hidden_layers: int = 1
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """feats [B, D] -> (logits [H, B, P], proj [H, B, proj_dim])."""
+
+        class _Head(nn.Module):
+            hidden_dim: int
+            proj_dim: int
+            num_prototypes: int
+            num_hidden_layers: int
+
+            @nn.compact
+            def __call__(self, x):
+                for i in range(self.num_hidden_layers):
+                    x = nn.Dense(self.hidden_dim, name=f"fc{i}")(x)
+                    x = nn.LayerNorm(name=f"ln{i}")(x)
+                    x = nn.relu(x)
+                x = nn.Dense(self.proj_dim, name="out")(x)
+                z = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                                    1e-12)
+                proto = self.param("prototypes", nn.initializers.normal(0.02),
+                                   (self.proj_dim, self.num_prototypes))
+                proto = proto / jnp.maximum(
+                    jnp.linalg.norm(proto, axis=0, keepdims=True), 1e-12)
+                return z @ proto, z
+
+        heads = nn.vmap(
+            _Head,
+            in_axes=None, out_axes=0,
+            axis_size=self.num_heads,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )(self.hidden_dim, self.proj_dim, self.num_prototypes,
+          self.num_hidden_layers)
+        return heads(feats)
+
+
+def swapped_prediction_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                            temperature: float = 0.1) -> jnp.ndarray:
+    """Cross-view swapped CE (reference ``uno_v2.py:47-57``):
+    logits/targets [V, H, B, C]; view v is scored against view w's targets."""
+    v = logits.shape[0]
+    logp = jax.nn.log_softmax(logits / temperature, axis=-1)
+    loss = 0.0
+    n_terms = 0
+    for view in range(v):
+        for other in range(v):
+            if other == view:
+                continue
+            loss = loss - jnp.mean(
+                jnp.sum(targets[view] * logp[other], axis=-1))
+            n_terms += 1
+    return loss / n_terms
+
+
+def uno_targets(logits_unlab: jnp.ndarray, labels: jnp.ndarray,
+                mask_lab: jnp.ndarray, n_labeled_classes: int,
+                sk_iters: int = 3, sk_epsilon: float = 0.05) -> jnp.ndarray:
+    """Targets [V, H, B, nlc+P]: labelled rows one-hot in the first nlc
+    columns; unlabelled rows get Sinkhorn pseudo-labels over the prototype
+    block (reference ``uno_v2.py:104-121``)."""
+    v, h, b, p = logits_unlab.shape
+    one_hot_lab = jax.nn.one_hot(labels, n_labeled_classes)
+
+    def per_vh(lg):  # [B, P]
+        pseudo = sinkhorn_knopp(lg, sk_iters, sk_epsilon)
+        lab_part = jnp.where(mask_lab[:, None], one_hot_lab, 0.0)
+        unlab_part = jnp.where(mask_lab[:, None], 0.0, pseudo)
+        return jnp.concatenate([lab_part, unlab_part], axis=-1)
+
+    return jax.vmap(jax.vmap(per_vh))(logits_unlab)
+
+
+# --------------------------------------------------------------- AutoNovel
+
+def ranking_stats_similarity(feats: jnp.ndarray, topk: int = 5) -> jnp.ndarray:
+    """Pairwise ±1 pseudo-labels from top-k feature-rank agreement
+    (reference ``rerun_autonovel.py:64-74``): +1 when two samples share an
+    identical sorted top-k feature-index set.  Returns [B, B]."""
+    rank_idx = jnp.argsort(-feats, axis=1)[:, :topk]
+    rank_sorted = jnp.sort(rank_idx, axis=1)  # [B, k]
+    diff = jnp.sum(jnp.abs(rank_sorted[:, None, :] - rank_sorted[None, :, :]),
+                   axis=-1)
+    return jnp.where(diff == 0, 1.0, -1.0)
+
+
+def pairwise_bce(prob1: jnp.ndarray, prob2: jnp.ndarray,
+                 simi: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """AutoNovel's pairwise BCE (reference ``cluster_utils.py:142-151``):
+    P = <p_i, p_j>; loss = -log(P) for similar, -log(1-P) for dissimilar.
+    prob1/prob2 [N, C] enumerate pairs row-major; simi in {+1, -1, 0}."""
+    p = jnp.sum(prob1 * prob2, axis=1)
+    p = p * simi + (simi == -1).astype(p.dtype)
+    valid = simi != 0
+    neglog = -jnp.log(p + eps)
+    return jnp.sum(jnp.where(valid, neglog, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1)
+
+
+class TwoHeadClassifier(nn.Module):
+    """Feature trunk head with labelled/unlabelled output heads (the
+    AutoNovel two-head pattern, ``auto_novel_utils.py:45-87``; the reference
+    backbone is a ResNet/ViT — here any [B, D] feature batch works)."""
+
+    num_labeled: int
+    num_unlabeled: int
+    hidden_dim: int = 512
+
+    @nn.compact
+    def __call__(self, feats):
+        x = nn.Dense(self.hidden_dim, name="trunk")(feats)
+        x = nn.relu(x)
+        out1 = nn.Dense(self.num_unlabeled, name="head_unlab")(x)
+        out2 = nn.Dense(self.num_labeled, name="head_lab")(x)
+        return out1, out2, x
+
+
+def autonovel_loss(output1: jnp.ndarray, output1_bar: jnp.ndarray,
+                   output2: jnp.ndarray, feats: jnp.ndarray,
+                   labels: jnp.ndarray, mask_lab: jnp.ndarray,
+                   rampup_weight: float, topk: int = 5,
+                   kl_weight: float = 0.0) -> Dict[str, jnp.ndarray]:
+    """The AutoNovel objective (reference ``rerun_autonovel.py:55-84``):
+    CE on labelled (second head), pairwise ranking-stats BCE on the
+    unlabelled head across two views, MSE consistency, uniform-KL."""
+    from scd_tpu.train.losses import cross_entropy
+
+    prob1 = jax.nn.softmax(output1, axis=1)
+    prob1_bar = jax.nn.softmax(output1_bar, axis=1)
+
+    simi = ranking_stats_similarity(jax.lax.stop_gradient(feats), topk)
+    b = prob1.shape[0]
+    p1 = jnp.repeat(prob1, b, axis=0)  # pair (i, j) row-major: i slow
+    p2 = jnp.tile(prob1_bar, (b, 1))
+    loss_bce = pairwise_bce(p1, p2, simi.reshape(-1))
+
+    # CE on labelled rows of the labelled head (masked mean)
+    logp = jax.nn.log_softmax(output2, axis=-1)
+    ce_rows = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    loss_ce = jnp.sum(jnp.where(mask_lab, ce_rows, 0.0)) / jnp.maximum(
+        jnp.sum(mask_lab), 1)
+
+    consistency = 2.0 * jnp.mean((prob1 - prob1_bar) ** 2)
+    kl = jnp.mean(jnp.sum(
+        prob1 * (jnp.log(prob1 + 1e-12) - jnp.log(1.0 / prob1.shape[1])),
+        axis=1))
+
+    total = loss_ce + loss_bce + rampup_weight * consistency + kl_weight * kl
+    return {"loss": total, "ce": loss_ce, "bce": loss_bce,
+            "consistency": consistency, "kl": kl}
+
+
+# ------------------------------------------- supervised + combine evaluator
+
+def osr_threshold_preds(logits: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Open-set recognition: predict argmax where max softmax prob clears the
+    threshold, else -1 (reference ``train_supervised.py:68-130``)."""
+    prob = jax.nn.softmax(logits, axis=-1)
+    conf = jnp.max(prob, axis=-1)
+    preds = jnp.argmax(prob, axis=-1)
+    return jnp.where(conf >= threshold, preds, -1)
+
+
+def combine_classifier_and_cluster_preds(classifier_preds, cluster_preds,
+                                         n_labeled_classes: int):
+    """Classifier wins on confident Old-class predictions; cluster assignment
+    covers the rest (reference ``combine_classifier_and_kmeans.py``)."""
+    import numpy as np
+
+    classifier_preds = np.asarray(classifier_preds)
+    cluster_preds = np.asarray(cluster_preds)
+    use_cls = (classifier_preds >= 0) & (classifier_preds < n_labeled_classes)
+    return np.where(use_cls, classifier_preds, cluster_preds)
