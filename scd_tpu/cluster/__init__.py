@@ -5,3 +5,12 @@ from scd_tpu.cluster.constrained import (  # noqa: F401
 )
 from scd_tpu.cluster.finch import finch, finch_fit  # noqa: F401
 from scd_tpu.cluster.estimate_k import estimate_k  # noqa: F401
+from scd_tpu.cluster.runners import (  # noqa: F401
+    collate_features,
+    eval_kmeans,
+    eval_kmeans_optimal,
+    eval_kmeans_semi_sup,
+    eval_kmeans_semi_sup_stratified,
+    load_ssb_difficulty_splits,
+    stratified_accs,
+)

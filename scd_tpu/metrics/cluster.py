@@ -54,6 +54,12 @@ def cluster_acc(y_true: np.ndarray, y_pred: np.ndarray,
     y_true = np.asarray(y_true).astype(np.int64)
     y_pred = np.asarray(y_pred).astype(np.int64)
     assert y_pred.size == y_true.size
+    if y_pred.size == 0:
+        # Empty subset (e.g. a stratified slice with no Old instances);
+        # unreachable in the reference only because its stratified mask was
+        # a no-op (k_means_stratified.py:139).
+        return (float("nan"), np.zeros((0, 2), int),
+                np.zeros((0, 0))) if return_ind else float("nan")
     D = max(int(y_pred.max()), int(y_true.max())) + 1
     w = contingency_matrix(y_pred, y_true, D, D)
     ind = linear_assignment(w.max() - w)
@@ -71,6 +77,10 @@ def split_cluster_acc_v1(y_true, y_pred, mask) -> Tuple[float, float, float]:
     weight = mask.mean()
     old_acc = cluster_acc(y_true[mask], y_pred[mask])
     new_acc = cluster_acc(y_true[~mask], y_pred[~mask])
+    if weight == 0.0:  # no Old instances: avoid 0*nan
+        return new_acc, old_acc, new_acc
+    if weight == 1.0:
+        return old_acc, old_acc, new_acc
     total_acc = weight * old_acc + (1 - weight) * new_acc
     return total_acc, old_acc, new_acc
 
