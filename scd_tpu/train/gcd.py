@@ -213,9 +213,11 @@ class GCDTrainer:
                  seed: int = 0, total_steps: int = 10_000,
                  mesh: Optional[Mesh] = None):
         self.cfg = cfg
+        self._vit_cfg = vit_cfg
         self.params, self.opt_state, self.step_fn = make_gcd_state(
             vit_cfg, cfg, jax.random.PRNGKey(seed), total_steps, mesh=mesh)
         self.metrics_log = []
+        self._feat_fn = None
 
     def train_epoch(self, batches) -> Dict[str, float]:
         """``batches``: iterable of dicts with images (view-major
@@ -232,3 +234,54 @@ class GCDTrainer:
         out = {k: v / max(n, 1) for k, v in agg.items()}
         self.metrics_log.append(out)
         return out
+
+    @property
+    def state(self):
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def load_state(self, state):
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+
+    def extract_features(self, batches) -> np.ndarray:
+        """L2-normalized backbone features over an iterable of image
+        batches (the per-epoch k-means eval path, reference
+        ``learn_metric.py:341-383``)."""
+        if self._feat_fn is None:
+            backbone = VisionTransformer(self._vit_cfg)
+
+            @jax.jit
+            def feat(p, x):
+                f = backbone.apply({"params": p}, x)
+                return f / jnp.maximum(
+                    jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+
+            self._feat_fn = feat
+        out = [np.asarray(self._feat_fn(self.params["backbone"],
+                                        jnp.asarray(x, jnp.float32)))
+               for x in batches]
+        return np.concatenate(out)
+
+    def fit(self, epochs: int, make_train_batches, eval_fn=None,
+            ckpt=None, best_metric: str = "old_acc_test",
+            log_fn=print) -> Dict[str, float]:
+        """Full training driver (reference ``train()``,
+        ``learn_metric.py:217-338``): per epoch run ``train_epoch`` over
+        ``make_train_batches(epoch)``, call ``eval_fn(trainer, epoch) ->
+        metrics dict``, checkpoint every epoch and track the best by
+        ``best_metric`` (the reference keeps ``model.pt`` + ``model_best.pt``
+        chosen by old-class test ACC).  ``ckpt``: a
+        ``scd_tpu.train.checkpoint.CheckpointManager`` or None."""
+        last: Dict[str, float] = {}
+        for epoch in range(epochs):
+            train_metrics = self.train_epoch(make_train_batches(epoch))
+            metrics = dict(train_metrics)
+            if eval_fn is not None:
+                metrics.update(eval_fn(self, epoch))
+            if log_fn is not None:
+                msg = " | ".join(f"{k} {v:.4f}" for k, v in metrics.items())
+                log_fn(f"Epoch {epoch}: {msg}")
+            if ckpt is not None:
+                ckpt.save(epoch, self.state, metrics=metrics)
+            last = metrics
+        return last
