@@ -1,0 +1,186 @@
+"""RandAugment, Cutout, and the contrastive view generator.
+
+References: ``gcd/data/augmentations/randaugment.py`` (the
+EfficientNet-policy 16-op bank, :186-205, and the ``RandAugment(n, m)``
+magnitude convention ``val = m/30*(max-min)+min``, :289-293),
+``gcd/data/augmentations/cut_out.py`` (randomly-placed square mask),
+``learn_metric.py:172-181`` (``ContrastiveLearningViewGenerator``).
+
+Host-side PIL/numpy ops (augmentation feeds the input pipeline on the host;
+the device sees only the final float batches).  All randomness flows through
+an explicit ``np.random.Generator`` — the reference uses the global
+``random`` module, which is unreproducible across workers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+
+# ------------------------------------------------------------- op bank
+
+def _shear_x(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
+
+
+def _shear_y(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0))
+
+
+def _translate_x_abs(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, 0, v, 0, 1, 0))
+
+
+def _translate_y_abs(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
+
+
+def _rotate(img, v):
+    return img.rotate(v)
+
+
+def _auto_contrast(img, _v):
+    return ImageOps.autocontrast(img)
+
+
+def _invert(img, _v):
+    return ImageOps.invert(img)
+
+
+def _equalize(img, _v):
+    return ImageOps.equalize(img)
+
+
+def _solarize(img, v):
+    return ImageOps.solarize(img, v)
+
+
+def _solarize_add(img, addition, threshold=128):
+    arr = np.asarray(img).astype(np.int64)
+    lut = arr + int(addition)
+    arr = np.where(arr < threshold, np.clip(lut, 0, 255), arr)
+    return Image.fromarray(arr.astype(np.uint8))
+
+
+def _posterize(img, v):
+    return ImageOps.posterize(img, max(1, int(v)))
+
+
+def _color(img, v):
+    return ImageEnhance.Color(img).enhance(v)
+
+
+def _contrast(img, v):
+    return ImageEnhance.Contrast(img).enhance(v)
+
+
+def _brightness(img, v):
+    return ImageEnhance.Brightness(img).enhance(v)
+
+
+def _sharpness(img, v):
+    return ImageEnhance.Sharpness(img).enhance(v)
+
+
+def _cutout_abs(img, v, rng: Optional[np.random.Generator] = None):
+    if v < 0:
+        return img
+    rng = rng or np.random.default_rng()
+    w, h = img.size
+    x0 = int(max(0, rng.uniform(0, w) - v / 2.0))
+    y0 = int(max(0, rng.uniform(0, h) - v / 2.0))
+    x1 = min(w, x0 + int(v))
+    y1 = min(h, y0 + int(v))
+    img = img.copy()
+    Image.Image.paste(img, Image.new("RGB", (x1 - x0, y1 - y0),
+                                     (125, 123, 114)), (x0, y0))
+    return img
+
+
+# (op, minval, maxval) — the EfficientNet/AutoAugment policy bank used by
+# the reference (``randaugment.py:186-205``).
+AUGMENT_LIST: List[Tuple[Callable, float, float]] = [
+    (_auto_contrast, 0, 1),
+    (_equalize, 0, 1),
+    (_invert, 0, 1),
+    (_rotate, 0, 30),
+    (_posterize, 0, 4),
+    (_solarize, 0, 256),
+    (_solarize_add, 0, 110),
+    (_color, 0.1, 1.9),
+    (_contrast, 0.1, 1.9),
+    (_brightness, 0.1, 1.9),
+    (_sharpness, 0.1, 1.9),
+    (_shear_x, 0.0, 0.3),
+    (_shear_y, 0.0, 0.3),
+    (_cutout_abs, 0, 40),
+    (_translate_x_abs, 0.0, 100),
+    (_translate_y_abs, 0.0, 100),
+]
+
+
+class RandAugment:
+    """Apply ``n`` ops sampled from the bank at magnitude ``m`` in [0, 30]
+    (reference ``RandAugment.__call__``, ``randaugment.py:289-293``)."""
+
+    def __init__(self, n: int, m: int, seed: int = 0,
+                 augment_list: Optional[Sequence] = None):
+        self.n = n
+        self.m = m
+        self.rng = np.random.default_rng(seed)
+        self.augment_list = list(augment_list or AUGMENT_LIST)
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        idxs = self.rng.integers(0, len(self.augment_list), size=self.n)
+        for i in idxs:
+            op, minval, maxval = self.augment_list[int(i)]
+            val = (float(self.m) / 30.0) * float(maxval - minval) + minval
+            if op is _cutout_abs:
+                img = op(img, val, rng=self.rng)
+            else:
+                img = op(img, val)
+        return img
+
+
+def cutout(mask_size: int, p: float, cutout_inside: bool,
+           mask_color=(0, 0, 0), seed: int = 0):
+    """Array-level cutout closure (reference ``cut_out.py:8-40``): with
+    probability ``p`` zero a ``mask_size``² square at a random center."""
+    rng = np.random.default_rng(seed)
+    half = mask_size // 2
+    offset = 1 if mask_size % 2 == 0 else 0
+
+    def _cutout(image):
+        image = np.asarray(image).copy()
+        if rng.random() > p:
+            return image
+        h, w = image.shape[:2]
+        if cutout_inside:
+            cxmin, cxmax = half, w + offset - half
+            cymin, cymax = half, h + offset - half
+        else:
+            cxmin, cxmax = 0, w + offset
+            cymin, cymax = 0, h + offset
+        cx = int(rng.integers(cxmin, max(cxmax, cxmin + 1)))
+        cy = int(rng.integers(cymin, max(cymax, cymin + 1)))
+        xmin, ymin = max(0, cx - half), max(0, cy - half)
+        xmax, ymax = min(w, cx - half + mask_size), min(h, cy - half + mask_size)
+        image[ymin:ymax, xmin:xmax] = mask_color
+        return image
+
+    return _cutout
+
+
+class ContrastiveViewGenerator:
+    """Return ``n_views`` independent augmentations of one image (reference
+    ``ContrastiveLearningViewGenerator``, ``learn_metric.py:172-181``)."""
+
+    def __init__(self, base_transform: Callable, n_views: int = 2):
+        self.base_transform = base_transform
+        self.n_views = n_views
+
+    def __call__(self, x) -> List:
+        return [self.base_transform(x) for _ in range(self.n_views)]

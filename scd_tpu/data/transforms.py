@@ -92,10 +92,14 @@ def _color_jitter(x: np.ndarray, rng: np.random.Generator,
 
 def get_transform(name: str = "imagenet", image_size: int = 224,
                   crop_pct: float = 0.875, train: bool = False,
-                  seed: int = 0):
-    """Train/eval transforms (reference ``get_transform``); pass
-    ``train=True`` for the augmenting variant."""
-    if name not in ("imagenet", "cifar", "herbarium"):
+                  seed: int = 0, rand_aug: "tuple | None" = None,
+                  cutout_p: float = 1.0):
+    """Train/eval transforms (reference ``get_transform``,
+    ``gcd/data/augmentations/__init__.py:5-107``); pass ``train=True`` for
+    the augmenting variant.  ``rand_aug=(n, m)`` prepends RandAugment to the
+    train pipeline (reference :99); ``name='cutout'`` applies a
+    half-image-size cutout after augmentation (reference :66-80)."""
+    if name not in ("imagenet", "cifar", "herbarium", "cutout"):
         raise ValueError(f"unknown transform family {name!r}")
     mean, std = IMAGENET_MEAN, IMAGENET_STD
     rng = np.random.default_rng(seed)
@@ -108,12 +112,27 @@ def get_transform(name: str = "imagenet", image_size: int = 224,
 
         return eval_fn
 
+    randaug = None
+    if rand_aug is not None:
+        from scd_tpu.data.augment import RandAugment
+        randaug = RandAugment(int(rand_aug[0]), int(rand_aug[1]), seed=seed)
+
+    cut = None
+    if name == "cutout":
+        from scd_tpu.data.augment import cutout
+        cut = cutout(mask_size=image_size // 2, p=cutout_p,
+                     cutout_inside=False, seed=seed)
+
     def train_fn(img: Image.Image) -> np.ndarray:
+        if randaug is not None:
+            img = randaug(img.convert("RGB"))
         im = _rand_resized_crop(img, image_size, rng)
         x = _to_float(im)
         if rng.random() < 0.5:
             x = x[:, ::-1]
         x = _color_jitter(x, rng)
+        if cut is not None:
+            x = cut(x)
         return _normalize(np.ascontiguousarray(x), mean, std)
 
     return train_fn
