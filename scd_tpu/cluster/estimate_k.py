@@ -104,3 +104,61 @@ def estimate_k(all_feats: np.ndarray, targets: np.ndarray,
     if method == "brent":
         return scipy_optimise_k(obj, min_k, max_k)
     raise ValueError(f"unknown method {method!r}")
+
+
+def dummy_objective(max_k: int = 1000, seed: int = 0) -> Callable[[int], float]:
+    """Skewnorm fake ACC-vs-K curve for exercising the optimizer without
+    running k-means (reference ``DUMMY_ACCS``, ``estimate_k.py:26-38``)."""
+    from scipy.stats import skewnorm
+
+    data = skewnorm.rvs(3, loc=50, scale=50, size=1000,
+                        random_state=np.random.RandomState(seed)).astype(int)
+    params = skewnorm.fit(data, 10, loc=80, scale=40)
+    x = np.linspace(0, 255, 500)
+    y = skewnorm.pdf(x, *params)
+    accs = np.repeat(y, max(int(max_k / 500), 1)) * 100.0
+
+    def obj(k: int) -> float:
+        return float(accs[int(np.clip(k, 0, len(accs) - 1))])
+
+    return obj
+
+
+def main(argv=None):
+    """CLI mirroring the reference's ``estimate_k.py`` __main__
+    (:245-312): search K over packed features, or over the dummy curve."""
+    import argparse
+
+    from scd_tpu.utils.runtime import apply_platform_override
+    apply_platform_override()
+
+    p = argparse.ArgumentParser(description="Estimate number of clusters K")
+    p.add_argument("--features", type=str, default=None,
+                   help="features_packed.npz with features/targets/mask_lab "
+                        "(omit for the dummy-objective self-test)")
+    p.add_argument("--min_k", type=int, default=10)
+    p.add_argument("--max_k", type=int, default=1000)
+    p.add_argument("--search_mode", type=str, default="brent",
+                   help="binary | brent")
+    args = p.parse_args(argv)
+
+    if args.features is None:
+        obj = dummy_objective(max_k=args.max_k)
+        if args.search_mode == "binary":
+            best_k, best_acc = binary_search_k(obj, args.min_k, args.max_k,
+                                               verbose=True)
+        else:
+            best_k, best_acc = scipy_optimise_k(obj, args.min_k, args.max_k)
+    else:
+        with np.load(args.features) as z:
+            feats, targets = z["features"], z["targets"]
+            mask_lab = z["mask_lab"].astype(bool)
+        best_k, best_acc = estimate_k(feats, targets, mask_lab, args.min_k,
+                                      args.max_k, method=args.search_mode,
+                                      verbose=True)
+    print(f"Best K: {best_k} (objective {best_acc:.4f})")
+    return best_k, best_acc
+
+
+if __name__ == "__main__":
+    main()

@@ -214,3 +214,63 @@ def eval_kmeans_semi_sup_stratified(
                              eval_funcs=eval_funcs, writer=writer,
                              print_output=print_output)
     return (all_acc, old_acc, new_acc), strata, u_preds
+
+
+def main(argv=None):
+    from scd_tpu.utils.runtime import apply_platform_override
+    apply_platform_override()
+    """CLI covering the reference's ``k_means.py`` and
+    ``k_means_stratified.py`` __main__ blocks: run (semi-sup) k-means over a
+    packed feature store and report ACC (optionally stratified)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="K-means feature evaluation")
+    p.add_argument("--features", type=str, required=True,
+                   help="npz with features/targets/mask_lab arrays")
+    p.add_argument("--K", type=int, default=None)
+    p.add_argument("--n_train_classes", type=int, required=True)
+    p.add_argument("--semi_sup", action="store_true")
+    p.add_argument("--optimal", action="store_true",
+                   help="ground-truth-centroid upper bound")
+    p.add_argument("--max_kmeans_iter", type=int, default=100)
+    p.add_argument("--n_init", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_funcs", nargs="+", default=["v1", "v2", "v3"])
+    p.add_argument("--dataset_name", type=str, default=None,
+                   help="with --ssb_dir: report SSB-stratified ACC")
+    p.add_argument("--ssb_dir", type=str, default=None)
+    p.add_argument("--n_classes_total", type=int, default=None)
+    args = p.parse_args(argv)
+
+    with np.load(args.features) as z:
+        feats = np.asarray(z["features"], np.float32)
+        targets = np.asarray(z["targets"], np.int64)
+        mask_lab = (np.asarray(z["mask_lab"], bool) if "mask_lab" in z
+                    else np.zeros(len(targets), bool))
+    feats = np.asarray(_normalize_rows(jnp.asarray(feats)))
+    mask_cls = targets < args.n_train_classes
+    k = args.K or (args.n_classes_total or int(targets.max()) + 1)
+    cfg = ClusterConfig(n_clusters=k, n_init=args.n_init,
+                        max_iterations=args.max_kmeans_iter)
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.optimal:
+        return eval_kmeans_optimal(feats, targets, mask_cls, mask_lab,
+                                   eval_funcs=args.eval_funcs)
+    if args.dataset_name and args.ssb_dir:
+        diff = load_ssb_difficulty_splits(args.dataset_name, args.ssb_dir)
+        n_total = args.n_classes_total or int(targets.max()) + 1
+        return eval_kmeans_semi_sup_stratified(
+            key, feats, targets, mask_cls, mask_lab, cfg, diff,
+            train_classes=range(args.n_train_classes),
+            unlabeled_classes=range(args.n_train_classes, n_total),
+            eval_funcs=args.eval_funcs)
+    if args.semi_sup:
+        return eval_kmeans_semi_sup(key, feats, targets, mask_cls, mask_lab,
+                                    cfg, eval_funcs=args.eval_funcs)
+    return eval_kmeans(key, feats, targets, mask_cls, cfg,
+                       eval_funcs=args.eval_funcs)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,9 +91,12 @@ def subsample_instances(n: int, prop: float, seed: int = 0) -> np.ndarray:
 @dataclasses.dataclass
 class GCDSplits:
     train_labelled: ImageTable
-    train_unlabelled: ImageTable
+    train_unlabelled: ImageTable  # train transform (lives inside MergedDataset)
     test: ImageTable
     val: Optional[ImageTable] = None
+    # test-transform copy of train_unlabelled (the reference's
+    # ``unlabelled_train_examples_test``, ``get_datasets.py:84-90``)
+    train_unlabelled_test: Optional[ImageTable] = None
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
@@ -111,11 +114,15 @@ def build_gcd_splits(whole_train: ImageTable, test: ImageTable,
     pos = {int(u): i for i, u in enumerate(whole_train.uq_idxs)}
     unlabelled = whole_train.select([pos[u] for u in unlab_uq])
 
+    unlabelled_test = unlabelled
     if test_transform is not None:
-        unlabelled = unlabelled.with_transform(test_transform)
+        # the merged train set keeps the TRAIN transform on its unlabelled
+        # part; only the separate eval copy gets the test transform
+        # (reference ``get_datasets.py:53-98``)
+        unlabelled_test = unlabelled.with_transform(test_transform)
         test = test.with_transform(test_transform)
     return GCDSplits(train_labelled=labelled, train_unlabelled=unlabelled,
-                     test=test)
+                     test=test, train_unlabelled_test=unlabelled_test)
 
 
 class MergedDataset:

@@ -48,11 +48,18 @@ class FeatureVectorDataset:
 
 
 def save_features_packed(feature_root: str, features: np.ndarray,
-                         uq_idxs: np.ndarray) -> str:
+                         uq_idxs: np.ndarray,
+                         targets: np.ndarray = None,
+                         mask_lab: np.ndarray = None) -> str:
     os.makedirs(feature_root, exist_ok=True)
     path = os.path.join(feature_root, "features_packed.npz")
+    extra = {}
+    if targets is not None:
+        extra["targets"] = np.asarray(targets, np.int64)
+    if mask_lab is not None:
+        extra["mask_lab"] = np.asarray(mask_lab, bool)
     np.savez(path, features=np.asarray(features, np.float32),
-             uq_idxs=np.asarray(uq_idxs, np.int64))
+             uq_idxs=np.asarray(uq_idxs, np.int64), **extra)
     return path
 
 

@@ -94,7 +94,8 @@ def get_datasets(cfg: DataConfig, train_transform=None, test_transform=None,
         test_transform=test_transform)
 
     tt = make_target_transform(train_classes, unlabeled_classes)
-    for table in (splits.train_labelled, splits.train_unlabelled, splits.test):
+    for table in (splits.train_labelled, splits.train_unlabelled, splits.test,
+                  splits.train_unlabelled_test):
         table.target_transform = tt
 
     train_merged = MergedDataset(splits.train_labelled, splits.train_unlabelled)
@@ -104,4 +105,4 @@ def get_datasets(cfg: DataConfig, train_transform=None, test_transform=None,
         "train_classes": list(train_classes),
         "unlabeled_classes": list(unlabeled_classes),
     })
-    return train_merged, splits.test, splits.train_unlabelled, extras
+    return train_merged, splits.test, splits.train_unlabelled_test, extras

@@ -29,6 +29,17 @@ def _to_float(img: Image.Image) -> np.ndarray:
     return np.asarray(img.convert("RGB"), np.float32) / 255.0
 
 
+def _ensure_pil(img) -> Image.Image:
+    """Accept PIL images or HWC arrays (synthetic datasets yield arrays)."""
+    if isinstance(img, Image.Image):
+        return img
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0 if arr.max() <= 1.0 + 1e-6 else arr,
+                      0, 255).astype(np.uint8)
+    return Image.fromarray(arr)
+
+
 def _normalize(x: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
     return (x - mean) / std
 
@@ -105,7 +116,8 @@ def get_transform(name: str = "imagenet", image_size: int = 224,
     rng = np.random.default_rng(seed)
 
     if not train:
-        def eval_fn(img: Image.Image) -> np.ndarray:
+        def eval_fn(img) -> np.ndarray:
+            img = _ensure_pil(img)
             im = _resize_short(img, int(image_size / crop_pct))
             im = _center_crop(im, image_size)
             return _normalize(_to_float(im), mean, std)
@@ -123,7 +135,8 @@ def get_transform(name: str = "imagenet", image_size: int = 224,
         cut = cutout(mask_size=image_size // 2, p=cutout_p,
                      cutout_inside=False, seed=seed)
 
-    def train_fn(img: Image.Image) -> np.ndarray:
+    def train_fn(img) -> np.ndarray:
+        img = _ensure_pil(img)
         if randaug is not None:
             img = randaug(img.convert("RGB"))
         im = _rand_resized_crop(img, image_size, rng)

@@ -164,6 +164,8 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
 
 
 def main(argv=None):
+    from scd_tpu.utils.runtime import apply_platform_override
+    apply_platform_override()
     args = build_argparser().parse_args(argv)
     cfg = config_from_args(args, partially_supervised=True)
     return run_ptsup(cfg)

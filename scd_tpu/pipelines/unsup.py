@@ -278,6 +278,8 @@ def config_from_args(args, partially_supervised: bool = False) -> PipelineConfig
 
 
 def main(argv=None):
+    from scd_tpu.utils.runtime import apply_platform_override
+    apply_platform_override()
     args = build_argparser().parse_args(argv)
     return run_unsup(config_from_args(args))
 

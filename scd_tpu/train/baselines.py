@@ -229,3 +229,179 @@ def combine_classifier_and_cluster_preds(classifier_preds, cluster_preds,
     cluster_preds = np.asarray(cluster_preds)
     use_cls = (classifier_preds >= 0) & (classifier_preds < n_labeled_classes)
     return np.where(use_cls, classifier_preds, cluster_preds)
+
+
+# ------------------------------------------------------- training drivers
+#
+# The reference trains these baselines end-to-end over a ResNet/ViT
+# (``uno_v2.py``, ``rerun_autonovel.py``, ``train_supervised.py``).  In the
+# GCD setting the backbone is frozen and only the heads learn, so the
+# TPU-native drivers train over precomputed feature views: every step is a
+# single jitted program and the whole epoch loop stays on device-sized
+# batches with no image pipeline in the loop.
+
+def _batched(rng, n: int, batch_size: int):
+    order = rng.permutation(n)
+    for s in range(0, n - batch_size + 1, batch_size):
+        yield order[s:s + batch_size]
+
+
+def train_uno(key: jax.Array, views: jnp.ndarray, labels: jnp.ndarray,
+              mask_lab: jnp.ndarray, n_labeled: int, n_unlabeled: int,
+              num_heads: int = 4, epochs: int = 10, batch_size: int = 256,
+              lr: float = 0.1, sk_iters: int = 3, sk_epsilon: float = 0.05,
+              temperature: float = 0.1, seed: int = 0):
+    """UNO v2 over feature views (reference train loop ``uno_v2.py:96-160``):
+    multi-head prototypes on nlc+P logits, Sinkhorn pseudo-labels on the
+    prototype block, swapped-prediction CE across views.
+
+    ``views``: [V, N, D] float — V augmented views of N features.
+    Returns (params, predict_fn [N,D]->[N] ints, history).
+    """
+    import numpy as np
+    import optax
+
+    v, n, d = views.shape
+    model = MultiHeadPrototypes(num_heads=num_heads,
+                                num_prototypes=n_labeled + n_unlabeled)
+    params = model.init(key, views[0, :1])
+    tx = optax.sgd(lr, momentum=0.9)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, batch_views, lab, m_lab):
+        logits = jnp.stack([model.apply(p, batch_views[i])[0]
+                            for i in range(v)])  # [V, H, B, nlc+P]
+        targets = uno_targets(
+            jax.lax.stop_gradient(logits[..., n_labeled:]), lab, m_lab,
+            n_labeled, sk_iters, sk_epsilon)
+        return swapped_prediction_loss(logits, targets, temperature)
+
+    @jax.jit
+    def step(p, o, batch_views, lab, m_lab):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch_views, lab, m_lab)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(seed)
+    history = []
+    for _epoch in range(epochs):
+        losses = []
+        for idx in _batched(rng, n, batch_size):
+            params, opt_state, loss = step(
+                params, opt_state, views[:, idx], labels[idx], mask_lab[idx])
+            losses.append(float(loss))
+        history.append(sum(losses) / max(len(losses), 1))
+
+    @jax.jit
+    def _predict(p, feats):
+        logits, _ = model.apply(p, feats)  # [H, B, C]
+        return jnp.argmax(jnp.mean(jax.nn.softmax(logits, axis=-1), axis=0),
+                          axis=-1)
+
+    return params, (lambda feats: _predict(params, jnp.asarray(feats))), \
+        history
+
+
+def train_autonovel(key: jax.Array, feats: jnp.ndarray,
+                    feats_bar: jnp.ndarray, labels: jnp.ndarray,
+                    mask_lab: jnp.ndarray, n_labeled: int, n_unlabeled: int,
+                    epochs: int = 10, batch_size: int = 256, lr: float = 0.1,
+                    rampup_length: float = 50.0, rampup_coeff: float = 5.0,
+                    topk: int = 5, seed: int = 0):
+    """AutoNovel over two feature views (reference
+    ``rerun_autonovel.py:44-110``): ranking-stats pairwise BCE on the
+    unlabelled head + CE on the labelled head + MSE consistency with a
+    sigmoid-ramped weight.  Returns (params, predict_fn, history)."""
+    import numpy as np
+    import optax
+
+    from scd_tpu.train.schedulers import sigmoid_rampup
+
+    model = TwoHeadClassifier(num_labeled=n_labeled,
+                              num_unlabeled=n_unlabeled)
+    params = model.init(key, feats[:1])
+    tx = optax.sgd(lr, momentum=0.9)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, x, x_bar, lab, m_lab, w):
+        o1, o2, trunk = model.apply(p, x)
+        o1b, _, _ = model.apply(p, x_bar)
+        return autonovel_loss(o1, o1b, o2, trunk, lab, m_lab, w,
+                              topk=topk)["loss"]
+
+    @jax.jit
+    def step(p, o, x, x_bar, lab, m_lab, w):
+        loss, grads = jax.value_and_grad(loss_fn)(p, x, x_bar, lab, m_lab, w)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(seed)
+    n = feats.shape[0]
+    history = []
+    for epoch in range(epochs):
+        w = rampup_coeff * sigmoid_rampup(epoch, rampup_length)
+        losses = []
+        for idx in _batched(rng, n, batch_size):
+            params, opt_state, loss = step(
+                params, opt_state, feats[idx], feats_bar[idx], labels[idx],
+                mask_lab[idx], w)
+            losses.append(float(loss))
+        history.append(sum(losses) / max(len(losses), 1))
+
+    @jax.jit
+    def _predict(p, x):
+        o1, _o2, _ = model.apply(p, x)
+        return jnp.argmax(o1, axis=-1)
+
+    return params, (lambda x: _predict(params, jnp.asarray(x))), history
+
+
+def train_supervised(key: jax.Array, feats: jnp.ndarray, labels: jnp.ndarray,
+                     n_classes: int, epochs: int = 20, batch_size: int = 256,
+                     lr: float = 0.1, smoothing: float = 0.1,
+                     hidden_dim: int = 0, seed: int = 0):
+    """Label-smoothed supervised head on labelled features (reference
+    ``train_supervised.py:38-66`` + training loop).  Returns
+    (params, logits_fn, history); combine with
+    ``osr_threshold_preds`` + ``combine_classifier_and_cluster_preds``."""
+    import numpy as np
+    import optax
+
+    from scd_tpu.train.losses import label_smoothing_ce
+
+    class _Head(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            if hidden_dim:
+                x = nn.relu(nn.Dense(hidden_dim, name="fc")(x))
+            return nn.Dense(n_classes, name="out")(x)
+
+    model = _Head()
+    params = model.init(key, feats[:1])
+    tx = optax.sgd(lr, momentum=0.9)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o, x, y):
+        def loss_fn(p):
+            return label_smoothing_ce(model.apply(p, x), y, smoothing)
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(seed)
+    n = feats.shape[0]
+    history = []
+    for _epoch in range(epochs):
+        losses = []
+        for idx in _batched(rng, n, batch_size):
+            params, opt_state, loss = step(params, opt_state, feats[idx],
+                                           labels[idx])
+            losses.append(float(loss))
+        history.append(sum(losses) / max(len(losses), 1))
+
+    @jax.jit
+    def _logits(p, x):
+        return model.apply(p, x)
+
+    return params, (lambda x: _logits(params, jnp.asarray(x))), history

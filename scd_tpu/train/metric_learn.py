@@ -1,0 +1,186 @@
+"""GCD contrastive finetuning entry point.
+
+Reference ``gcd/methods/metric_learn/learn_metric.py:386-521`` (__main__):
+build the merged labelled/unlabelled train set with a two-view contrastive
+transform, balance labelled vs unlabelled sampling with a weighted sampler
+(:496-500), finetune the last ViT blocks with (1-w)·InfoNCE + w·SupCon, run
+a semi-sup k-means eval every epoch (:341-383), checkpoint every epoch and
+keep the best by old-class ACC (:320-338).
+
+Run (synthetic smoke): ``python -m scd_tpu.train.metric_learn
+--dataset_name synthetic --epochs 1 --vit tiny --image_size 32``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from scd_tpu.cluster.runners import eval_kmeans_semi_sup
+from scd_tpu.core.config import ClusterConfig, DataConfig, TrainConfig
+from scd_tpu.data import get_class_splits, get_datasets, get_transform
+from scd_tpu.data.augment import ContrastiveViewGenerator
+from scd_tpu.models.vit import ViTConfig
+from scd_tpu.train.checkpoint import CheckpointManager
+from scd_tpu.train.gcd import GCDTrainer
+from scd_tpu.utils.experiment import init_experiment
+
+
+_VIT_SIZES = {
+    "tiny": dict(width=192, depth=12, heads=3),
+    "small": dict(width=384, depth=12, heads=6),
+    "base": dict(width=768, depth=12, heads=12),
+    # sub-tiny smoke config for CI / synthetic runs
+    "micro": dict(width=64, depth=2, heads=2),
+}
+
+
+def balanced_batches(merged, batch_size: int, n_views: int, seed: int,
+                     steps_per_epoch: Optional[int] = None,
+                     num_workers: int = 8) -> Iterator[dict]:
+    """Sample labelled and unlabelled instances with equal total mass
+    (reference ``WeightedRandomSampler`` balancing,
+    ``learn_metric.py:496-500``) and collate view-major batches."""
+    n = len(merged)
+    lab_flags = merged.mask_lab  # MergedDataset is labelled-first
+    n_lab = int(lab_flags.sum())
+    w = np.where(lab_flags, 1.0 / max(n_lab, 1), 1.0 / max(n - n_lab, 1))
+    w = w / w.sum()
+    rng = np.random.default_rng(seed)
+    steps = steps_per_epoch or max(n // batch_size, 1)
+
+    def fetch(i: int):
+        views, label, _uq, m = merged[int(i)]
+        return views, int(label), bool(np.asarray(m).reshape(-1)[0])
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for _ in range(steps):
+            idxs = rng.choice(n, size=batch_size, p=w)
+            items = list(pool.map(fetch, idxs))
+            # view-major: all first views, then all second views, ...
+            images = np.concatenate([
+                np.stack([np.asarray(it[0][v], np.float32) for it in items])
+                for v in range(n_views)])
+            yield {"images": images,
+                   "labels": np.array([it[1] for it in items], np.int64),
+                   "mask_lab": np.array([it[2] for it in items], bool)}
+
+
+def run_metric_learn(args) -> dict:
+    data_cfg = DataConfig(dataset_name=args.dataset_name,
+                          root_dir=args.root_dir,
+                          image_size=args.image_size,
+                          prop_train_labels=args.prop_train_labels,
+                          batch_size=args.batch_size,
+                          num_workers=args.num_workers)
+    train_classes, unlabeled_classes = get_class_splits(data_cfg)
+
+    train_tf = ContrastiveViewGenerator(
+        get_transform("imagenet", image_size=args.image_size, train=True,
+                      seed=args.seed), n_views=args.n_views)
+    test_tf = get_transform("imagenet", image_size=args.image_size)
+    merged, _test_ds, unlab_ds, extras = get_datasets(
+        data_cfg, train_transform=train_tf, test_transform=test_tf)
+    # Second view of the same (seeded) splits with the eval transform, for
+    # the per-epoch k-means eval (reference evals the merged train set with
+    # the non-augmenting transform, learn_metric.py:341-383).
+    merged_eval, _t2, _u2, _e2 = get_datasets(
+        data_cfg, train_transform=test_tf, test_transform=test_tf)
+
+    vit_cfg = ViTConfig(image_size=args.image_size, patch_size=args.patch_size,
+                        **_VIT_SIZES[args.vit])
+    n_classes = len(train_classes) + len(unlabeled_classes)
+    steps = args.steps_per_epoch or max(len(merged) // args.batch_size, 1)
+    cfg = TrainConfig(lr=args.lr, sup_con_weight=args.sup_con_weight,
+                      grad_from_block=args.grad_from_block,
+                      n_views=args.n_views, proj_dim=args.proj_dim,
+                      batch_size=args.batch_size)
+    trainer = GCDTrainer(vit_cfg, cfg, seed=args.seed,
+                         total_steps=steps * args.epochs)
+
+    ctx = init_experiment(vars(args), exp_root=args.exp_root,
+                          runner_name="metric_learn")
+    ckpt = CheckpointManager(ctx.model_dir, keep=2,
+                             best_metric="old_acc_train")
+
+    def make_batches(epoch):
+        return balanced_batches(merged, args.batch_size, args.n_views,
+                                seed=args.seed + epoch,
+                                steps_per_epoch=args.steps_per_epoch,
+                                num_workers=args.num_workers)
+
+    def eval_fn(tr, epoch):
+        from scd_tpu.data.loader import iterate_batches
+
+        feats, targets, masks = [], [], []
+        for images, labels, _uq, m in iterate_batches(
+                merged_eval, args.batch_size, num_workers=args.num_workers):
+            feats.append(tr.extract_features([images]))
+            targets.append(labels)
+            masks.append(m)
+        feats = np.concatenate(feats)
+        targets = np.concatenate(targets).astype(np.int64)
+        mask_lab = np.concatenate(masks).astype(bool)
+        mask_cls = targets < len(train_classes)
+        if mask_lab.any():
+            all_acc, old_acc, new_acc, _p, _r = eval_kmeans_semi_sup(
+                jax.random.PRNGKey(epoch), feats, targets, mask_cls,
+                mask_lab, ClusterConfig(n_clusters=n_classes, n_init=3,
+                                        max_iterations=args.max_kmeans_iter),
+                print_output=False)
+        else:
+            from scd_tpu.cluster.runners import eval_kmeans
+
+            all_acc, old_acc, new_acc, _res = eval_kmeans(
+                jax.random.PRNGKey(epoch), feats, targets, mask_cls,
+                ClusterConfig(n_clusters=n_classes, n_init=3,
+                              max_iterations=args.max_kmeans_iter),
+                print_output=False)
+        m = {"all_acc_train": all_acc, "old_acc_train": old_acc,
+             "new_acc_train": new_acc}
+        ctx.writer.add_scalars("kmeans_train", m, step=epoch)
+        return m
+
+    last = trainer.fit(args.epochs, make_batches, eval_fn=eval_fn, ckpt=ckpt,
+                       best_metric="old_acc_train", log_fn=ctx.logger.info)
+    ctx.close()
+    return {"last": last, "log_dir": ctx.log_dir, "trainer": trainer,
+            "ckpt": ckpt}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="GCD contrastive finetuning")
+    p.add_argument("--dataset_name", type=str, default="synthetic")
+    p.add_argument("--root_dir", type=str, default="/data")
+    p.add_argument("--prop_train_labels", type=float, default=0.5)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--vit", type=str, default="base",
+                   help="micro | tiny | small | base")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--sup_con_weight", type=float, default=0.35)
+    p.add_argument("--grad_from_block", type=int, default=11)
+    p.add_argument("--n_views", type=int, default=2)
+    p.add_argument("--proj_dim", type=int, default=65536)
+    p.add_argument("--max_kmeans_iter", type=int, default=50)
+    p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--exp_root", type=str, default="runs")
+    return p
+
+
+def main(argv=None):
+    from scd_tpu.utils.runtime import apply_platform_override
+    apply_platform_override()
+    return run_metric_learn(build_argparser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

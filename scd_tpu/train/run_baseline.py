@@ -1,0 +1,119 @@
+"""Baseline-method CLI: UNO v2, AutoNovel, supervised+combine.
+
+Covers the reference launchers ``gcd/bash_scripts/uno_v2_gcd.sh``,
+``autonovel_gcd.sh``, ``train_supervised_classifer.sh`` and the evaluation
+in ``combine_classifier_and_kmeans.py``.  Operates on a packed feature
+store (``python -m scd_tpu.pipelines.extract``) — the GCD-setting frozen
+backbone + trained heads workflow.
+
+Run (synthetic smoke):
+  python -m scd_tpu.pipelines.extract --dataset_name synthetic \
+      --feat_model synthetic --save_dir /tmp/feats
+  python -m scd_tpu.train.run_baseline --method uno \
+      --features /tmp/feats/train/features_packed.npz --n_labeled 5
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import numpy as np
+
+from scd_tpu.metrics.cluster import log_accs_from_preds
+from scd_tpu.train.baselines import (
+    combine_classifier_and_cluster_preds,
+    osr_threshold_preds,
+    train_autonovel,
+    train_supervised,
+    train_uno,
+)
+
+
+def _views(feats: np.ndarray, noise: float, seed: int, n: int = 2):
+    rng = np.random.default_rng(seed)
+    return np.stack([feats + noise * rng.standard_normal(feats.shape)
+                     .astype(np.float32) for _ in range(n)])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="NCD baseline training")
+
+    from scd_tpu.utils.runtime import apply_platform_override
+    apply_platform_override()
+    p.add_argument("--method", type=str, required=True,
+                   help="uno | autonovel | supervised")
+    p.add_argument("--features", type=str, required=True,
+                   help="features_packed.npz with features/targets/mask_lab")
+    p.add_argument("--n_labeled", type=int, required=True)
+    p.add_argument("--n_unlabeled", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--num_heads", type=int, default=4)
+    p.add_argument("--view_noise", type=float, default=0.05,
+                   help="gaussian feature-space augmentation for views")
+    p.add_argument("--osr_threshold", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_funcs", nargs="+", default=["v2"])
+    args = p.parse_args(argv)
+
+    with np.load(args.features) as z:
+        feats = np.asarray(z["features"], np.float32)
+        targets = np.asarray(z["targets"], np.int64)
+        mask_lab = (np.asarray(z["mask_lab"], bool) if "mask_lab" in z
+                    else np.zeros(len(targets), bool))
+    feats = feats / np.maximum(
+        np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+    n_unlab_cls = args.n_unlabeled or int(targets.max()) + 1 - args.n_labeled
+    mask_cls = targets < args.n_labeled
+    key = jax.random.PRNGKey(args.seed)
+    batch = min(args.batch_size, len(feats))
+
+    if args.method == "uno":
+        views = _views(feats, args.view_noise, args.seed)
+        _params, predict, history = train_uno(
+            key, views, targets, mask_lab, args.n_labeled, n_unlab_cls,
+            num_heads=args.num_heads, epochs=args.epochs, batch_size=batch,
+            lr=args.lr, seed=args.seed)
+        preds = np.asarray(predict(feats))
+    elif args.method == "autonovel":
+        views = _views(feats, args.view_noise, args.seed)
+        _params, predict, history = train_autonovel(
+            key, views[0], views[1], targets, mask_lab, args.n_labeled,
+            n_unlab_cls, epochs=args.epochs, batch_size=batch, lr=args.lr,
+            seed=args.seed)
+        # unlabelled-head ids live after the labelled classes
+        preds = np.asarray(predict(feats)) + args.n_labeled
+    elif args.method == "supervised":
+        lab_feats, lab_targets = feats[mask_lab], targets[mask_lab]
+        _params, logits_fn, history = train_supervised(
+            key, lab_feats, lab_targets, args.n_labeled, epochs=args.epochs,
+            batch_size=min(batch, len(lab_feats)), lr=args.lr,
+            seed=args.seed)
+        cls_preds = np.asarray(osr_threshold_preds(logits_fn(feats),
+                                                   args.osr_threshold))
+        # combine with a cluster assignment on everything (reference
+        # combine_classifier_and_kmeans.py): here a plain k-means
+        from scd_tpu.core.config import ClusterConfig
+        from scd_tpu.cluster import fit_kmeans
+
+        km = fit_kmeans(key, feats,
+                        ClusterConfig(n_clusters=args.n_labeled + n_unlab_cls,
+                                      n_init=3, max_iterations=50))
+        preds = combine_classifier_and_cluster_preds(
+            cls_preds, km.labels + args.n_labeled, args.n_labeled)
+    else:
+        raise ValueError(f"unknown method {args.method!r}")
+
+    print(f"final loss: {history[-1]:.4f}")
+    u = ~mask_lab
+    accs = log_accs_from_preds(
+        y_true=targets[u], y_pred=preds[u], mask=mask_cls[u],
+        eval_funcs=args.eval_funcs,
+        save_name=f"{args.method} Train ACC Unlabelled", print_output=True)
+    return accs, history
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,19 @@ from typing import Iterator, Optional
 import jax
 
 
+def apply_platform_override() -> None:
+    """Honor ``SCD_PLATFORM`` (e.g. ``cpu``) even when a PJRT plugin pinned
+    the platform at interpreter start — ``jax.config.update`` wins as long
+    as the backend has not initialized yet.  CLIs call this first so smoke
+    runs can stay off the TPU tunnel."""
+    p = os.environ.get("SCD_PLATFORM")
+    if p:
+        try:
+            jax.config.update("jax_platforms", p)
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
     cache_dir = cache_dir or os.environ.get(
         "SCD_COMPILE_CACHE", os.path.expanduser("~/.cache/scd_tpu_xla"))
