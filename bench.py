@@ -5,11 +5,22 @@ Headline metric: CLIP ViT-B/16 image-embedding throughput per chip
 reference ``main_unsup.py:297-311``).  Secondary metrics (k-means E/M
 iterations/sec, fused vocab top-k) go to stderr.
 
+Measurement protocol (the transport to the TPU in this environment resolves
+buffer futures optimistically, so ``block_until_ready`` on an un-fetched
+output is NOT a reliable fence):
+
+- inputs are generated ON DEVICE with ``jax.random`` (host->device copies
+  through the tunnel run at ~50 MB/s and would swamp the measurement);
+- each benchmark runs K iterations inside ONE jitted ``lax.scan`` whose
+  carry chains every iteration into a scalar;
+- the wall time is taken around a host fetch of that scalar — the only
+  operation the transport cannot satisfy without running everything.
+
 ``vs_baseline``: the reference publishes no throughput numbers
-(BASELINE.md) — no timing tables exist in the repo.  We normalize against a
-nominal 400 imgs/sec for the reference's fp32 single-GPU torch pipeline on
-its era hardware (cudatoolkit 10.2-class GPU), documented here so the ratio
-is interpretable; the absolute number is the real signal.
+(BASELINE.md).  We normalize against a nominal 400 imgs/sec for the
+reference's fp32 single-GPU torch pipeline on its era hardware
+(cudatoolkit 10.2-class GPU), documented here so the ratio is
+interpretable; the absolute number is the real signal.
 """
 
 import json
@@ -21,19 +32,18 @@ import numpy as np
 REFERENCE_NOMINAL_IMGS_PER_SEC = 400.0
 
 
-def _bench(fn, *args, warmup=2, iters=10):
-    import jax
-
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def _timed_scalar(jitted, *args, inner_iters):
+    """Run ``jitted(*args)`` (a scan returning one scalar) twice: once to
+    compile + warm, once timed around the scalar fetch."""
+    float(jitted(*args))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    val = float(jitted(*args))
+    dt = (time.perf_counter() - t0) / inner_iters
+    assert np.isfinite(val)
+    return dt
 
 
-def bench_clip_embed(batch: int = 256):
+def bench_clip_embed(batch: int = 256, k_iters: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -41,49 +51,84 @@ def bench_clip_embed(batch: int = 256):
 
     cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
     model = CLIPModel(cfg)
-    images = jnp.zeros((batch, 224, 224, 3), jnp.float32)
-    tokens = jnp.zeros((1, 77), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), images[:1], tokens)
+
+    # Initialize ON DEVICE with a single jitted program: eager init would
+    # dispatch hundreds of tiny programs through the tunnel (~minutes), and
+    # initializing on the host CPU means uploading 600 MB of parameters
+    # through a ~5 MB/s effective link.  Random weights time identically to
+    # trained ones.  Params enter the forward as a jit ARGUMENT — closing
+    # over them would bake 150M weights into the HLO as constants and
+    # explode remote compile time.
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32))
+    jax.block_until_ready(variables)
 
     @jax.jit
-    def forward(x):
-        return model.apply(variables, x, method=CLIPModel.encode_image)
+    def run(v, key):
+        def body(acc, k):
+            x = jax.random.normal(k, (batch, 224, 224, 3), jnp.float32)
+            out = model.apply(v, x, method=CLIPModel.encode_image)
+            return acc + out.astype(jnp.float32).sum(), None
 
-    dt = _bench(forward, images)
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              jax.random.split(key, k_iters))
+        return acc
+
+    dt = _timed_scalar(run, variables, jax.random.PRNGKey(1),
+                       inner_iters=k_iters)
     return batch / dt
 
 
-def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100):
+def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100,
+                      k_iters: int = 20):
     import jax
     import jax.numpy as jnp
 
     from scd_tpu.ops.distance import estep_assign
     from scd_tpu.ops.segment import segment_mean
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
-    c = jnp.asarray(rng.standard_normal((k, d)).astype(np.float32))
-
     @jax.jit
-    def em_iter(x, c):
-        labels, mindist = estep_assign(x, c)
-        means, counts = segment_mean(x, labels, k)
-        return means, jnp.sum(mindist)
+    def run(key):
+        kx, kc = jax.random.split(key)
+        x = jax.random.normal(kx, (n, d), jnp.float32)
 
-    dt = _bench(em_iter, x, c)
+        def body(c, _):
+            labels, mindist = estep_assign(x, c)
+            means, _counts = segment_mean(x, labels, k)
+            return means, jnp.sum(mindist)
+
+        c, inertias = jax.lax.scan(
+            body, jax.random.normal(kc, (k, d), jnp.float32), None,
+            length=k_iters)
+        return inertias.sum() + c.sum()
+
+    dt = _timed_scalar(run, jax.random.PRNGKey(2), inner_iters=k_iters)
     return 1.0 / dt
 
 
-def bench_vocab_topk(n: int = 8192, d: int = 512, v: int = 68000, k: int = 5):
+def bench_vocab_topk(n: int = 8192, d: int = 512, v: int = 68000,
+                     topk: int = 5, k_iters: int = 10):
+    import jax
     import jax.numpy as jnp
 
     from scd_tpu.ops.topk import classify_topk
 
-    rng = np.random.default_rng(0)
-    feats = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((d, v)).astype(np.float32))
+    @jax.jit
+    def run(key):
+        kw, kf = jax.random.split(key)
+        w = jax.random.normal(kw, (d, v), jnp.float32)
 
-    dt = _bench(lambda f: classify_topk(f, w, k), feats)
+        def body(acc, k):
+            feats = jax.random.normal(k, (n, d), jnp.float32)
+            idx, vals = classify_topk(feats, w, topk)
+            return acc + vals.astype(jnp.float32).sum() + idx.sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              jax.random.split(kf, k_iters))
+        return acc
+
+    dt = _timed_scalar(run, jax.random.PRNGKey(3), inner_iters=k_iters)
     return n / dt
 
 

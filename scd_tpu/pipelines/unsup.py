@@ -79,19 +79,22 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
 
     import jax
 
+    # Weights are jit ARGUMENTS, not closure captures — captured arrays are
+    # baked into the HLO as constants, which explodes compile time on the
+    # remote-compile TPU path for 100M+ param models.
     @jax.jit
-    def _clip_img(x):
-        return clip_model.apply(clip_vars, x, method=CLIPModel.encode_image)
+    def _clip_img(v, x):
+        return clip_model.apply(v, x, method=CLIPModel.encode_image)
 
     @jax.jit
-    def _clip_txt(toks):
-        return clip_model.apply(clip_vars, toks, method=CLIPModel.encode_text)
+    def _clip_txt(v, toks):
+        return clip_model.apply(v, toks, method=CLIPModel.encode_text)
 
     def clip_encode_image(images: np.ndarray) -> np.ndarray:
-        return np.asarray(_clip_img(jnp.asarray(images)))
+        return np.asarray(_clip_img(clip_vars, jnp.asarray(images)))
 
     def encode_text(texts) -> np.ndarray:
-        return np.asarray(_clip_txt(jnp.asarray(tokenizer(texts))))
+        return np.asarray(_clip_txt(clip_vars, jnp.asarray(tokenizer(texts))))
 
     if name == "clip":
         feat_encode = clip_encode_image
@@ -104,11 +107,11 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
         dino = VisionTransformer(vit_cfg)
 
         @jax.jit
-        def _dino(x):
-            return dino.apply(dino_vars, x)
+        def _dino(v, x):
+            return dino.apply(v, x)
 
         def feat_encode(images: np.ndarray) -> np.ndarray:
-            return np.asarray(_dino(jnp.asarray(images)))
+            return np.asarray(_dino(dino_vars, jnp.asarray(images)))
     else:
         raise ValueError(f"unknown feat_model {name!r}")
 
