@@ -4,6 +4,7 @@ from scd_tpu.metrics.cluster import (  # noqa: F401
     evaluate_clustering,
     log_accs_from_preds,
     purity_score,
+    topk_accuracy,
     split_cluster_acc_v1,
     split_cluster_acc_v2,
     split_cluster_acc_v3,

@@ -182,6 +182,16 @@ def log_accs_from_preds(y_true, y_pred, mask, eval_funcs, save_name: str,
     return to_return
 
 
+def topk_accuracy(logits, targets, ks=(1,)):
+    """Top-k accuracies in percent (reference ``clip_lang_util.py:151-154``
+    and ``general_utils.py:accuracy``)."""
+    logits = np.asarray(logits)
+    targets = np.asarray(targets)
+    order = np.argsort(-logits, axis=1)
+    return [float((order[:, :k] == targets[:, None]).any(axis=1).mean()
+                  * 100.0) for k in ks]
+
+
 def purity_score(y_true, y_pred) -> float:
     """Cluster purity (reference ``cluster_utils.py:65-75``)."""
     w = contingency_matrix(np.asarray(y_pred), np.asarray(y_true))

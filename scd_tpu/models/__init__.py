@@ -1,4 +1,9 @@
-from scd_tpu.models.vit import VisionTransformer, ViTConfig  # noqa: F401
+from scd_tpu.models.vit import (  # noqa: F401
+    VisionTransformer,
+    VisionTransformerWithLinear,
+    ViTConfig,
+)
+from scd_tpu.models.resnet import ResNetTwoHead  # noqa: F401
 from scd_tpu.models.clip import (  # noqa: F401
     CLIPConfig,
     CLIPModel,

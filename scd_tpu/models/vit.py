@@ -99,6 +99,21 @@ class Block(nn.Module):
         return x
 
 
+class VisionTransformerWithLinear(nn.Module):
+    """ViT trunk + linear classifier on the CLS feature (reference
+    ``vision_transformer.py:301-322``); returns (logits, features)."""
+
+    cfg: "ViTConfig"
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        feats = VisionTransformer(self.cfg, name="base_vit")(images)
+        logits = nn.Dense(self.num_classes, name="linear")(
+            feats.astype(jnp.float32))
+        return logits, feats
+
+
 def interpolate_pos_embed(pos: jnp.ndarray, new_grid: int) -> jnp.ndarray:
     """Bicubic pos-embed interpolation for off-grid inputs (reference
     ``vision_transformer.py:175-191``).  ``pos``: [1, 1+g*g, D]."""
