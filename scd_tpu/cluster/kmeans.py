@@ -134,14 +134,33 @@ def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
     return labels[best], inertias[best], centers[best], iters[best]
 
 
-def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig) -> KMeansResult:
-    """Plain unsupervised k-means (reference baseline at ``main_unsup.py:362``)."""
-    x_j = jnp.asarray(np.asarray(x, dtype=np.float32))
-    n_valid = jnp.asarray(x_j.shape[0])
+def _stage_rows(x: np.ndarray, mesh):
+    """Shard instances over the mesh data axis (padded for even split).
+    Returns (device array, n_valid).  With sharded inputs the same jitted
+    E/M programs run SPMD — XLA inserts the psum/all-gather collectives for
+    the segment sums and the restart argmin (SURVEY §2.10: the workload's
+    parallelism is data/feature-matrix sharding)."""
+    from scd_tpu.core.mesh import MeshContext, pad_rows
+
+    ctx = MeshContext(mesh)
+    padded, n = pad_rows(np.asarray(x, np.float32), ctx.n_data)
+    return ctx.put_rows(padded), n
+
+
+def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
+               mesh=None) -> KMeansResult:
+    """Plain unsupervised k-means (reference baseline at ``main_unsup.py:362``).
+    Pass ``mesh`` to shard the instance axis over multiple chips."""
+    if mesh is not None:
+        x_j, n = _stage_rows(x, mesh)
+        n_valid = jnp.asarray(n)
+    else:
+        x_j = jnp.asarray(np.asarray(x, dtype=np.float32))
+        n_valid = jnp.asarray(x_j.shape[0])
     labels, inertia, centers, n_iter = _fit_kmeans_device(
         key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
         cfg.tolerance, cfg.n_init)
-    return KMeansResult(np.asarray(labels), np.asarray(centers),
+    return KMeansResult(np.asarray(labels)[:int(n_valid)], np.asarray(centers),
                         float(inertia), int(n_iter))
 
 
@@ -175,7 +194,8 @@ def _fit_sskm_device(key: jax.Array, u: jnp.ndarray, l: jnp.ndarray,
 
 
 def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
-             l_targets: np.ndarray, cfg: ClusterConfig) -> KMeansResult:
+             l_targets: np.ndarray, cfg: ClusterConfig,
+             mesh=None) -> KMeansResult:
     """Semi-supervised k-means: labelled points are pinned to their class
     centroid; the first ``n_labelled_classes`` centroids are seeded from
     labelled class means (reference ``fit_mix_once``,
@@ -183,8 +203,15 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
 
     Returned ``labels`` follow the reference contract: labelled instances
     first (their remapped class ids), then unlabelled assignments.
+    Pass ``mesh`` to shard the unlabelled instance axis over chips.
     """
-    u = jnp.asarray(np.asarray(u_feats, dtype=np.float32))
+    if mesh is not None:
+        u, n_u = _stage_rows(u_feats, mesh)
+        n_valid = jnp.asarray(n_u)
+    else:
+        u = jnp.asarray(np.asarray(u_feats, dtype=np.float32))
+        n_u = u.shape[0]
+        n_valid = jnp.asarray(n_u)
     l = jnp.asarray(np.asarray(l_feats, dtype=np.float32))
     l_targets = np.asarray(l_targets).astype(np.int64)
     classes, l_mapped = np.unique(l_targets, return_inverse=True)
@@ -194,8 +221,9 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
 
     u_labels, inertia, centers, n_iter = _fit_sskm_device(
         key, u, l, jnp.asarray(l_mapped.astype(np.int32)),
-        jnp.asarray(u.shape[0]), cfg.n_clusters, n_l_classes,
+        n_valid, cfg.n_clusters, n_l_classes,
         cfg.max_iterations, cfg.tolerance, cfg.n_init)
 
-    all_labels = np.concatenate([l_mapped.astype(np.int32), np.asarray(u_labels)])
+    all_labels = np.concatenate([l_mapped.astype(np.int32),
+                                 np.asarray(u_labels)[:n_u]])
     return KMeansResult(all_labels, np.asarray(centers), float(inertia), int(n_iter))

@@ -1,0 +1,44 @@
+"""Multi-chip clustering: data-sharded k-means/SSKM over an 8-device mesh
+must agree with the single-device result (SPMD sharding changes layout,
+not math — SURVEY §2.10: this workload's parallelism is feature-matrix
+sharding)."""
+
+import jax
+import numpy as np
+import pytest
+from sklearn.metrics import normalized_mutual_info_score as nmi
+
+from scd_tpu.core.config import ClusterConfig, MeshConfig
+from scd_tpu.core.mesh import make_mesh
+from scd_tpu.cluster import fit_kmeans, fit_sskm
+
+from conftest import make_blobs
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(MeshConfig(data=8, model=1))
+
+
+def test_fit_kmeans_sharded_matches_single(mesh):
+    X, y = make_blobs(n_samples=1001, n_features=32, centers=8, seed=4)
+    cfg = ClusterConfig(n_clusters=8, n_init=4, max_iterations=50)
+    single = fit_kmeans(jax.random.PRNGKey(0), X, cfg)
+    sharded = fit_kmeans(jax.random.PRNGKey(0), X, cfg, mesh=mesh)
+    assert sharded.labels.shape == (1001,)
+    # same seed, same math -> identical assignment structure
+    assert nmi(single.labels, sharded.labels) > 0.99
+    assert sharded.inertia == pytest.approx(single.inertia, rel=1e-3)
+    assert nmi(y, sharded.labels) > 0.95
+
+
+def test_fit_sskm_sharded(mesh):
+    X, y = make_blobs(n_samples=800, n_features=16, centers=8, seed=5)
+    mask_lab = (y < 4) & (np.arange(len(y)) % 2 == 0)
+    cfg = ClusterConfig(n_clusters=8, n_init=4, max_iterations=50)
+    res = fit_sskm(jax.random.PRNGKey(0), X[~mask_lab], X[mask_lab],
+                   y[mask_lab], cfg, mesh=mesh)
+    n_lab = int(mask_lab.sum())
+    assert res.labels.shape == (len(y),)
+    u_nmi = nmi(y[~mask_lab], res.labels[n_lab:])
+    assert u_nmi > 0.95
