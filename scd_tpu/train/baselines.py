@@ -264,7 +264,7 @@ def train_uno(key: jax.Array, views: jnp.ndarray, labels: jnp.ndarray,
     v, n, d = views.shape
     model = MultiHeadPrototypes(num_heads=num_heads,
                                 num_prototypes=n_labeled + n_unlabeled)
-    params = model.init(key, views[0, :1])
+    params = jax.jit(model.init)(key, views[0, :1])
     tx = optax.sgd(lr, momentum=0.9)
     opt_state = tx.init(params)
 
@@ -319,7 +319,7 @@ def train_autonovel(key: jax.Array, feats: jnp.ndarray,
 
     model = TwoHeadClassifier(num_labeled=n_labeled,
                               num_unlabeled=n_unlabeled)
-    params = model.init(key, feats[:1])
+    params = jax.jit(model.init)(key, feats[:1])
     tx = optax.sgd(lr, momentum=0.9)
     opt_state = tx.init(params)
 
@@ -377,7 +377,7 @@ def train_supervised(key: jax.Array, feats: jnp.ndarray, labels: jnp.ndarray,
             return nn.Dense(n_classes, name="out")(x)
 
     model = _Head()
-    params = model.init(key, feats[:1])
+    params = jax.jit(model.init)(key, feats[:1])
     tx = optax.sgd(lr, momentum=0.9)
     opt_state = tx.init(params)
 

@@ -137,9 +137,12 @@ def make_gcd_state(vit_cfg: ViTConfig, cfg: TrainConfig, rng: jax.Array,
     img_rng, head_rng = jax.random.split(rng)
     dummy = jnp.zeros((1, vit_cfg.image_size, vit_cfg.image_size, 3),
                       jnp.float32)
-    bb_vars = backbone.init(img_rng, dummy)
+    # jitted init: one compiled program instead of hundreds of eager ops
+    # through the TPU tunnel (minutes for ViT-B)
+    bb_vars = jax.jit(backbone.init)(img_rng, dummy)
     feat_dim = vit_cfg.output_proj or vit_cfg.width
-    hd_vars = head.init(head_rng, jnp.zeros((1, feat_dim), jnp.float32))
+    hd_vars = jax.jit(head.init)(head_rng,
+                                 jnp.zeros((1, feat_dim), jnp.float32))
     params = {"backbone": bb_vars["params"], "head": hd_vars["params"]}
 
     schedule = cosine_warmup_schedule(cfg.lr, warmup_steps=0,
