@@ -1,0 +1,253 @@
+"""Pallas TPU kernels for the two hot loops.
+
+1. ``estep_assign_pallas`` — fused pairwise-distance -> (argmin, min) for
+   the k-means E-step (reference hot loop: ``pairwise_distance`` +
+   ``torch.min``, ``sskm_constrained.py:115`` / SURVEY §7.3).  The N×K
+   distance matrix never leaves VMEM: each (row-tile, center-tile) grid
+   step computes its distance block on the MXU and folds it into a running
+   per-row (min, argmin) carried in the output refs.
+
+2. ``topk_softmax_pallas`` — fused logits -> online softmax -> top-k over
+   the N×V image↔vocabulary similarity (reference hot loop #3:
+   1024-row host chunking over ~68k logits, ``main_unsup.py:504-531``).
+   Streams V in tiles, maintaining flash-softmax style running (max,
+   sum-exp) plus a running top-k per row — the [N, V] logits matrix
+   (2.2 GB at N=8k, V=68k f32) is never materialized in HBM.
+
+Both kernels run in interpreter mode off-TPU so the CPU test mesh
+validates them against the XLA reference paths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _pad_rows(x: jnp.ndarray, multiple: int, value: float = 0.0):
+    n = x.shape[0]
+    target = _cdiv(n, multiple) * multiple
+    if target == n:
+        return x
+    return jnp.pad(x, [(0, target - n)] + [(0, 0)] * (x.ndim - 1),
+                   constant_values=value)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+# ----------------------------------------------------------- fused E-step
+
+def _estep_kernel(x_ref, ct_ref, csq_ref, min_ref, lab_ref, *,
+                  block_k: int):
+    j = pl.program_id(1)
+    xb = x_ref[:].astype(jnp.float32)  # [BN, D]
+    ctb = ct_ref[:].astype(jnp.float32)  # [D, BK] (pre-transposed: straight
+    # MXU matmul, no in-kernel transpose / register pressure)
+    cross = jax.lax.dot_general(
+        xb, ctb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [BN, BK]
+    # partial distance: |c|^2 - 2 x.c  (the per-row |x|^2 is added by the
+    # wrapper — it does not affect the argmin)
+    d = csq_ref[:] - 2.0 * cross
+
+    local_min = jnp.min(d, axis=1, keepdims=True)  # [BN, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * block_k
+    big = jnp.int32(2_147_483_647)
+    local_arg = jnp.min(jnp.where(d <= local_min, col, big), axis=1,
+                        keepdims=True)  # first index attaining the min
+
+    @pl.when(j == 0)
+    def _():
+        min_ref[:] = local_min
+        lab_ref[:] = local_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = local_min < min_ref[:]
+        min_ref[:] = jnp.where(better, local_min, min_ref[:])
+        lab_ref[:] = jnp.where(better, local_arg, lab_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "interpret"))
+def estep_assign_pallas(x: jnp.ndarray, c: jnp.ndarray, block_n: int = 256,
+                        block_k: int = 256, interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused nearest-centroid assignment.  x [N, D], c [K, D] ->
+    (labels [N] i32, min squared distance [N] f32)."""
+    n, d_dim = x.shape
+    k = c.shape[0]
+    x32 = _pad_rows(x.astype(jnp.float32), block_n)
+    # pad centers with a huge squared norm so padded rows never win the min
+    c32 = _pad_rows(c.astype(jnp.float32), block_k, value=0.0)
+    csq = jnp.sum(c32 * c32, axis=1)[None, :]  # [1, K_pad]
+    if c32.shape[0] != k:
+        col = jnp.arange(c32.shape[0])[None, :]
+        csq = jnp.where(col < k, csq, 1e30)
+    ct = c32.T  # [D, K_pad]
+    n_pad, k_pad = x32.shape[0], c32.shape[0]
+    grid = (n_pad // block_n, k_pad // block_k)
+
+    min_part, labels = pl.pallas_call(
+        functools.partial(_estep_kernel, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, d_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_dim, block_k), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x32, ct, csq)
+
+    x_sq = jnp.sum(x.astype(jnp.float32) ** 2, axis=1)
+    mindist = jnp.maximum(min_part[:n, 0] + x_sq, 0.0)
+    return labels[:n, 0], mindist
+
+
+# ------------------------------------------------- fused softmax + top-k
+
+def _topk_local(logits: jnp.ndarray, base: jnp.ndarray, k: int):
+    """k-pass max extraction: returns (vals [BN, k], idx [BN, k])."""
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
+    vals, idxs = [], []
+    work = logits
+    for _ in range(k):
+        m = jnp.max(work, axis=1, keepdims=True)  # [BN, 1]
+        hit = work >= m
+        arg = jnp.min(jnp.where(hit, col, jnp.int32(2_147_483_647)), axis=1,
+                      keepdims=True)
+        vals.append(m)
+        idxs.append(arg)
+        work = jnp.where(col == arg, -jnp.inf, work)
+    return jnp.concatenate(vals, axis=1), jnp.concatenate(idxs, axis=1)
+
+
+def _topk_softmax_kernel(f_ref, w_ref, m_ref, s_ref, v_ref, i_ref, *,
+                         block_v: int, k: int, v_total: int, scale: float):
+    j = pl.program_id(1)
+    # keep native input dtypes for the matmul (bf16 weights run the MXU at
+    # 2x and halve the streaming HBM traffic); accumulate in f32
+    logits = scale * jax.lax.dot_general(
+        f_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [BN, BV]
+    base = j * block_v
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
+    logits = jnp.where(col < v_total, logits, -jnp.inf)  # mask V padding
+
+    local_max = jnp.max(logits, axis=1, keepdims=True)  # [BN, 1]
+    lv, li = _topk_local(logits, base, k)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = local_max
+        s_ref[:] = jnp.sum(jnp.exp(logits - local_max), axis=1,
+                           keepdims=True)
+        v_ref[:] = lv
+        i_ref[:] = li
+
+    @pl.when(j > 0)
+    def _():
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, local_max)
+        s_ref[:] = (s_ref[:] * jnp.exp(m_old - m_new)
+                    + jnp.sum(jnp.exp(logits - m_new), axis=1,
+                              keepdims=True))
+        m_ref[:] = m_new
+        # merge running and local top-k: 2k candidates -> k
+        cand_v = jnp.concatenate([v_ref[:], lv], axis=1)  # [BN, 2k]
+        cand_i = jnp.concatenate([i_ref[:], li], axis=1)
+        for slot in range(k):
+            m = jnp.max(cand_v, axis=1, keepdims=True)
+            hit = cand_v >= m
+            # lowest vocab index among ties (stable first-hit semantics)
+            arg_i = jnp.min(jnp.where(hit, cand_i,
+                                      jnp.int32(2_147_483_647)),
+                            axis=1, keepdims=True)
+            v_ref[:, slot:slot + 1] = m
+            i_ref[:, slot:slot + 1] = arg_i
+            cand_v = jnp.where(cand_i == arg_i, -jnp.inf, cand_v)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "scale", "block_n",
+                                             "block_v", "apply_softmax",
+                                             "interpret"))
+def topk_softmax_pallas(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
+                        scale: float = 100.0, block_n: int = 1024,
+                        block_v: int = 2048, apply_softmax: bool = True,
+                        interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused ``softmax(scale * feats @ weights)`` top-k without ever
+    materializing [N, V].  feats [N, D], weights [D, V] ->
+    (values [N, k] f32, indices [N, k] i32).
+
+    Values are softmax probabilities when ``apply_softmax`` (matching
+    ``classify_topk``), else raw logits.
+    """
+    n, d_dim = feats.shape
+    v = weights.shape[1]
+    f32 = _pad_rows(feats, block_n)
+    w32 = weights
+    v_pad = _cdiv(v, block_v) * block_v
+    if v_pad != v:
+        w32 = jnp.pad(w32, [(0, 0), (0, v_pad - v)])
+    n_pad = f32.shape[0]
+    grid = (n_pad // block_n, v_pad // block_v)
+
+    m, s, vals, idx = pl.pallas_call(
+        functools.partial(_topk_softmax_kernel, block_v=block_v, k=k,
+                          v_total=v, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_n, d_dim), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_dim, block_v), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(f32, w32)
+
+    vals, idx = vals[:n], idx[:n]
+    if apply_softmax:
+        vals = jnp.exp(vals - m[:n]) / s[:n]
+    return vals, idx
