@@ -79,6 +79,8 @@ class NamingConfig:
     num_common_linear: int = 4  # entries per cluster entering the vote matrix
     logit_scale: float = 100.0
     max_vote_iters: int = 50  # safety bound; reference loops until set-fixpoint
+    textual_enhancement: bool = False  # 'w/TE' rows of the reference tables
+    te_alpha: float = 0.5  # text/image mixing weight for TE
 
 
 @dataclass(frozen=True)

@@ -105,6 +105,59 @@ def voting_loop(nouns: Sequence[str],
                         n_iters=it, history=history)
 
 
+def textual_enhancement(clip_u_feats: np.ndarray,
+                        zeroshot_weights: np.ndarray,
+                        u_preds: np.ndarray,
+                        name_cols: Sequence[int],
+                        alpha: float = 0.5) -> np.ndarray:
+    """Text-enhanced image features ('TE' in the reference's result tables,
+    ``README.md:23,32`` — the technique has no code in the reference repo;
+    this implements the natural reading): mix each image's visual embedding
+    with the text embedding of its currently assigned name, re-normalized.
+    The enhanced features sharpen cluster structure in the joint space, and
+    re-running the voting loop on them gives the 'w/TE' rows.
+
+    clip_u_feats [N, D] L2-normalized; zeroshot_weights [D, V];
+    u_preds [N] indices into ``name_cols`` (candidate columns).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _mix(f, w_sel, preds):
+        t = w_sel.T[preds]  # [N, D] text embedding of the assigned name
+        mixed = f + alpha * t
+        return mixed / jnp.maximum(
+            jnp.linalg.norm(mixed, axis=-1, keepdims=True), 1e-12)
+
+    w_sel = jnp.asarray(
+        np.asarray(zeroshot_weights)[:, list(name_cols)], jnp.float32)
+    out = _mix(jnp.asarray(clip_u_feats, jnp.float32), w_sel,
+               jnp.asarray(np.asarray(u_preds), jnp.int32))
+    return np.asarray(out)
+
+
+def voting_loop_te(nouns: Sequence[str],
+                   name_idx_topk: np.ndarray,
+                   clip_u_feats: np.ndarray,
+                   zeroshot_weights: np.ndarray,
+                   result: "VotingResult",
+                   n_clusters: int,
+                   cfg: NamingConfig,
+                   alpha: float = 0.5,
+                   metrics_cb=None) -> "VotingResult":
+    """One textual-enhancement round: enhance features with the converged
+    assignment's name embeddings, then re-run the voting loop from the
+    enhanced re-classification ('w/TE' rows of the reference tables)."""
+    noun_to_col = {n: i for i, n in enumerate(nouns)}
+    cols = [noun_to_col[n] for n in result.cand_names]
+    enhanced = textual_enhancement(clip_u_feats, zeroshot_weights,
+                                   result.u_preds, cols, alpha=alpha)
+    return voting_loop(nouns, name_idx_topk, enhanced, zeroshot_weights,
+                       result.u_preds, n_clusters, cfg,
+                       metrics_cb=metrics_cb)
+
+
 def voting_loop_ptsup(nouns: Sequence[str],
                       name_idx_topk: np.ndarray,
                       clip_u_feats: np.ndarray,

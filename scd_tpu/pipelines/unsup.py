@@ -225,6 +225,15 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
                          cfg.cluster.n_clusters, cfg.naming,
                          metrics_cb=metrics_cb)
 
+    if cfg.naming.textual_enhancement:
+        from scd_tpu.naming.loop import voting_loop_te
+
+        print("-- textual enhancement round --")
+        result = voting_loop_te(nouns, name_idx_u, clip_u_feats, zw, result,
+                                cfg.cluster.n_clusters, cfg.naming,
+                                alpha=cfg.naming.te_alpha,
+                                metrics_cb=metrics_cb)
+
     gt_names = list(cidx_to_cname.values())
     iou = name_set_iou(result.cand_names, gt_names)
     print(f"IoU: {iou}")
@@ -253,6 +262,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--topk", type=int, default=5)
     p.add_argument("--num_common_vote", type=int, default=20)
     p.add_argument("--num_common_linear", type=int, default=4)
+    p.add_argument("--te", action="store_true",
+                   help="textual-enhancement re-ranking round (w/TE)")
+    p.add_argument("--te_alpha", type=float, default=0.5)
     p.add_argument("--extract_feat", action="store_true")
     p.add_argument("--run_cluster", action="store_true", default=True)
     p.add_argument("--cache_dir", type=str, default="artifacts")
@@ -273,7 +285,9 @@ def config_from_args(args, partially_supervised: bool = False) -> PipelineConfig
                               size_max=args.cluster_size_max),
         naming=NamingConfig(corpus=args.corpus, topk=args.topk,
                             num_common_vote=args.num_common_vote,
-                            num_common_linear=args.num_common_linear),
+                            num_common_linear=args.num_common_linear,
+                            textual_enhancement=args.te,
+                            te_alpha=args.te_alpha),
         partially_supervised=partially_supervised,
         extract_feat=args.extract_feat,
         run_cluster=args.run_cluster,

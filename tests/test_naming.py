@@ -186,3 +186,42 @@ def test_build_zeroshot_weights(rng):
     # column depends only on its own name's prompts
     w2 = build_zeroshot_weights(fake_encoder, ["dog"], templates)
     np.testing.assert_allclose(w[:, 0], w2[:, 0], rtol=1e-5)
+
+
+def test_textual_enhancement_and_te_round():
+    """TE mixes assigned-name text embeddings into the visual features and
+    re-runs the voting loop (the 'w/TE' rows, reference README tables)."""
+    import numpy as np
+    from scd_tpu.core.config import NamingConfig
+    from scd_tpu.naming import textual_enhancement, voting_loop, \
+        voting_loop_te
+    from scd_tpu.naming.vote import topk_names
+
+    rng = np.random.default_rng(0)
+    d, n_cls, per = 16, 4, 20
+    # text embeddings: orthogonal-ish name prototypes + distractors
+    zw = rng.standard_normal((d, 12)).astype(np.float32)
+    zw /= np.linalg.norm(zw, axis=0, keepdims=True)
+    nouns = [f"name_{i}" for i in range(12)]
+    # image feats near the first 4 name embeddings
+    feats = np.repeat(zw.T[:n_cls], per, axis=0) + \
+        0.15 * rng.standard_normal((n_cls * per, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    u_preds0 = np.repeat(np.arange(n_cls), per)
+
+    name_idx, _ = topk_names(feats, zw, 3)
+    cfg = NamingConfig(topk=3, num_common_vote=4, num_common_linear=3)
+    res = voting_loop(nouns, name_idx, feats, zw, u_preds0, n_cls, cfg)
+    assert set(res.cand_names) == {f"name_{i}" for i in range(n_cls)}
+
+    cols = [nouns.index(n) for n in res.cand_names]
+    enhanced = textual_enhancement(feats, zw, res.u_preds, cols, alpha=0.5)
+    np.testing.assert_allclose(np.linalg.norm(enhanced, axis=1), 1.0,
+                               atol=1e-5)
+    # enhancement pulls features toward their assigned name embedding
+    before = (feats * zw.T[np.asarray(cols)[res.u_preds]]).sum(1)
+    after = (enhanced * zw.T[np.asarray(cols)[res.u_preds]]).sum(1)
+    assert (after > before).mean() > 0.95
+
+    res_te = voting_loop_te(nouns, name_idx, feats, zw, res, n_cls, cfg)
+    assert set(res_te.cand_names) == {f"name_{i}" for i in range(n_cls)}
