@@ -42,7 +42,13 @@ def iterate_batches(dataset, batch_size: int, num_workers: int = 8,
             if drop_last and len(idxs) < batch_size:
                 break
             items = list(pool.map(fetch, idxs))
-            images = np.stack([np.asarray(it[0], np.float32) for it in items])
+            first = np.asarray(items[0][0])
+            # preserve uint8 batches: the device-normalize path ships 4x
+            # fewer bytes over the (slow) host->device link and applies
+            # mean/std on device
+            batch_dtype = np.uint8 if first.dtype == np.uint8 else np.float32
+            images = np.stack([np.asarray(it[0], batch_dtype)
+                               for it in items])
             labels = np.array([it[1] for it in items], np.int64)
             uqs = np.array([it[2] for it in items], np.int64)
             mask = np.array([it[3] for it in items], bool)

@@ -61,15 +61,35 @@ def _center_crop(img: Image.Image, size: int) -> Image.Image:
     return img.crop((left, top, left + size, top + size))
 
 
-def clip_preprocess(image_size: int = 224):
-    """CLIP's published eval preprocess."""
+def clip_preprocess(image_size: int = 224, device_normalize: bool = False):
+    """CLIP's published eval preprocess.
+
+    ``device_normalize=True`` emits uint8 HWC (resize+crop only) and defers
+    the /255 + mean/std to the device (see ``device_normalize_clip``):
+    4x fewer bytes over the host->device link, which dominates the feature
+    extraction loop on tunneled TPUs.
+    """
 
     def fn(img: Image.Image) -> np.ndarray:
+        img = _ensure_pil(img)
         img = _resize_short(img, image_size)
         img = _center_crop(img, image_size)
+        if device_normalize:
+            return np.asarray(img.convert("RGB"), np.uint8)
         return _normalize(_to_float(img), CLIP_MEAN, CLIP_STD)
 
     return fn
+
+
+def device_normalize_clip(x):
+    """On-device CLIP normalization for uint8 batches; identity for float
+    inputs (already normalized on host).  Call inside the jitted encoder —
+    the dtype branch is static at trace time."""
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.uint8:
+        return ((x.astype(jnp.float32) / 255.0 - CLIP_MEAN) / CLIP_STD)
+    return x
 
 
 def _rand_resized_crop(img: Image.Image, size: int, rng: np.random.Generator,

@@ -56,7 +56,16 @@ def extract_to_store(encode_image, dataset, save_dir: str, split: str,
 
 def run_extract(cfg, save_dir: str, tree: bool = False) -> Dict[str, Dict]:
     get_class_splits(cfg.data)
-    train_merged, test_ds, _unlab, extras = get_datasets(cfg.data)
+    # the reference mains override every transform with CLIP's own
+    # preprocess (main_unsup.py:271); we emit uint8 and normalize on device
+    # (4x less H2D traffic). Synthetic datasets carry their own arrays.
+    if cfg.data.dataset_name == "synthetic":
+        tf = None
+    else:
+        from scd_tpu.data.transforms import clip_preprocess
+
+        tf = clip_preprocess(cfg.data.image_size, device_normalize=True)
+    train_merged, test_ds, _unlab, extras = get_datasets(cfg.data, train_transform=tf, test_transform=tf)
     feat_encode, _clip_encode, _txt = build_encoders(cfg, extras)
     out = {}
     for split, ds in (("train", train_merged), ("test", test_ds)):

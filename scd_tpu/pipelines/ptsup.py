@@ -60,7 +60,16 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     enable_compilation_cache()
     cache = stage_cache(cfg)
     train_classes, unlabeled_classes = get_class_splits(cfg.data)
-    train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data)
+    # the reference mains override every transform with CLIP's own
+    # preprocess (main_unsup.py:271); we emit uint8 and normalize on device
+    # (4x less H2D traffic). Synthetic datasets carry their own arrays.
+    if cfg.data.dataset_name == "synthetic":
+        tf = None
+    else:
+        from scd_tpu.data.transforms import clip_preprocess
+
+        tf = clip_preprocess(cfg.data.image_size, device_normalize=True)
+    train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data, train_transform=tf, test_transform=tf)
 
     feat_encode, clip_encode, encode_text = build_encoders(cfg, extras)
 

@@ -82,9 +82,13 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
     # Weights are jit ARGUMENTS, not closure captures — captured arrays are
     # baked into the HLO as constants, which explodes compile time on the
     # remote-compile TPU path for 100M+ param models.
+    from scd_tpu.data.transforms import device_normalize_clip
+
     @jax.jit
     def _clip_img(v, x):
-        return clip_model.apply(v, x, method=CLIPModel.encode_image)
+        # uint8 batches are normalized here on device (4x less H2D traffic)
+        return clip_model.apply(v, device_normalize_clip(x),
+                                method=CLIPModel.encode_image)
 
     @jax.jit
     def _clip_txt(v, toks):
@@ -108,7 +112,7 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
 
         @jax.jit
         def _dino(v, x):
-            return dino.apply(v, x)
+            return dino.apply(v, device_normalize_clip(x))
 
         def feat_encode(images: np.ndarray) -> np.ndarray:
             return np.asarray(_dino(dino_vars, jnp.asarray(images)))
@@ -160,7 +164,16 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
     enable_compilation_cache()
     cache = stage_cache(cfg)
     train_classes, unlabeled_classes = get_class_splits(cfg.data)
-    train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data)
+    # the reference mains override every transform with CLIP's own
+    # preprocess (main_unsup.py:271); we emit uint8 and normalize on device
+    # (4x less H2D traffic). Synthetic datasets carry their own arrays.
+    if cfg.data.dataset_name == "synthetic":
+        tf = None
+    else:
+        from scd_tpu.data.transforms import clip_preprocess
+
+        tf = clip_preprocess(cfg.data.image_size, device_normalize=True)
+    train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data, train_transform=tf, test_transform=tf)
 
     feat_encode, clip_encode, encode_text = build_encoders(cfg, extras)
 

@@ -187,3 +187,41 @@ def test_class_splits_defaults():
     cfg = DataConfig(dataset_name="cub", use_ssb_splits=False)
     old, new = get_class_splits(cfg)
     assert list(old) == list(range(100))
+
+
+def test_uint8_device_normalize_matches_host():
+    """uint8 H2D + on-device normalize == f32 host normalize (4x less
+    host->device traffic for the extraction loop)."""
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from scd_tpu.data.transforms import clip_preprocess, device_normalize_clip
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (300, 250, 3), dtype=np.uint8))
+    host = clip_preprocess(224)(img)
+    u8 = clip_preprocess(224, device_normalize=True)(img)
+    assert u8.dtype == np.uint8 and u8.shape == (224, 224, 3)
+    dev = np.asarray(device_normalize_clip(jnp.asarray(u8)))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+    # float input is passed through untouched
+    passthru = np.asarray(device_normalize_clip(jnp.asarray(host)))
+    np.testing.assert_allclose(passthru, host, atol=1e-6)
+
+
+def test_loader_preserves_uint8():
+    import numpy as np
+
+    from scd_tpu.data.loader import iterate_batches
+
+    class _DS:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return (np.full((8, 8, 3), i, np.uint8), i, i, i % 2)
+
+    batches = list(iterate_batches(_DS(), 4, num_workers=2))
+    assert batches[0][0].dtype == np.uint8
