@@ -30,10 +30,13 @@ def pairwise_sqdist(x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     c = c.astype(jnp.float32)
     x_sq = jnp.sum(x * x, axis=-1, keepdims=True)  # [N, 1]
     c_sq = jnp.sum(c * c, axis=-1)[None, :]  # [1, K]
+    # full f32 precision (TPU f32 matmuls default to bf16 passes — the
+    # ~1e-3 relative error can flip argmins near cluster boundaries)
     cross = jax.lax.dot_general(
         x, c,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [N, K]
     return jnp.maximum(x_sq - 2.0 * cross + c_sq, 0.0)
 

@@ -57,7 +57,8 @@ def _estep_kernel(x_ref, ct_ref, csq_ref, min_ref, lab_ref, *,
     # MXU matmul, no in-kernel transpose / register pressure)
     cross = jax.lax.dot_general(
         xb, ctb, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [BN, BK]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [BN, BK]
     # partial distance: |c|^2 - 2 x.c  (the per-row |x|^2 is added by the
     # wrapper — it does not affect the argmin)
     d = csq_ref[:] - 2.0 * cross

@@ -37,10 +37,14 @@ def segment_mean(x: jnp.ndarray, labels: jnp.ndarray, k: int,
     one_hot = jax.nn.one_hot(labels, k, dtype=jnp.float32)  # [N, K]
     if weights is not None:
         one_hot = one_hot * weights[:, None]
+    # full f32 precision: TPUs default f32 matmuls to bf16 passes, which
+    # perturbs centroid statistics by ~1e-3 relative (enough to flip
+    # E-step argmins near cluster boundaries; SURVEY hard-part #2)
     sums = jax.lax.dot_general(
         one_hot, x,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [K, D]
     counts = jnp.sum(one_hot, axis=0)  # [K]
     means = sums / jnp.maximum(counts, 1.0)[:, None]

@@ -9,8 +9,9 @@ Env vars must be set before the first ``import jax`` anywhere.
 import os
 
 # Force CPU even when the environment presets JAX_PLATFORMS (e.g. a TPU
-# plugin registered from sitecustomize); override with SCD_TEST_PLATFORM=tpu
-# to run the suite on hardware.
+# plugin registered from sitecustomize); override with
+# SCD_TEST_PLATFORM=axon to run the suite on the real chip (the hardware
+# platform is named "axon", not "tpu", in this environment).
 _platform = os.environ.get("SCD_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = _platform
 _flags = os.environ.get("XLA_FLAGS", "")
