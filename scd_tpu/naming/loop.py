@@ -158,6 +158,33 @@ def voting_loop_te(nouns: Sequence[str],
                        metrics_cb=metrics_cb)
 
 
+def voting_loop_ptsup_te(nouns: Sequence[str],
+                         name_idx_topk: np.ndarray,
+                         clip_u_feats: np.ndarray,
+                         zeroshot_weights: np.ndarray,
+                         result: "VotingResult",
+                         lab_names: Sequence[str],
+                         n_clusters: int,
+                         cfg: NamingConfig,
+                         alpha: float = 0.5,
+                         metrics_cb=None) -> "VotingResult":
+    """Textual-enhancement round for the partially supervised loop: enhance
+    the visual features with the converged assignment's name embeddings and
+    re-run ``voting_loop_ptsup`` from that assignment (labelled names stay
+    pinned).  Gives the ptsup 'w/TE' rows of the reference tables."""
+    noun_to_col = {n: i for i, n in enumerate(nouns)}
+    cols = [noun_to_col[n] for n in result.cand_names]
+    enhanced = textual_enhancement(clip_u_feats, zeroshot_weights,
+                                   result.u_preds, cols, alpha=alpha)
+    lab_set = set(lab_names)
+    unlab_cluster_idx = [i for i, n in enumerate(result.cand_names)
+                         if n not in lab_set]
+    return voting_loop_ptsup(nouns, name_idx_topk, enhanced,
+                             zeroshot_weights, result.u_preds,
+                             unlab_cluster_idx, lab_names, n_clusters, cfg,
+                             metrics_cb=metrics_cb)
+
+
 def voting_loop_ptsup(nouns: Sequence[str],
                       name_idx_topk: np.ndarray,
                       clip_u_feats: np.ndarray,

@@ -163,6 +163,15 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
                                cfg.cluster.n_clusters, cfg.naming,
                                metrics_cb=metrics_cb)
 
+    if cfg.naming.textual_enhancement:
+        from scd_tpu.naming.loop import voting_loop_ptsup_te
+
+        print("-- textual enhancement round --")
+        result = voting_loop_ptsup_te(nouns, name_idx_u, clip_u, zw, result,
+                                      lab_names, cfg.cluster.n_clusters,
+                                      cfg.naming, alpha=cfg.naming.te_alpha,
+                                      metrics_cb=metrics_cb)
+
     iou = name_set_iou(result.cand_names, gt_names)
     print(f"IoU: {iou}")
     return {"bounds": {"lb": (lb_all, lb_old, lb_new),
