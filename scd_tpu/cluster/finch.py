@@ -37,7 +37,10 @@ def first_neighbors(x: np.ndarray, distance: str = "cosine",
 
         @jax.jit
         def block_nn(rows, row_idx):
-            sim = rows @ xn.T  # [B, N]
+            # full f32 precision: the TPU bf16-pass default perturbs
+            # similarities enough to flip nearest neighbors
+            sim = jnp.matmul(rows, xn.T,
+                             precision=jax.lax.Precision.HIGHEST)  # [B, N]
             d = 1.0 - sim
             d = d.at[jnp.arange(rows.shape[0]), row_idx].set(1000.0)
             return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
