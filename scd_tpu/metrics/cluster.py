@@ -17,7 +17,7 @@ reference's vendored pre-0.21 sklearn Munkres state machine
 (``local_utils/linear_assignment.py:29-289``).  The O(N) contingency build is
 done with a vectorized bincount (the reference loops in Python,
 ``cluster_and_log_utils.py:50-51``); for on-device use see
-``scd_tpu.ops.contingency``.
+``scd_tpu.ops.assignment`` (scatter-add contingency + auction solver).
 """
 
 from __future__ import annotations
