@@ -132,6 +132,38 @@ def bench_vocab_topk(n: int = 8192, d: int = 512, v: int = 68000,
     return n / dt
 
 
+def bench_text_embed(batch: int = 2048, seq: int = 77, k_iters: int = 8):
+    """CLIP text-encoder throughput (prompts/sec) — the vocabulary-embedding
+    stage runs ~68k names x 80 templates = 5.4M prompts through it
+    (reference loops one name at a time, ``clip_lang_util.py:96-108``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models import CLIPModel, clip_vit_b16_config
+
+    cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
+    model = CLIPModel(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32))
+    jax.block_until_ready(variables)
+
+    @jax.jit
+    def run(v, key):
+        def body(acc, k):
+            toks = jax.random.randint(k, (batch, seq), 0, 49408, jnp.int32)
+            out = model.apply(v, toks, method=CLIPModel.encode_text)
+            return acc + out.astype(jnp.float32).sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              jax.random.split(key, k_iters))
+        return acc
+
+    dt = _timed_scalar(run, variables, jax.random.PRNGKey(4),
+                       inner_iters=k_iters)
+    return batch / dt
+
+
 def main():
     from scd_tpu.utils.runtime import enable_compilation_cache
 
@@ -146,6 +178,10 @@ def main():
               file=sys.stderr)
         tk = bench_vocab_topk()
         print(f"[bench] vocab softmax-topk (V=68k): {tk:.0f} imgs/sec",
+              file=sys.stderr)
+        tx = bench_text_embed()
+        print(f"[bench] clip text encoder: {tx:.0f} prompts/sec "
+              f"(68k-name x 80-template vocab in ~{5.44e6 / tx / 60:.1f} min)",
               file=sys.stderr)
     except Exception as e:  # secondary benches must not kill the headline
         print(f"[bench] secondary failed: {e}", file=sys.stderr)
