@@ -55,12 +55,25 @@ def extract_features(encode_image: Callable[[np.ndarray], np.ndarray],
     }
 
 
+def _pipeline_mesh(cfg: PipelineConfig):
+    """A data mesh when >1 device is visible (KM/SSKM shard the instance
+    axis; single-device runs skip the sharding machinery)."""
+    import jax
+
+    if len(jax.devices()) <= 1:
+        return None
+    from scd_tpu.core.mesh import make_mesh
+
+    return make_mesh(cfg.mesh)
+
+
 def run_clustering(cfg: PipelineConfig, feats: Dict[str, np.ndarray]
                    ) -> Dict[str, np.ndarray]:
     """Cluster per config (reference ``main_unsup.py:334-364``).  Returns the
     reference's cluster_result contract: all_preds (None for KM), u_preds,
     u_targets, mask."""
     c = cfg.cluster
+    mesh = _pipeline_mesh(cfg)
     all_feats = feats["all_feats"]
     mask_lab = feats["mask_lab"].astype(bool)
     mask_cls = feats["mask_cls"].astype(bool)
@@ -72,12 +85,12 @@ def run_clustering(cfg: PipelineConfig, feats: Dict[str, np.ndarray]
 
     key = jax.random.PRNGKey(c.seed)
     if c.algorithm == "KM":
-        res = fit_kmeans(key, u_feats, c)
+        res = fit_kmeans(key, u_feats, c, mesh=mesh)
         preds = res.labels
         all_preds = np.full(len(all_feats), -1, np.int64)
         all_preds[~mask_lab] = preds
     elif c.algorithm == "SSKM":
-        res = fit_sskm(key, u_feats, l_feats, l_targets, c)
+        res = fit_sskm(key, u_feats, l_feats, l_targets, c, mesh=mesh)
         all_preds = np.empty(len(all_feats), np.int64)
         all_preds[mask_lab] = res.labels[:mask_lab.sum()]
         all_preds[~mask_lab] = res.labels[mask_lab.sum():]
