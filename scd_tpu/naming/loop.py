@@ -52,7 +52,8 @@ def _reclassify(clip_u_feats: np.ndarray, zeroshot_weights: np.ndarray,
     feats = jnp.asarray(clip_u_feats, dtype=jnp.float32)
     logits = scale * jax.lax.dot_general(
         feats, w_sel, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
     return np.asarray(jnp.argmax(logits, axis=-1))
 
 

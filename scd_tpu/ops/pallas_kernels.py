@@ -153,9 +153,12 @@ def _topk_softmax_kernel(f_ref, w_ref, m_ref, s_ref, v_ref, i_ref, *,
     j = pl.program_id(1)
     # keep native input dtypes for the matmul (bf16 weights run the MXU at
     # 2x and halve the streaming HBM traffic); accumulate in f32
+    # HIGHEST: mosaic supports only DEFAULT/HIGHEST; the bf16-pass default
+    # perturbs logits enough to flip near-tie name rankings
     logits = scale * jax.lax.dot_general(
         f_ref[:], w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [BN, BV]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)  # [BN, BV]
     base = j * block_v
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + base
     logits = jnp.where(col < v_total, logits, -jnp.inf)  # mask V padding

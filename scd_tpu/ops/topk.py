@@ -31,9 +31,10 @@ def classify_topk(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
 
     On TPU with a large vocabulary this dispatches to the fused Pallas
     kernel (``scd_tpu.ops.pallas_kernels.topk_softmax_pallas``): exact
-    semantics, ~1.4x faster than the XLA path, and the [N, V] logits matrix
-    never exists in HBM — at dataset scale (N=128k, V=68k -> 35 GB f32)
-    that is the difference between feasible and not.
+    semantics, ~10% faster than the XLA path at matched (full f32)
+    precision, and the [N, V] logits matrix never exists in HBM — at
+    dataset scale (N=128k, V=68k -> 35 GB f32) that is the difference
+    between feasible and not.
     """
     v = weights.shape[1]
     if (jax.default_backend() == "tpu" and v >= 8192
@@ -50,10 +51,13 @@ def classify_topk(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
 def _classify_topk_xla(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
                        scale: float = 100.0, apply_softmax: bool = True
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    # Precision.HIGH: the bf16-pass default perturbs logits by ~1e-3
+    # relative, enough to flip near-tie name rankings
     logits = scale * jax.lax.dot_general(
         feats.astype(jnp.float32), weights.astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
     # rank on raw logits (softmax is monotonic — identical order), then
     # normalize only the selected values: softmax-then-top_k underflows to
     # exact zeros for saturated rows and degrades top-k to index-order ties
@@ -82,7 +86,8 @@ def classify_topk_sharded(feats, weights, k: int, mesh: Mesh,
         logits = scale * jax.lax.dot_general(
             f.astype(jnp.float32), w_local.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [N, V/s]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH)  # [N, V/s]
         lv, li = jax.lax.top_k(logits, k)  # local candidates (raw logits)
         if apply_softmax:
             # exact global normalizer; rank on raw logits (monotone) and
