@@ -55,7 +55,19 @@ def block_timed(label: str, results: Optional[dict] = None) -> Iterator[None]:
 
 @contextlib.contextmanager
 def profile_trace(out_dir: str) -> Iterator[None]:
-    """jax.profiler trace around a stage (SURVEY §5 tracing gap)."""
+    """jax.profiler trace around a stage (SURVEY §5 tracing gap).
+
+    No-op on tunneled backends (the remote 'axon' transport hangs in
+    ``stop_trace`` waiting for device trace data); real TPU/CPU backends
+    trace normally.  Force with SCD_FORCE_PROFILE=1.
+    """
+    backend = jax.default_backend()
+    if backend not in ("tpu", "cpu") and not os.environ.get(
+            "SCD_FORCE_PROFILE"):
+        print(f"[profile] tracing skipped on backend {backend!r} "
+              "(set SCD_FORCE_PROFILE=1 to force)")
+        yield
+        return
     jax.profiler.start_trace(out_dir)
     try:
         yield
