@@ -12,6 +12,7 @@ sklearn's CPU loop; each probe of K is one compiled fit.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -20,6 +21,110 @@ import numpy as np
 from scd_tpu.core.config import ClusterConfig
 from scd_tpu.cluster.kmeans import fit_kmeans
 from scd_tpu.metrics import cluster_acc
+
+
+def _kpp_masked(key, x, k_active, max_k: int):
+    """k-means++ over ``max_k`` slots; slots >= ``k_active`` (traced) get a
+    far sentinel so the E-step never assigns to them.  One compile serves
+    every probed K — on the remote-compile TPU path, recompiling per K would
+    dominate the whole search."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import pairwise_sqdist  # noqa: F401
+
+    n, d = x.shape
+    sentinel = jnp.full((d,), 1e12, jnp.float32)
+    key, sub = jax.random.split(key)
+    first = jax.random.randint(sub, (), 0, n)
+    centers = jnp.tile(sentinel[None, :], (max_k, 1)).at[0].set(x[first])
+    d2 = jnp.sum((x - x[first]) ** 2, axis=1)
+
+    def body(i, carry):
+        key, centers, d2 = carry
+        key, sub = jax.random.split(key)
+        active = i < k_active
+        prob = d2 / jnp.maximum(d2.sum(), 1e-30)
+        idx = jnp.argmax(jnp.cumsum(prob) >= jax.random.uniform(sub, ()))
+        new_c = jnp.where(active, x[idx], sentinel)
+        centers = centers.at[i].set(new_c)
+        d_new = jnp.sum((x - x[idx]) ** 2, axis=1)
+        d2 = jnp.where(active, jnp.minimum(d2, d_new), d2)
+        return key, centers, d2
+
+    import jax.lax as lax
+
+    _, centers, _ = lax.fori_loop(1, max_k, body, (key, centers, d2))
+    return centers
+
+
+def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
+                         n_init: int = 3, max_iterations: int = 50):
+    """K-means whose cluster count is a TRACED value: clusters >= k_active
+    are far sentinels that never receive points.  Returns (labels [N],
+    inertia).  Compiled once per (shape, max_k); every K in
+    [2, max_k] reuses the same executable."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.segment import segment_mean
+
+    @functools.partial(jax.jit, static_argnames=("max_k", "max_iterations",
+                                                 "n_init"))
+    def run(key, x, k_active, max_k, max_iterations, n_init):
+        def one_restart(sub):
+            centers0 = _kpp_masked(sub, x, k_active, max_k)
+
+            def body(_, carry):
+                centers, _labels, _inertia = carry
+                labels, mindist = estep_assign(x, centers)
+                means, counts = segment_mean(x, labels, max_k)
+                new_centers = jnp.where((counts > 0)[:, None], means,
+                                        centers)
+                return new_centers, labels, jnp.sum(mindist)
+
+            init = (centers0, jnp.zeros((x.shape[0],), jnp.int32),
+                    jnp.float32(0))
+            _c, labels, inertia = jax.lax.fori_loop(
+                0, max_iterations, body, init)
+            return labels, inertia
+
+        keys = jax.random.split(key, n_init)
+        labels, inertias = jax.vmap(one_restart)(keys)
+        best = jnp.argmin(inertias)
+        return labels[best], inertias[best]
+
+    labels, inertia = run(key, jnp.asarray(np.asarray(x, np.float32)),
+                          jnp.asarray(int(k_active)), max_k,
+                          max_iterations, n_init)
+    return np.asarray(labels), float(inertia)
+
+
+def labelled_acc_objective_dynamic(all_feats: np.ndarray,
+                                   targets: np.ndarray,
+                                   mask_lab: np.ndarray, max_k: int,
+                                   n_init: int = 3,
+                                   max_iterations: int = 50,
+                                   seed: int = 0) -> Callable[[int], float]:
+    """Like ``labelled_acc_objective`` but every probe of K reuses ONE
+    compiled k-means (dynamic-K) — the right variant for the remote-compile
+    TPU path, where per-K recompiles would dominate the search."""
+    import jax
+
+    all_feats = np.asarray(all_feats, np.float32)
+    all_feats = all_feats / np.maximum(
+        np.linalg.norm(all_feats, axis=-1, keepdims=True), 1e-12)
+    mask_lab = np.asarray(mask_lab, bool)
+    targets = np.asarray(targets, np.int64)
+
+    def objective(k: int) -> float:
+        labels, _inertia = fit_kmeans_dynamic_k(
+            jax.random.PRNGKey(seed), all_feats, int(k), max_k,
+            n_init=n_init, max_iterations=max_iterations)
+        return float(cluster_acc(targets[mask_lab], labels[mask_lab]))
+
+    return objective
 
 
 def labelled_acc_objective(all_feats: np.ndarray, targets: np.ndarray,
@@ -96,9 +201,15 @@ def scipy_optimise_k(objective: Callable[[int], float], min_k: int,
 def estimate_k(all_feats: np.ndarray, targets: np.ndarray,
                mask_lab: np.ndarray, min_k: int, max_k: int,
                method: str = "binary", verbose: bool = False,
-               objective: Optional[Callable[[int], float]] = None
-               ) -> Tuple[int, float]:
-    obj = objective or labelled_acc_objective(all_feats, targets, mask_lab)
+               objective: Optional[Callable[[int], float]] = None,
+               dynamic_k: bool = True) -> Tuple[int, float]:
+    if objective is not None:
+        obj = objective
+    elif dynamic_k:
+        obj = labelled_acc_objective_dynamic(all_feats, targets, mask_lab,
+                                             max_k=max_k)
+    else:
+        obj = labelled_acc_objective(all_feats, targets, mask_lab)
     if method == "binary":
         return binary_search_k(obj, min_k, max_k, verbose=verbose)
     if method == "brent":

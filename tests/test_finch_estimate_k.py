@@ -84,3 +84,40 @@ def test_estimate_k_on_blobs(blobs):
                                   method="binary", objective=objective)
     assert 3 <= best_k <= 6  # true K = 4
     assert best_acc > 0.8
+
+
+def test_fit_kmeans_dynamic_k_one_compile():
+    """Dynamic-K k-means: one executable serves every probed K (the
+    remote-compile TPU path would otherwise pay a compile per K)."""
+    import jax
+    import numpy as np
+    from sklearn.metrics import normalized_mutual_info_score as nmi
+
+    from scd_tpu.cluster.estimate_k import fit_kmeans_dynamic_k
+    from conftest import make_blobs
+
+    X, y = make_blobs(n_samples=400, n_features=16, centers=8, seed=3)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    inertias = {}
+    for k in (4, 8, 12):
+        labels, inertia = fit_kmeans_dynamic_k(jax.random.PRNGKey(0), X, k,
+                                               max_k=16, n_init=4)
+        assert labels.max() < k  # sentinels never win
+        inertias[k] = inertia
+        if k == 8:
+            assert nmi(y, labels) > 0.9
+    # more clusters -> lower inertia
+    assert inertias[4] > inertias[8] > inertias[12]
+
+
+def test_estimate_k_dynamic_objective():
+    import numpy as np
+
+    from scd_tpu.cluster.estimate_k import estimate_k
+    from conftest import make_blobs
+
+    X, y = make_blobs(n_samples=400, n_features=16, centers=8, seed=3)
+    mask_lab = y < 4
+    best_k, best_acc = estimate_k(X, y, mask_lab, min_k=4, max_k=16,
+                                  method="binary", dynamic_k=True)
+    assert 4 <= best_k <= 16 and best_acc > 0.8
