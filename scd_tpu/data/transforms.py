@@ -133,16 +133,40 @@ def get_transform(name: str = "imagenet", image_size: int = 224,
     if name not in ("imagenet", "cifar", "herbarium", "cutout"):
         raise ValueError(f"unknown transform family {name!r}")
     mean, std = IMAGENET_MEAN, IMAGENET_STD
+    if name == "cifar":  # pytorch-cifar stats (reference :36-38)
+        mean = np.array([0.4914, 0.4822, 0.4465], np.float32)
+        std = np.array([0.2023, 0.1994, 0.2010], np.float32)
     rng = np.random.default_rng(seed)
 
     if not train:
         def eval_fn(img) -> np.ndarray:
             img = _ensure_pil(img)
-            im = _resize_short(img, int(image_size / crop_pct))
-            im = _center_crop(im, image_size)
+            if name == "cifar":  # reference resizes square, no crop (:47)
+                im = img.convert("RGB").resize((image_size, image_size),
+                                               Image.BICUBIC)
+            else:
+                im = _center_crop(
+                    _resize_short(img, int(image_size / crop_pct)),
+                    image_size)
             return _normalize(_to_float(im), mean, std)
 
         return eval_fn
+
+    if name == "cifar":
+        # random crop with 4px padding + flip (reference :40-44)
+        def cifar_train_fn(img) -> np.ndarray:
+            img = _ensure_pil(img).convert("RGB")
+            arr = np.asarray(img, np.uint8)
+            arr = np.pad(arr, ((4, 4), (4, 4), (0, 0)), mode="constant")
+            top = int(rng.integers(0, arr.shape[0] - image_size + 1))
+            left = int(rng.integers(0, arr.shape[1] - image_size + 1))
+            x = arr[top:top + image_size, left:left + image_size]
+            x = x.astype(np.float32) / 255.0
+            if rng.random() < 0.5:
+                x = x[:, ::-1]
+            return _normalize(np.ascontiguousarray(x), mean, std)
+
+        return cifar_train_fn
 
     randaug = None
     if rand_aug is not None:

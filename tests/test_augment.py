@@ -90,3 +90,21 @@ def test_plot_savers(tmp_path):
                     [5, 10], path=str(tmp_path / "c.png"))
     for f in ("t.png", "h.png", "c.png"):
         assert (tmp_path / f).stat().st_size > 0
+
+
+def test_cifar_transform_family():
+    """CIFAR family: 4px-pad random crop + flip train, square-resize eval,
+    pytorch-cifar normalization stats (reference
+    ``gcd/data/augmentations/__init__.py:34-51``)."""
+    img = _img(size=32)
+    train = get_transform("cifar", image_size=32, train=True, seed=0)
+    out = train(img)
+    assert out.shape == (32, 32, 3)
+    ev = get_transform("cifar", image_size=32)(
+        _img(seed=1, size=48))  # non-square-safe resize
+    assert ev.shape == (32, 32, 3)
+    # stats: a mid-gray image normalizes near (0.5-mean)/std
+    grey = Image.fromarray(np.full((32, 32, 3), 128, np.uint8))
+    v = get_transform("cifar", image_size=32)(grey)
+    exp = (128 / 255 - 0.4914) / 0.2023
+    assert abs(v[0, 0, 0] - exp) < 1e-4
