@@ -29,6 +29,37 @@ from scd_tpu.metrics import (
 from scd_tpu.metrics.semantic import evaluate_soft_semantic_acc
 
 
+def _prefetched(batches, depth: int = 2):
+    """Overlap host decode + H2D staging of the next batches with the
+    current batch's device compute: the image batch of iteration n+1 is
+    `jax.device_put` while iteration n's encoder runs.  On the slow
+    host->device link of tunneled TPUs this hides most of the transfer
+    (the reference's torch DataLoader pin_memory analogue)."""
+    import collections
+
+    import jax
+
+    q = collections.deque()
+
+    def stage(item):
+        images, *rest = item
+        return (jax.device_put(images), *rest)
+
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            q.append(stage(next(it)))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        try:
+            q.append(stage(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def extract_features(encode_image: Callable[[np.ndarray], np.ndarray],
                      dataset, train_classes: Sequence[int],
                      batch_size: int = 256, num_workers: int = 8,
@@ -38,8 +69,8 @@ def extract_features(encode_image: Callable[[np.ndarray], np.ndarray],
     mask_cls, targets."""
     feats, targets, mask_lab, mask_cls = [], [], [], []
     train_set = set(int(c) for c in train_classes)
-    for images, labels, _uq, mlab in iterate_batches(dataset, batch_size,
-                                                     num_workers=num_workers):
+    for images, labels, _uq, mlab in _prefetched(
+            iterate_batches(dataset, batch_size, num_workers=num_workers)):
         f = np.asarray(encode_image(images), np.float32)
         if normalize:
             f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
