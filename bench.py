@@ -121,7 +121,7 @@ def bench_vocab_topk(n: int = 8192, d: int = 512, v: int = 68000,
 
         def body(acc, k):
             feats = jax.random.normal(k, (n, d), jnp.float32)
-            idx, vals = classify_topk(feats, w, topk)
+            vals, idx = classify_topk(feats, w, topk)
             return acc + vals.astype(jnp.float32).sum() + idx.sum(), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),

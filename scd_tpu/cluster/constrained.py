@@ -32,7 +32,7 @@ from scd_tpu.cluster.kmeans import KMeansResult
 from scd_tpu.ops.distance import pairwise_sqdist
 from scd_tpu.ops.kpp import kmeans_plus_plus
 from scd_tpu.ops.native import constrained_assign
-from scd_tpu.ops.segment import segment_mean
+from scd_tpu.ops.segment import segment_mean, segment_sums
 from scd_tpu.ops.sinkhorn import sinkhorn_constrained_assign
 
 
@@ -48,8 +48,7 @@ class _State(NamedTuple):
 
 def _labelled_stats(l_feats: jnp.ndarray, l_labels: jnp.ndarray, k: int,
                     n_l_classes: int):
-    means, counts = segment_mean(l_feats, l_labels, k)
-    sums = means * jnp.maximum(counts, 1.0)[:, None]
+    sums, counts = segment_sums(l_feats, l_labels, k)
     centers = (sums / jnp.maximum(counts, 1.0)[:, None])[:n_l_classes]
     return sums, counts, centers
 
@@ -76,8 +75,8 @@ def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
         return assign.labels, inertia, assign.feasible
 
     def mstep(labels, centers):
-        means, counts = segment_mean(u, labels, k)
-        sums = means * jnp.maximum(counts, 1.0)[:, None] + l_sums
+        sums, counts = segment_sums(u, labels, k)
+        sums = sums + l_sums
         counts = counts + l_counts
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         return jnp.where((counts < 0.5)[:, None], centers, new)
@@ -88,7 +87,15 @@ def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
     def body(s: _State):
         labels, inertia, feasible = estep(s.centers)
         new_centers = mstep(labels, s.centers)
-        better = inertia < s.best_inertia
+        # lexicographic (feasible, inertia): an infeasible E-step tends to
+        # have LOWER inertia (points sit at their true nearest centroid), so
+        # a plain inertia comparison would poison best_feasible and force
+        # the expensive exact-MCF fallback even when feasible iterations
+        # existed (mirrors the restart-level ranking below)
+        rank_new = jnp.where(feasible, inertia, jnp.inf)
+        rank_old = jnp.where(s.best_feasible, s.best_inertia, jnp.inf)
+        better = jnp.where(rank_new == rank_old,
+                           inertia < s.best_inertia, rank_new < rank_old)
         shift = jnp.sum(jnp.sqrt(jnp.sum((new_centers - s.centers) ** 2, axis=1)))
         return _State(
             s.it + 1, new_centers, shift ** 2,
@@ -134,8 +141,8 @@ def _fit_constrained_mcf_once(key, u_j, l_sums, l_counts, l_centers,
         inertia = float(d[np.arange(n_u), labels].sum()) + float(l_inertia_fn(centers))
 
         labels_j = jnp.asarray(labels)
-        means, counts = segment_mean(u_j, labels_j, k)
-        sums = means * jnp.maximum(counts, 1.0)[:, None] + l_sums
+        sums, counts = segment_sums(u_j, labels_j, k)
+        sums = sums + l_sums
         counts = counts + l_counts
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
         new_centers = jnp.where((counts < 0.5)[:, None], centers, new_centers)

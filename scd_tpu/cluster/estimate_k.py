@@ -58,46 +58,49 @@ def _kpp_masked(key, x, k_active, max_k: int):
     return centers
 
 
+
+@functools.partial(jax.jit, static_argnames=("max_k", "max_iterations",
+                                             "n_init"))
+def _dynk_run(key, x, k_active, max_k, max_iterations, n_init):
+    """Module-level jitted core: jax.jit caches per function object, so this
+    must NOT be redefined per call — one executable serves every probed K."""
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.segment import segment_mean
+
+    def one_restart(sub):
+        centers0 = _kpp_masked(sub, x, k_active, max_k)
+
+        def body(_, carry):
+            centers, _labels, _inertia = carry
+            labels, mindist = estep_assign(x, centers)
+            means, counts = segment_mean(x, labels, max_k)
+            new_centers = jnp.where((counts > 0)[:, None], means, centers)
+            return new_centers, labels, jnp.sum(mindist)
+
+        init = (centers0, jnp.zeros((x.shape[0],), jnp.int32),
+                jnp.float32(0))
+        _c, labels, inertia = jax.lax.fori_loop(0, max_iterations, body, init)
+        return labels, inertia
+
+    keys = jax.random.split(key, n_init)
+    labels, inertias = jax.vmap(one_restart)(keys)
+    best = jnp.argmin(inertias)
+    return labels[best], inertias[best]
+
+
 def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
                          n_init: int = 3, max_iterations: int = 50):
     """K-means whose cluster count is a TRACED value: clusters >= k_active
     are far sentinels that never receive points.  Returns (labels [N],
     inertia).  Compiled once per (shape, max_k); every K in
     [2, max_k] reuses the same executable."""
-    import jax
     import jax.numpy as jnp
 
-    from scd_tpu.ops.distance import estep_assign
-    from scd_tpu.ops.segment import segment_mean
-
-    @functools.partial(jax.jit, static_argnames=("max_k", "max_iterations",
-                                                 "n_init"))
-    def run(key, x, k_active, max_k, max_iterations, n_init):
-        def one_restart(sub):
-            centers0 = _kpp_masked(sub, x, k_active, max_k)
-
-            def body(_, carry):
-                centers, _labels, _inertia = carry
-                labels, mindist = estep_assign(x, centers)
-                means, counts = segment_mean(x, labels, max_k)
-                new_centers = jnp.where((counts > 0)[:, None], means,
-                                        centers)
-                return new_centers, labels, jnp.sum(mindist)
-
-            init = (centers0, jnp.zeros((x.shape[0],), jnp.int32),
-                    jnp.float32(0))
-            _c, labels, inertia = jax.lax.fori_loop(
-                0, max_iterations, body, init)
-            return labels, inertia
-
-        keys = jax.random.split(key, n_init)
-        labels, inertias = jax.vmap(one_restart)(keys)
-        best = jnp.argmin(inertias)
-        return labels[best], inertias[best]
-
-    labels, inertia = run(key, jnp.asarray(np.asarray(x, np.float32)),
-                          jnp.asarray(int(k_active)), max_k,
-                          max_iterations, n_init)
+    labels, inertia = _dynk_run(key, jnp.asarray(np.asarray(x, np.float32)),
+                                jnp.asarray(int(k_active)), max_k,
+                                max_iterations, n_init)
     return np.asarray(labels), float(inertia)
 
 

@@ -19,43 +19,59 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import functools
+
+import jax
 import numpy as np
 import scipy.sparse as sp
 
 
+@jax.jit
+def _block_nn_cosine(rows, xn, row_idx):
+    import jax.numpy as jnp
+
+    # full f32 precision: the TPU bf16-pass default perturbs similarities
+    # enough to flip nearest neighbors
+    sim = jnp.matmul(rows, xn.T,
+                     precision=jax.lax.Precision.HIGHEST)  # [B, N]
+    d = 1.0 - sim
+    d = d.at[jnp.arange(rows.shape[0]), row_idx].set(jnp.inf)
+    return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
+
+
+@jax.jit
+def _block_nn_l2(rows, xj, row_idx):
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import pairwise_sqdist
+
+    d = jnp.sqrt(pairwise_sqdist(rows, xj))
+    d = d.at[jnp.arange(rows.shape[0]), row_idx].set(jnp.inf)
+    return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
+
+
 def first_neighbors(x: np.ndarray, distance: str = "cosine",
                     block: int = 4096) -> Tuple[np.ndarray, np.ndarray]:
-    """Device blockwise 1-NN. Returns (nn_idx [N], nn_dist [N])."""
-    import jax
+    """Device blockwise 1-NN. Returns (nn_idx [N], nn_dist [N]).
+
+    The dataset is a jit ARGUMENT (a closure would bake it into the HLO as
+    a constant — catastrophic on the remote-compile path at dataset scale),
+    the jitted kernels live at module level so every FINCH merge level
+    reuses the same executables, and self-distance is masked with inf (a
+    finite sentinel mislabels points whose true 1-NN distance exceeds it).
+    """
     import jax.numpy as jnp
 
     x = np.asarray(x, np.float32)
     n = x.shape[0]
     xj = jnp.asarray(x)
     if distance == "cosine":
-        xn = xj / jnp.maximum(jnp.linalg.norm(xj, axis=1, keepdims=True), 1e-12)
-
-        @jax.jit
-        def block_nn(rows, row_idx):
-            # full f32 precision: the TPU bf16-pass default perturbs
-            # similarities enough to flip nearest neighbors
-            sim = jnp.matmul(rows, xn.T,
-                             precision=jax.lax.Precision.HIGHEST)  # [B, N]
-            d = 1.0 - sim
-            d = d.at[jnp.arange(rows.shape[0]), row_idx].set(1000.0)
-            return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
-
-        src = xn
+        src = xj / jnp.maximum(jnp.linalg.norm(xj, axis=1, keepdims=True),
+                               1e-12)
+        block_nn = _block_nn_cosine
     elif distance in ("euclidean", "l2"):
-        from scd_tpu.ops.distance import pairwise_sqdist
-
-        @jax.jit
-        def block_nn(rows, row_idx):
-            d = jnp.sqrt(pairwise_sqdist(rows, xj))
-            d = d.at[jnp.arange(rows.shape[0]), row_idx].set(1000.0)
-            return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
-
         src = xj
+        block_nn = _block_nn_l2
     else:
         raise ValueError(f"unsupported distance {distance!r}")
 
@@ -63,7 +79,7 @@ def first_neighbors(x: np.ndarray, distance: str = "cosine",
     nd = np.empty(n, np.float32)
     for start in range(0, n, block):
         stop = min(start + block, n)
-        idx, dist = block_nn(src[start:stop], jnp.arange(start, stop))
+        idx, dist = block_nn(src[start:stop], src, jnp.arange(start, stop))
         nn[start:stop] = np.asarray(idx)
         nd[start:stop] = np.asarray(dist)
     return nn, nd
@@ -79,19 +95,35 @@ def _pair_dist(x: np.ndarray, i: np.ndarray, j: np.ndarray,
     return np.linalg.norm(a - b, axis=1)
 
 
-def _edges_from_nn(nn: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """All links of the clustering equation: (i, nn_i) plus same-neighbor
-    pairs (i, j) with nn(i) == nn(j)."""
+def _edges_from_nn(nn: np.ndarray,
+                   clique_cap: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """All links of the clustering equation: (i, nn_i) plus the full clique
+    over each same-neighbor group {i : nn(i) == v} — exactly what the
+    reference's ``(A+I)(A+I)^T`` produces (``finch.py:20-45``).  The clique
+    matters under ``min_sim`` pruning: a chain's two short hops can both be
+    pruned while the direct pair survives.  Groups larger than
+    ``clique_cap`` (rare hub points) fall back to chain links to bound the
+    O(g²) edge count."""
     n = len(nn)
     e_i = [np.arange(n)]
     e_j = [nn]
     order = np.argsort(nn, kind="stable")
     sorted_nn = nn[order]
-    # contiguous runs share a neighbor; link consecutive members (enough for
-    # connectivity, and their distances participate in pruning)
-    same = sorted_nn[1:] == sorted_nn[:-1]
-    e_i.append(order[:-1][same])
-    e_j.append(order[1:][same])
+    boundaries = np.flatnonzero(np.diff(sorted_nn)) + 1
+    starts = np.concatenate([[0], boundaries])
+    stops = np.concatenate([boundaries, [len(nn)]])
+    for a, b in zip(starts, stops):
+        g = b - a
+        if g < 2:
+            continue
+        members = order[a:b]
+        if g <= clique_cap:
+            ii, jj = np.triu_indices(g, k=1)
+            e_i.append(members[ii])
+            e_j.append(members[jj])
+        else:  # hub fallback: consecutive chain keeps memory bounded
+            e_i.append(members[:-1])
+            e_j.append(members[1:])
     return np.concatenate(e_i), np.concatenate(e_j)
 
 

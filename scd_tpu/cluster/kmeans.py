@@ -40,7 +40,7 @@ import numpy as np
 from scd_tpu.core.config import ClusterConfig
 from scd_tpu.ops.distance import estep_assign, pairwise_sqdist
 from scd_tpu.ops.kpp import kmeans_plus_plus
-from scd_tpu.ops.segment import segment_mean
+from scd_tpu.ops.segment import segment_mean, segment_sums
 
 
 @dataclasses.dataclass
@@ -83,9 +83,7 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
         return labels, mindist, inertia
 
     def mstep(labels, centers):
-        one_hot_sums, counts = segment_mean(x, labels, k, weights=row_w)
-        # segment_mean returns means; recover sums for the labelled merge
-        sums = one_hot_sums * jnp.maximum(counts, 1.0)[:, None]
+        sums, counts = segment_sums(x, labels, k, weights=row_w)
         if extra_sums is not None:
             sums = sums + extra_sums
             counts = counts + extra_counts
@@ -172,8 +170,7 @@ def _fit_sskm_device(key: jax.Array, u: jnp.ndarray, l: jnp.ndarray,
     row_w = (jnp.arange(u.shape[0]) < n_valid).astype(jnp.float32)
 
     # Labelled structure is constant across iterations and restarts.
-    l_means_part, l_counts = segment_mean(l, l_labels, k)
-    l_sums = l_means_part * jnp.maximum(l_counts, 1.0)[:, None]
+    l_sums, l_counts = segment_sums(l, l_labels, k)
     l_centers = (l_sums / jnp.maximum(l_counts, 1.0)[:, None])[:n_l_classes]
 
     def l_inertia_fn(centers):

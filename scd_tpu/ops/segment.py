@@ -24,14 +24,14 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_mean(x: jnp.ndarray, labels: jnp.ndarray, k: int,
-                 weights: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-cluster mean of ``x`` [N, D] grouped by ``labels`` [N].
+def segment_sums(x: jnp.ndarray, labels: jnp.ndarray, k: int,
+                 weights: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-cluster sums of ``x`` [N, D] grouped by ``labels`` [N].
 
-    Returns (means [K, D], counts [K]).  Means of empty clusters are 0.
-    Implemented as a one-hot matmul so the reduction runs on the MXU and
-    shards cleanly over a data-parallel mesh (the partial sums reduce with a
-    single psum when used inside ``shard_map``).
+    Returns (sums [K, D], counts [K]).  Implemented as a one-hot matmul so
+    the reduction runs on the MXU and shards cleanly over a data-parallel
+    mesh (the partial sums reduce with a single psum under ``shard_map``).
     """
     x = x.astype(jnp.float32)
     one_hot = jax.nn.one_hot(labels, k, dtype=jnp.float32)  # [N, K]
@@ -47,6 +47,13 @@ def segment_mean(x: jnp.ndarray, labels: jnp.ndarray, k: int,
         precision=jax.lax.Precision.HIGHEST,
     )  # [K, D]
     counts = jnp.sum(one_hot, axis=0)  # [K]
+    return sums, counts
+
+
+def segment_mean(x: jnp.ndarray, labels: jnp.ndarray, k: int,
+                 weights: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-cluster mean; means of empty clusters are 0.  See segment_sums."""
+    sums, counts = segment_sums(x, labels, k, weights)
     means = sums / jnp.maximum(counts, 1.0)[:, None]
     return means, counts
 

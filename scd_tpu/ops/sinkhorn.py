@@ -66,11 +66,17 @@ def _sinkhorn_duals(cost: jnp.ndarray, size_min, size_max,
 
 def _within_cluster_rank(labels: jnp.ndarray, key: jnp.ndarray,
                          k: int) -> jnp.ndarray:
-    """Rank of each point inside its cluster when ordered by ``key`` asc."""
+    """Rank of each point inside its cluster when ordered by ``key`` asc.
+    Non-finite keys (callers use inf for non-candidates) rank last within
+    their cluster — normalizing with inf present would NaN the composite
+    sort key and corrupt every rank."""
     n = labels.shape[0]
-    kmin = jnp.min(key)
-    kptp = jnp.maximum(jnp.max(key) - kmin, 1e-12)
-    key_n = (key - kmin) / kptp  # [0, 1]
+    finite = jnp.isfinite(key)
+    fmin = jnp.min(jnp.where(finite, key, jnp.inf))
+    fmax = jnp.max(jnp.where(finite, key, -jnp.inf))
+    kmin = jnp.where(jnp.any(finite), fmin, 0.0)
+    kptp = jnp.maximum(jnp.where(jnp.any(finite), fmax, 1.0) - kmin, 1e-12)
+    key_n = jnp.where(finite, (key - kmin) / kptp, 1.5)  # non-finite: last
     composite = labels.astype(jnp.float32) * 2.0 + key_n
     order = jnp.argsort(composite)
     pos = jnp.zeros((n,), jnp.int32).at[order].set(

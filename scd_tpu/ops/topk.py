@@ -11,7 +11,7 @@ small all-gather — the full N×V matrix never exists in one chip's HBM.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -69,6 +69,52 @@ def _classify_topk_xla(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
     return vals, idx.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("k", "scale", "apply_softmax",
+                                   "model_axis"))
+def _sharded_topk_body(f, w_local, k, scale, apply_softmax, model_axis):
+    logits = scale * jax.lax.dot_general(
+        f.astype(jnp.float32), w_local.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)  # [N, V/s]
+    lv, li = jax.lax.top_k(logits, k)  # local candidates (raw logits)
+    shard_id = jax.lax.axis_index(model_axis)
+    li_global = li + shard_id * w_local.shape[1]
+    # merge on RAW logits: softmaxed values saturate to exact zeros for
+    # dominated candidates, which would degrade the cross-shard merge to
+    # arbitrary tie-breaking; normalize only the merged winners
+    all_v = jax.lax.all_gather(lv, model_axis, axis=1, tiled=True)  # [N, k*s]
+    all_i = jax.lax.all_gather(li_global, model_axis, axis=1, tiled=True)
+    mv, mpos = jax.lax.top_k(all_v, k)
+    mi = jnp.take_along_axis(all_i, mpos, axis=1)
+    if apply_softmax:
+        gmax = jax.lax.pmax(jnp.max(logits, axis=1), model_axis)  # [N]
+        denom = jax.lax.psum(
+            jnp.sum(jnp.exp(logits - gmax[:, None]), axis=1),
+            model_axis)  # [N]
+        mv = jnp.exp(mv - gmax[:, None]) / denom[:, None]
+    return mv, mi.astype(jnp.int32)
+
+
+@lru_cache(maxsize=32)
+def _sharded_topk_fn(mesh: Mesh, k: int, scale: float, apply_softmax: bool,
+                     model_axis: str):
+    """Cached shard_map+jit construction — rebuilding it per call would
+    retrace and recompile the full multi-chip program every time."""
+    from jax.experimental.shard_map import shard_map
+
+    def shard_fn(f, w_local):
+        return _sharded_topk_body.__wrapped__(f, w_local, k, scale,
+                                              apply_softmax, model_axis)
+
+    return jax.jit(shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(None, model_axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    ))
+
+
 def classify_topk_sharded(feats, weights, k: int, mesh: Mesh,
                           scale: float = 100.0, apply_softmax: bool = True,
                           model_axis: str = "model"):
@@ -80,40 +126,9 @@ def classify_topk_sharded(feats, weights, k: int, mesh: Mesh,
     n_shards = mesh.shape[model_axis]
     v = weights.shape[1]
     assert v % n_shards == 0, f"V={v} not divisible by {n_shards} shards"
-    v_local = v // n_shards
 
-    def shard_fn(f, w_local):
-        logits = scale * jax.lax.dot_general(
-            f.astype(jnp.float32), w_local.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH)  # [N, V/s]
-        lv, li = jax.lax.top_k(logits, k)  # local candidates (raw logits)
-        if apply_softmax:
-            # exact global normalizer; rank on raw logits (monotone) and
-            # normalize the selected values only — stable under saturation
-            gmax = jax.lax.pmax(jnp.max(logits, axis=1), model_axis)  # [N]
-            denom = jax.lax.psum(
-                jnp.sum(jnp.exp(logits - gmax[:, None]), axis=1),
-                model_axis)  # [N]
-            lv = jnp.exp(lv - gmax[:, None]) / denom[:, None]
-        shard_id = jax.lax.axis_index(model_axis)
-        li_global = li + shard_id * v_local
-        # merge: gather all shards' candidates, re-top-k
-        all_v = jax.lax.all_gather(lv, model_axis, axis=1, tiled=True)  # [N, k*s]
-        all_i = jax.lax.all_gather(li_global, model_axis, axis=1, tiled=True)
-        mv, mpos = jax.lax.top_k(all_v, k)
-        mi = jnp.take_along_axis(all_i, mpos, axis=1)
-        return mv, mi.astype(jnp.int32)
-
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(None, model_axis)),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
+    fn = _sharded_topk_fn(mesh, k, float(scale), bool(apply_softmax),
+                          model_axis)
     feats = jax.device_put(feats, NamedSharding(mesh, P()))
     weights = jax.device_put(weights, NamedSharding(mesh, P(None, model_axis)))
-    return jax.jit(fn)(feats, weights)
+    return fn(feats, weights)

@@ -121,3 +121,20 @@ def test_estimate_k_dynamic_objective():
     best_k, best_acc = estimate_k(X, y, mask_lab, min_k=4, max_k=16,
                                   method="binary", dynamic_k=True)
     assert 4 <= best_k <= 16 and best_acc > 0.8
+
+
+def test_dynamic_k_reuses_one_executable():
+    """Regression: the jitted dynamic-K core must live at module level —
+    an inner @jax.jit would recompile on every probe (jit caches per
+    function object)."""
+    import jax
+    import numpy as np
+
+    from scd_tpu.cluster.estimate_k import _dynk_run, fit_kmeans_dynamic_k
+    from conftest import make_blobs
+
+    X, _y = make_blobs(n_samples=200, n_features=8, centers=5, seed=1)
+    before = _dynk_run._cache_size()
+    for k in (3, 5, 7, 5):
+        fit_kmeans_dynamic_k(jax.random.PRNGKey(0), X, k, max_k=10, n_init=2)
+    assert _dynk_run._cache_size() == before + 1  # one trace for all K
