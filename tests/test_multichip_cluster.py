@@ -17,6 +17,8 @@ from conftest import make_blobs
 
 @pytest.fixture(scope="module")
 def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device mesh (virtual CPU or multi-chip)")
     return make_mesh(MeshConfig(data=8, model=1))
 
 
