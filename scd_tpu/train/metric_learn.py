@@ -99,8 +99,15 @@ def run_metric_learn(args) -> dict:
                       grad_from_block=args.grad_from_block,
                       n_views=args.n_views, proj_dim=args.proj_dim,
                       batch_size=args.batch_size)
+    mesh = None
+    if args.mesh_data != 1 or args.mesh_model != 1:
+        from scd_tpu.core.config import MeshConfig
+        from scd_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data=args.mesh_data,
+                                    model=args.mesh_model))
     trainer = GCDTrainer(vit_cfg, cfg, seed=args.seed,
-                         total_steps=steps * args.epochs)
+                         total_steps=steps * args.epochs, mesh=mesh)
 
     ctx = init_experiment(vars(args), exp_root=args.exp_root,
                           runner_name="metric_learn")
@@ -173,6 +180,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--exp_root", type=str, default="runs")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel mesh axis size")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel mesh axis size")
     return p
 
 
