@@ -58,8 +58,13 @@ def _labelled_stats(l_feats: jnp.ndarray, l_labels: jnp.ndarray, k: int,
 def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
                               max_iter: int, tol: float, n_init: int,
                               size_min: int, size_max: int,
-                              sk_eps: float, sk_iters: int):
+                              sk_eps: float, sk_iters: int,
+                              n_valid=None):
     n_u = u.shape[0]
+    if n_valid is None:
+        n_valid = jnp.asarray(n_u)
+    row_mask = jnp.arange(n_u) < n_valid  # padded sharding rows carry no mass
+    row_w = row_mask.astype(jnp.float32)
     l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)
 
     def l_inertia(centers):
@@ -69,12 +74,17 @@ def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
     def estep(centers):
         d = pairwise_sqdist(u, centers)
         assign = sinkhorn_constrained_assign(
-            jnp.sqrt(d), k, size_min, size_max, eps=sk_eps, iters=sk_iters)
-        picked = jnp.take_along_axis(d, assign.labels[:, None], axis=1)[:, 0]
-        inertia = jnp.sum(picked) + l_inertia(centers)
+            jnp.sqrt(d), k, size_min, size_max, eps=sk_eps, iters=sk_iters,
+            row_mask=row_mask)
+        # padded rows carry sentinel label k: clamp the gather, zero the sum
+        lab_ix = jnp.minimum(assign.labels, k - 1)
+        picked = jnp.take_along_axis(d, lab_ix[:, None], axis=1)[:, 0]
+        inertia = jnp.sum(picked * row_w) + l_inertia(centers)
         return assign.labels, inertia, assign.feasible
 
     def mstep(labels, centers):
+        # one_hot of the sentinel label k is all-zero, so padded rows drop
+        # out of the segment sums by construction
         sums, counts = segment_sums(u, labels, k)
         sums = sums + l_sums
         counts = counts + l_counts
@@ -106,7 +116,8 @@ def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
         )
 
     def one_restart(sub):
-        centers0 = kmeans_plus_plus(sub, u, k, pre_centers=l_centers)
+        centers0 = kmeans_plus_plus(sub, u, k, pre_centers=l_centers,
+                                    n_valid=n_valid)
         init = _State(jnp.zeros((), jnp.int32), centers0,
                       jnp.full((), jnp.inf, jnp.float32),
                       jnp.zeros((n_u,), jnp.int32),
@@ -160,22 +171,32 @@ def _fit_constrained_mcf_once(key, u_j, l_sums, l_counts, l_centers,
 
 
 def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
-                    l_targets: np.ndarray, cfg: ClusterConfig) -> KMeansResult:
+                    l_targets: np.ndarray, cfg: ClusterConfig,
+                    mesh=None) -> KMeansResult:
     """ConSSKM ``fit_mix``: labelled pinned + size-constrained unlabelled
     E-step (reference ``sskm_constrained.py:87-139,165-187``).
 
     Returned labels follow the reference contract: labelled instances first
-    (remapped class ids), then unlabelled assignments.
+    (remapped class ids), then unlabelled assignments.  Pass ``mesh`` to
+    shard the unlabelled instance axis over chips (sinkhorn backend only;
+    padded rows take a sentinel label and zero transport mass).
     """
     k = cfg.n_clusters
-    u = jnp.asarray(np.asarray(u_feats, np.float32))
+    n_u = int(np.asarray(u_feats).shape[0])
+    if mesh is not None:
+        from scd_tpu.cluster.kmeans import _stage_rows
+
+        u, _n = _stage_rows(u_feats, mesh)
+        n_valid = jnp.asarray(n_u)
+    else:
+        u = jnp.asarray(np.asarray(u_feats, np.float32))
+        n_valid = None
     l = jnp.asarray(np.asarray(l_feats, np.float32))
     l_targets = np.asarray(l_targets).astype(np.int64)
     classes, l_mapped = np.unique(l_targets, return_inverse=True)
     n_l_classes = len(classes)
     if k < n_l_classes:
         raise ValueError(f"n_clusters={k} < labelled classes {n_l_classes}")
-    n_u = u.shape[0]
     if cfg.size_min * k > n_u or cfg.size_max * k < n_u:
         raise ValueError(
             f"infeasible size constraints for {n_u} unlabelled points: "
@@ -186,13 +207,14 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         labels, inertia, centers, n_iter, feasible = _fit_constrained_sinkhorn(
             key, u, l, l_labels, k, n_l_classes, cfg.max_iterations,
             cfg.tolerance, cfg.n_init, cfg.size_min, cfg.size_max,
-            cfg.sinkhorn_epsilon, cfg.sinkhorn_iters)
+            cfg.sinkhorn_epsilon, cfg.sinkhorn_iters, n_valid=n_valid)
         if bool(feasible):
             all_labels = np.concatenate([l_mapped.astype(np.int32),
-                                         np.asarray(labels)])
+                                         np.asarray(labels)[:n_u]])
             return KMeansResult(all_labels, np.asarray(centers),
                                 float(inertia), int(n_iter))
         # fall through to the exact backend if the OT repair didn't converge
+        u = jnp.asarray(np.asarray(u_feats, np.float32))  # unpadded for MCF
 
     # exact MCF backend (also the sinkhorn fallback)
     l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)

@@ -41,8 +41,11 @@ class ConstrainedAssignment(NamedTuple):
 
 
 def _sinkhorn_duals(cost: jnp.ndarray, size_min, size_max,
-                    eps: float, iters: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Log-domain scaling; returns (f [N], g [K]) duals."""
+                    eps: float, iters: int,
+                    row_mask: jnp.ndarray = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Log-domain scaling; returns (f [N], g [K]) duals.  Rows where
+    ``row_mask`` is False carry zero transport mass (sharding padding)."""
     n, k = cost.shape
     f = jnp.zeros((n,), jnp.float32)
     g = jnp.zeros((k,), jnp.float32)
@@ -51,8 +54,11 @@ def _sinkhorn_duals(cost: jnp.ndarray, size_min, size_max,
 
     def body(_, fg):
         f, g = fg
-        # row projection: rows sum to exactly 1
+        # row projection: real rows sum to exactly 1; padded rows get -inf
+        # potential (zero mass everywhere)
         f = -eps * jax.nn.logsumexp((g[None, :] - cost) / eps, axis=1)
+        if row_mask is not None:
+            f = jnp.where(row_mask, f, -jnp.inf)
         # column box projection: scale columns into [size_min, size_max]
         log_col = jax.nn.logsumexp((f[:, None] + g[None, :] - cost) / eps,
                                    axis=0)  # log column sums
@@ -88,36 +94,43 @@ def _within_cluster_rank(labels: jnp.ndarray, key: jnp.ndarray,
 
 
 def _evict_pass(cost, labels, g, size_min, size_max, k):
-    """Move the cheapest members of overfull clusters to clusters with room."""
+    """Move the cheapest members of overfull clusters to clusters with room.
+    Padded rows carry ``labels == k`` (dropped by bincount) and never move:
+    their regret is forced to inf."""
+    real = labels < k
+    labels_ix = jnp.minimum(labels, k - 1)  # safe gather index for pads
     counts = jnp.bincount(labels, length=k)
     excess = jnp.maximum(counts - size_max, 0)
     red = cost - g[None, :]
-    cur = jnp.take_along_axis(red, labels[:, None], axis=1)[:, 0]
+    cur = jnp.take_along_axis(red, labels_ix[:, None], axis=1)[:, 0]
     has_room = (counts < size_max)[None, :]
     not_self = jax.nn.one_hot(labels, k, dtype=jnp.bool_) == False  # noqa: E712
     allowed = has_room & not_self
     masked = jnp.where(allowed, red, jnp.inf)
     alt = jnp.min(masked, axis=1)
     alt_j = jnp.argmin(masked, axis=1).astype(jnp.int32)
-    regret = jnp.where(jnp.isfinite(alt), alt - cur, jnp.inf)
+    regret = jnp.where(jnp.isfinite(alt) & real, alt - cur, jnp.inf)
     rank = _within_cluster_rank(labels, regret, k)
-    evict = (rank < excess[labels]) & jnp.isfinite(regret)
+    evict = (rank < excess[labels_ix]) & jnp.isfinite(regret) & real
     return jnp.where(evict, alt_j, labels)
 
 
 def _steal_pass(cost, labels, g, size_min, size_max, k):
-    """Move the cheapest outside members into underfull clusters."""
+    """Move the cheapest outside members into underfull clusters.  Padded
+    rows (``labels == k``) are never candidates."""
+    real = labels < k
+    labels_ix = jnp.minimum(labels, k - 1)
     counts = jnp.bincount(labels, length=k)
     deficit = jnp.maximum(size_min - counts, 0)
     red = cost - g[None, :]
-    cur = jnp.take_along_axis(red, labels[:, None], axis=1)[:, 0]
+    cur = jnp.take_along_axis(red, labels_ix[:, None], axis=1)[:, 0]
     # sources must keep >= size_min after losing a member
-    src_spare = (counts > size_min)[labels]
+    src_spare = (counts > size_min)[labels_ix]
     dest_underfull = (deficit > 0)[None, :]
     masked = jnp.where(dest_underfull, red, jnp.inf)
     move_cost = jnp.min(masked, axis=1) - cur
     dest = jnp.argmin(masked, axis=1).astype(jnp.int32)
-    candidate = src_spare & jnp.isfinite(move_cost)
+    candidate = src_spare & jnp.isfinite(move_cost) & real
     move_key = jnp.where(candidate, move_cost, jnp.inf)
     rank = _within_cluster_rank(dest, move_key, k)
     move = candidate & (rank < deficit[dest])
@@ -128,21 +141,30 @@ def _steal_pass(cost, labels, g, size_min, size_max, k):
 def sinkhorn_constrained_assign(cost: jnp.ndarray, k: int,
                                 size_min: int, size_max: int,
                                 eps: float = 0.05, iters: int = 200,
-                                repair_passes: int = 8) -> ConstrainedAssignment:
+                                repair_passes: int = 8,
+                                row_mask: jnp.ndarray = None
+                                ) -> ConstrainedAssignment:
     """Size-constrained assignment for cost matrix [N, K] (f32).
 
     ``cost`` should be on the scale of unit-norm distances (the ConSSKM
     caller passes sqrt of squared distances, matching the reference's MCF
     costs); ``eps`` is relative to the cost std.
+
+    ``row_mask`` [N] bool marks real rows; padded rows (sharded runs pad the
+    instance axis) carry no transport mass, take the sentinel label ``k``
+    (excluded from every cluster count), and never participate in repair.
     """
     cost = cost.astype(jnp.float32)
     c_std = jnp.maximum(jnp.std(cost), 1e-6)
     cost_n = cost / c_std
     eff_eps = eps
 
-    _f, g = _sinkhorn_duals(cost_n, size_min, size_max, eff_eps, iters)
+    _f, g = _sinkhorn_duals(cost_n, size_min, size_max, eff_eps, iters,
+                            row_mask=row_mask)
 
     labels = jnp.argmin(cost_n - g[None, :], axis=1).astype(jnp.int32)
+    if row_mask is not None:
+        labels = jnp.where(row_mask, labels, k)
 
     def repair(_, lab):
         lab = _evict_pass(cost_n, lab, g, size_min, size_max, k)

@@ -44,3 +44,26 @@ def test_fit_sskm_sharded(mesh):
     assert res.labels.shape == (len(y),)
     u_nmi = nmi(y[~mask_lab], res.labels[n_lab:])
     assert u_nmi > 0.95
+
+
+def test_fit_constrained_sharded_respects_sizes(mesh):
+    """Sharded ConSSKM: row padding must not corrupt the size constraints
+    (padded rows take the sentinel label and zero transport mass)."""
+    X, y = make_blobs(n_samples=803, n_features=16, centers=8, seed=6)
+    mask_lab = (y < 4) & (np.arange(len(y)) % 4 == 0)
+    n_u = int((~mask_lab).sum())
+    lo, hi = n_u // 8 - 30, n_u // 8 + 40
+    cfg = ClusterConfig(n_clusters=8, n_init=2, max_iterations=6,
+                        size_min=lo, size_max=hi,
+                        constrained_backend="sinkhorn")
+    from scd_tpu.cluster import fit_constrained
+
+    res = fit_constrained(jax.random.PRNGKey(0), X[~mask_lab], X[mask_lab],
+                          y[mask_lab], cfg, mesh=mesh)
+    n_lab = int(mask_lab.sum())
+    u = res.labels[n_lab:]
+    assert len(u) == n_u  # padding sliced away
+    sizes = np.bincount(u, minlength=8)
+    assert sizes.sum() == n_u
+    assert sizes.min() >= lo and sizes.max() <= hi
+    assert nmi(y[~mask_lab], u) > 0.9
