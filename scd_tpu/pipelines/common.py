@@ -127,7 +127,8 @@ def run_clustering(cfg: PipelineConfig, feats: Dict[str, np.ndarray]
         all_preds[~mask_lab] = res.labels[mask_lab.sum():]
         preds = all_preds[~mask_lab]
     elif c.algorithm == "ConSSKM":
-        res = fit_constrained(key, u_feats, l_feats, l_targets, c)
+        res = fit_constrained(key, u_feats, l_feats, l_targets, c,
+                              mesh=mesh)
         all_preds = np.empty(len(all_feats), np.int64)
         all_preds[mask_lab] = res.labels[:mask_lab.sum()]
         all_preds[~mask_lab] = res.labels[mask_lab.sum():]
