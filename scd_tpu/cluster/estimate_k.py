@@ -31,8 +31,6 @@ def _kpp_masked(key, x, k_active, max_k: int):
     import jax
     import jax.numpy as jnp
 
-    from scd_tpu.ops.distance import pairwise_sqdist  # noqa: F401
-
     n, d = x.shape
     sentinel = jnp.full((d,), 1e12, jnp.float32)
     key, sub = jax.random.split(key)
@@ -177,9 +175,8 @@ def binary_search_k(objective: Callable[[int], float], min_k: int,
         diff = big_k - small_k
         middle_k = int(0.5 * diff + small_k)
         acc_middle = objective(middle_k)
-        for k, a in ((middle_k, acc_middle),):
-            if a > best_acc:
-                best_k, best_acc = k, a
+        if acc_middle > best_acc:
+            best_k, best_acc = middle_k, acc_middle
         if verbose:
             print(f"Iter {i}: BigK {big_k}, Acc {acc_big:.4f} | MiddleK "
                   f"{middle_k}, Acc {acc_middle:.4f} | SmallK {small_k}, "
@@ -197,7 +194,9 @@ def scipy_optimise_k(objective: Callable[[int], float], min_k: int,
 
     res = minimize_scalar(lambda k: -objective(int(k)),
                           bounds=(min_k, max_k), method="bounded")
-    best_k = int(round(res.x))
+    # the optimizer only ever evaluated int(res.x) (truncation in the
+    # lambda); return that K so the (K, acc) pair is the one measured
+    best_k = int(res.x)
     return best_k, float(-res.fun)
 
 

@@ -41,20 +41,51 @@ class VotingResult:
     lab_class_index: Optional[List[int]] = None  # ptsup: candidate cols of labelled names
 
 
-def _reclassify(clip_u_feats: np.ndarray, zeroshot_weights: np.ndarray,
-                name_cols: Sequence[int], scale: float) -> np.ndarray:
-    """argmax over the selected name columns (reference ``main_unsup.py:601-614``)."""
+def _reclassify_device(feats, w_sel, scale):
+    """Module-level jitted body (defining jitted fns per call would retrace
+    every invocation — jax.jit caches per function object)."""
     import jax
     import jax.numpy as jnp
 
-    w_sel = jnp.asarray(np.asarray(zeroshot_weights)[:, list(name_cols)],
-                        dtype=jnp.float32)
-    feats = jnp.asarray(clip_u_feats, dtype=jnp.float32)
     logits = scale * jax.lax.dot_general(
         feats, w_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGH)
-    return np.asarray(jnp.argmax(logits, axis=-1))
+    return jnp.argmax(logits, axis=-1)
+
+
+def _te_mix_device(f, w_sel, preds, alpha):
+    import jax.numpy as jnp
+
+    t = w_sel.T[preds]  # [N, D] text embedding of the assigned name
+    mixed = f + alpha * t
+    return mixed / jnp.maximum(
+        jnp.linalg.norm(mixed, axis=-1, keepdims=True), 1e-12)
+
+
+def _jitted(fn):
+    import jax
+
+    return jax.jit(fn)
+
+
+_reclassify_jit = None
+_te_mix_jit = None
+
+
+def _reclassify(clip_u_feats: np.ndarray, zeroshot_weights: np.ndarray,
+                name_cols: Sequence[int], scale: float) -> np.ndarray:
+    """argmax over the selected name columns (reference ``main_unsup.py:601-614``):
+    one jitted dot+argmax program per candidate-count shape."""
+    import jax.numpy as jnp
+
+    global _reclassify_jit
+    if _reclassify_jit is None:
+        _reclassify_jit = _jitted(_reclassify_device)
+    w_sel = jnp.asarray(np.asarray(zeroshot_weights)[:, list(name_cols)],
+                        dtype=jnp.float32)
+    feats = jnp.asarray(clip_u_feats, dtype=jnp.float32)
+    return np.asarray(_reclassify_jit(feats, w_sel, jnp.float32(scale)))
 
 
 def voting_loop(nouns: Sequence[str],
@@ -91,9 +122,14 @@ def voting_loop(nouns: Sequence[str],
 
         prev_voted = cur_voted
         # positional: row i of ind is the i-th cluster in sorted-cluster order;
-        # rows past len(voted_idx) would KeyError in the reference — skip them.
+        # rows past len(voted_idx) would KeyError in the reference — skip
+        # them (loudly: dropped rows break the one-name-per-cluster contract)
         cur_voted = [nouns[voted_idx[col]] for _row, col in ind[:n_clusters]
                      if col < len(voted_idx)]
+        n_dropped = min(n_clusters, len(ind)) - len(cur_voted)
+        if n_dropped:
+            print(f"[voting] {n_dropped} cluster(s) got no candidate name "
+                  f"this round (candidate pool {len(voted_idx)} < clusters)")
         cand_names = list(cur_voted)
 
         u_preds = _reclassify(clip_u_feats, zeroshot_weights,
@@ -121,20 +157,16 @@ def textual_enhancement(clip_u_feats: np.ndarray,
     clip_u_feats [N, D] L2-normalized; zeroshot_weights [D, V];
     u_preds [N] indices into ``name_cols`` (candidate columns).
     """
-    import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def _mix(f, w_sel, preds):
-        t = w_sel.T[preds]  # [N, D] text embedding of the assigned name
-        mixed = f + alpha * t
-        return mixed / jnp.maximum(
-            jnp.linalg.norm(mixed, axis=-1, keepdims=True), 1e-12)
-
+    global _te_mix_jit
+    if _te_mix_jit is None:
+        _te_mix_jit = _jitted(_te_mix_device)
     w_sel = jnp.asarray(
         np.asarray(zeroshot_weights)[:, list(name_cols)], jnp.float32)
-    out = _mix(jnp.asarray(clip_u_feats, jnp.float32), w_sel,
-               jnp.asarray(np.asarray(u_preds), jnp.int32))
+    out = _te_mix_jit(jnp.asarray(clip_u_feats, jnp.float32), w_sel,
+                      jnp.asarray(np.asarray(u_preds), jnp.int32),
+                      jnp.float32(alpha))
     return np.asarray(out)
 
 
@@ -224,6 +256,13 @@ def voting_loop_ptsup(nouns: Sequence[str],
         counters = cluster_name_counters(name_idx_topk, u_preds, cfg.topk)
         counters = {c: [(n, v) for n, v in e if n not in known_name_idx]
                     for c, e in counters.items() if c in unlab_cluster_set}
+        if not counters:
+            # every image reclassified into a labelled name (or all unlab
+            # histograms were pruned away): nothing left to vote on —
+            # terminate with the labelled names as the candidate set
+            # (the reference would crash on a zero-size vote matrix here)
+            cand_names = cand_names or sorted(lab_names)
+            break
 
         voted_idx = sorted({n for e in counters.values()
                             for n, _ in e[:cfg.num_common_vote]})
@@ -239,7 +278,6 @@ def voting_loop_ptsup(nouns: Sequence[str],
         unlab_cluster_idx = [cand_names.index(n)
                              for n in set(cand_names) - set(lab_names)]
         unlab_cluster_set = set(unlab_cluster_idx)
-        known_name_idx = {noun_to_col[n] for n in lab_names}
 
         u_preds = _reclassify(clip_u_feats, zeroshot_weights,
                               [noun_to_col[n] for n in cand_names],

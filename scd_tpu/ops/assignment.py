@@ -90,13 +90,25 @@ def auction_assignment(profit: np.ndarray, eps: Optional[float] = None,
     """Maximize ``sum(profit[i, assign[i]])`` over permutations; returns
     ``assign`` [n] (person -> object).  Exact for integer profits with the
     default ``eps = 1/(n+1)``."""
-    profit = np.asarray(profit, np.float32)
+    profit = np.asarray(profit, np.float64)
     assert profit.ndim == 2 and profit.shape[0] == profit.shape[1], \
         "auction_assignment expects a square profit matrix (pad if needed)"
     n = profit.shape[0]
+    # center: prices track profit magnitudes, and once price ulp exceeds eps
+    # the float32 update `price + (v1-v2) + eps` stalls (two bidders evict
+    # each other forever).  Subtracting the max bounds prices by the profit
+    # RANGE instead of its absolute scale; assignment is shift-invariant.
+    profit = profit - profit.max()
+    profit32 = profit.astype(np.float32)
     if eps is None:
         eps = 1.0 / (n + 1)
-    assign, _it = _auction_device(jnp.asarray(profit),
+    if np.float32(profit32.min()) - np.float32(eps) == np.float32(profit32.min()):
+        # range so large eps is below ulp even after centering: exact host solve
+        from scipy.optimize import linear_sum_assignment
+
+        _r, c = linear_sum_assignment(-profit)
+        return c.astype(np.int64)
+    assign, _it = _auction_device(jnp.asarray(profit32),
                                   jnp.float32(eps), max_iters)
     assign = np.asarray(assign)
     if (assign < 0).any():  # max_iters hit — fall back to exact host solve

@@ -156,10 +156,9 @@ def sinkhorn_constrained_assign(cost: jnp.ndarray, k: int,
     """
     cost = cost.astype(jnp.float32)
     c_std = jnp.maximum(jnp.std(cost), 1e-6)
-    cost_n = cost / c_std
-    eff_eps = eps
+    cost_n = cost / c_std  # eps is hence relative to the cost std
 
-    _f, g = _sinkhorn_duals(cost_n, size_min, size_max, eff_eps, iters,
+    _f, g = _sinkhorn_duals(cost_n, size_min, size_max, eps, iters,
                             row_mask=row_mask)
 
     labels = jnp.argmin(cost_n - g[None, :], axis=1).astype(jnp.int32)
