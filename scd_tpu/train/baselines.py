@@ -18,7 +18,7 @@ uses BatchNorm1d.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -32,7 +32,10 @@ def sinkhorn_knopp(logits: jnp.ndarray, n_iters: int = 3,
     """SwAV-style equality-constrained pseudo-labels (reference
     ``uno_v2.py:72,113-121``).  logits [B, K] -> soft targets [B, K] whose
     rows sum to 1 and columns balance to B/K."""
-    q = jnp.exp(logits.astype(jnp.float32) / epsilon).T  # [K, B]
+    z = logits.astype(jnp.float32) / epsilon
+    # max-shift before exp: unshifted exp overflows f32 for |logit| > ~4.4
+    # at the default epsilon; the shift cancels in the first normalization
+    q = jnp.exp(z - jnp.max(z)).T  # [K, B]
     b = q.shape[1]
     k = q.shape[0]
     q = q / jnp.maximum(jnp.sum(q), 1e-12)
@@ -180,9 +183,12 @@ def autonovel_loss(output1: jnp.ndarray, output1_bar: jnp.ndarray,
                    kl_weight: float = 0.0) -> Dict[str, jnp.ndarray]:
     """The AutoNovel objective (reference ``rerun_autonovel.py:55-84``):
     CE on labelled (second head), pairwise ranking-stats BCE on the
-    unlabelled head across two views, MSE consistency, uniform-KL."""
-    from scd_tpu.train.losses import cross_entropy
+    unlabelled head across two views, MSE consistency, uniform-KL.
 
+    ``feats`` must be the FROZEN backbone features (the ranking-statistics
+    pseudo-labels are only meaningful on a fixed representation — the
+    reference computes them on the frozen extractor, rerun_autonovel.py:64).
+    """
     prob1 = jax.nn.softmax(output1, axis=1)
     prob1_bar = jax.nn.softmax(output1_bar, axis=1)
 
@@ -199,9 +205,11 @@ def autonovel_loss(output1: jnp.ndarray, output1_bar: jnp.ndarray,
         jnp.sum(mask_lab), 1)
 
     consistency = 2.0 * jnp.mean((prob1 - prob1_bar) ** 2)
-    kl = jnp.mean(jnp.sum(
-        prob1 * (jnp.log(prob1 + 1e-12) - jnp.log(1.0 / prob1.shape[1])),
-        axis=1))
+    # collapse regularizer: KL of the BATCH-MEAN prediction to uniform
+    # (per-sample KL would penalize confidence itself)
+    mean_p = jnp.mean(prob1, axis=0)
+    kl = jnp.sum(mean_p * (jnp.log(mean_p + 1e-12)
+                           - jnp.log(1.0 / prob1.shape[1])))
 
     total = loss_ce + loss_bce + rampup_weight * consistency + kl_weight * kl
     return {"loss": total, "ce": loss_ce, "bce": loss_bce,
@@ -261,7 +269,11 @@ def train_uno(key: jax.Array, views: jnp.ndarray, labels: jnp.ndarray,
     import numpy as np
     import optax
 
+    views = jnp.asarray(views, jnp.float32)  # device-resident: avoids a
+    labels = jnp.asarray(labels)              # host->device ship per step
+    mask_lab = jnp.asarray(mask_lab)
     v, n, d = views.shape
+    batch_size = min(batch_size, n)  # n < batch would otherwise yield 0 steps
     model = MultiHeadPrototypes(num_heads=num_heads,
                                 num_prototypes=n_labeled + n_unlabeled)
     params = jax.jit(model.init)(key, views[0, :1])
@@ -317,6 +329,11 @@ def train_autonovel(key: jax.Array, feats: jnp.ndarray,
 
     from scd_tpu.train.schedulers import sigmoid_rampup
 
+    feats = jnp.asarray(feats, jnp.float32)
+    feats_bar = jnp.asarray(feats_bar, jnp.float32)
+    labels = jnp.asarray(labels)
+    mask_lab = jnp.asarray(mask_lab)
+    batch_size = min(batch_size, feats.shape[0])
     model = TwoHeadClassifier(num_labeled=n_labeled,
                               num_unlabeled=n_unlabeled)
     params = jax.jit(model.init)(key, feats[:1])
@@ -324,9 +341,12 @@ def train_autonovel(key: jax.Array, feats: jnp.ndarray,
     opt_state = tx.init(params)
 
     def loss_fn(p, x, x_bar, lab, m_lab, w):
-        o1, o2, trunk = model.apply(p, x)
+        o1, o2, _trunk = model.apply(p, x)
         o1b, _, _ = model.apply(p, x_bar)
-        return autonovel_loss(o1, o1b, o2, trunk, lab, m_lab, w,
+        # ranking stats run on the FROZEN input features: the trainable
+        # trunk is a random projection at init, which would label pairs at
+        # random and drift as it trains
+        return autonovel_loss(o1, o1b, o2, x, lab, m_lab, w,
                               topk=topk)["loss"]
 
     @jax.jit
@@ -376,6 +396,9 @@ def train_supervised(key: jax.Array, feats: jnp.ndarray, labels: jnp.ndarray,
                 x = nn.relu(nn.Dense(hidden_dim, name="fc")(x))
             return nn.Dense(n_classes, name="out")(x)
 
+    feats = jnp.asarray(feats, jnp.float32)
+    labels = jnp.asarray(labels)
+    batch_size = min(batch_size, feats.shape[0])
     model = _Head()
     params = jax.jit(model.init)(key, feats[:1])
     tx = optax.sgd(lr, momentum=0.9)
