@@ -166,7 +166,9 @@ def flat_override(cfg: PipelineConfig, dotted: Sequence[str]) -> PipelineConfig:
         try:
             val = ast.literal_eval(raw)
         except (ValueError, SyntaxError):
-            val = raw
+            # 'false'/'true' must not fall through as truthy strings
+            low = raw.strip().lower()
+            val = {"true": True, "false": False}.get(low, raw)
         if "." in path:
             sec, _, key = path.partition(".")
             nested.setdefault(sec, {})[key] = val

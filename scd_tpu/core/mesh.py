@@ -30,6 +30,10 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices: Optional[Sequence] = No
     model = max(1, cfg.model)
     data = cfg.data if cfg.data > 0 else max(1, n // model)
     use = data * model
+    if use > n:
+        raise ValueError(
+            f"mesh {data}x{model} needs {use} devices but only {n} are "
+            f"visible — lower --mesh_data/--mesh_model or add devices")
     dev_array = np.asarray(devices[:use]).reshape(data, model)
     return Mesh(dev_array, cfg.axis_names)
 

@@ -54,7 +54,7 @@ def evaluate_soft_semantic_acc(u_targets: Sequence[int],
         name_similarity(cand_names[int(p)], cidx_to_cname[int(t)])
         for t, p in zip(u_targets, u_preds)
     ], dtype=np.float64)
-    sims = sims / sims.max()
+    sims = sims / max(float(sims.max()), 1e-12)
     return float(sims.sum() / len(sims))
 
 
@@ -69,7 +69,7 @@ def soft_semantic_acc_from_table(u_targets: np.ndarray,
     index likewise."""
     sims = sim_table[pred_name_idx[np.asarray(u_preds, dtype=np.int64)],
                      target_name_idx[np.asarray(u_targets, dtype=np.int64)]]
-    sims = sims / sims.max()
+    sims = sims / max(float(sims.max()), 1e-12)
     return float(sims.mean())
 
 

@@ -34,7 +34,9 @@ class SyntheticCLIP:
         self.class_colors = {k: np.asarray(v, np.float32)
                              for k, v in class_colors.items()}
         self._names = sorted(self.class_colors, key=len, reverse=True)
-        self._jit_encode = jax.jit(self._encode_batch)
+        # weights enter as jit ARGUMENTS (repo-wide invariant: closures
+        # bake weights into the HLO as constants)
+        self._jit_encode = jax.jit(self._encode_with)
 
     # ------------------------------------------------------------- image side
 
@@ -45,14 +47,16 @@ class SyntheticCLIP:
         sq = jnp.mean(images ** 2, axis=(1, 2))
         return jnp.concatenate([mean, std, sq], axis=-1)
 
-    def _encode_batch(self, images: jnp.ndarray) -> jnp.ndarray:
+    def _encode_with(self, w1: jnp.ndarray, w2: jnp.ndarray,
+                     images: jnp.ndarray) -> jnp.ndarray:
         sig = self._signature(images.astype(jnp.float32))
-        h = jnp.tanh(sig @ self.w1)
-        out = h @ self.w2
+        h = jnp.tanh(sig @ w1)
+        out = h @ w2
         return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
 
     def encode_image(self, images: np.ndarray) -> np.ndarray:
-        return np.asarray(self._jit_encode(jnp.asarray(images)))
+        return np.asarray(self._jit_encode(self.w1, self.w2,
+                                           jnp.asarray(images)))
 
     # -------------------------------------------------------------- text side
 

@@ -21,8 +21,11 @@ import numpy as np
 
 try:
     import regex as re
+    _HAS_REGEX = True
 except ImportError:  # pragma: no cover
     import re  # type: ignore
+
+    _HAS_REGEX = False
 
 SOT = "<|startoftext|>"
 EOT = "<|endoftext|>"
@@ -74,10 +77,17 @@ class CLIPTokenizer:
         self.decoder = {i: tok for tok, i in self.encoder.items()}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
         self.cache: Dict[str, str] = {SOT: SOT, EOT: EOT}
-        self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-            r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
-            re.IGNORECASE)
+        if _HAS_REGEX:
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+                r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+                re.IGNORECASE)
+        else:  # pragma: no cover — stdlib re cannot compile \p classes;
+            # [^\W\d_] == unicode letters, \d == digits under re.UNICODE
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+                r"""[^\W\d_]+|\d|[^\s\w]+""",
+                re.IGNORECASE | re.UNICODE)
 
     def bpe(self, token: str) -> str:
         if token in self.cache:

@@ -19,7 +19,6 @@ reproducibly keyed.
 from __future__ import annotations
 
 import dataclasses
-import hashlib
 import json
 import logging
 import math
@@ -56,10 +55,10 @@ class MetricWriter:
 
     def add_scalars(self, tag: str, values: Dict[str, float],
                     step: Optional[int] = None):
+        # add_scalar already mirrors each "tag/k" to TensorBoard; a second
+        # tb.add_scalars would duplicate every series under "tag_k" sub-runs
         for k, v in values.items():
             self.add_scalar(f"{tag}/{k}", v, step)
-        if self._tb is not None:
-            self._tb.add_scalars(tag, values, step)
 
     def add_hparams(self, hparams: Dict) -> None:
         with open(os.path.join(self.log_dir, "hparams.json"), "w") as f:
@@ -103,6 +102,9 @@ class ExperimentContext:
 
     def close(self):
         self.writer.close()
+        for h in list(self.logger.handlers):  # release the log-file fd
+            h.close()
+            self.logger.removeHandler(h)
 
 
 def _config_to_dict(config) -> dict:
@@ -116,9 +118,12 @@ def _config_to_dict(config) -> dict:
 
 
 def config_hash(config) -> str:
-    """Deterministic short hash of a config for cache/run keying."""
-    blob = json.dumps(_config_to_dict(config), sort_keys=True, default=str)
-    return hashlib.sha256(blob.encode()).hexdigest()[:10]
+    """Deterministic short hash of a config for cache/run keying (the
+    canonical implementation lives in ``scd_tpu.core.config`` — keeping one
+    hash function avoids cache-key mismatches)."""
+    from scd_tpu.core.config import config_hash as _core_hash
+
+    return _core_hash(_config_to_dict(config))
 
 
 def init_experiment(config=None, exp_root: str = "runs",

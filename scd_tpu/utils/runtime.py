@@ -43,10 +43,16 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
 
 @contextlib.contextmanager
 def block_timed(label: str, results: Optional[dict] = None) -> Iterator[None]:
-    """Wall-time a pipeline stage with device completion barrier."""
+    """Wall-time a pipeline stage with a device completion barrier.
+
+    ``jax.effects_barrier`` only waits on effect tokens, not pure jitted
+    work; instead enqueue a trivial computation (ordered after everything
+    already dispatched to the device stream) and block on its result."""
+    import jax.numpy as jnp
+
     t0 = time.perf_counter()
     yield
-    jax.effects_barrier()
+    jax.block_until_ready(jnp.zeros(()) + 0.0)
     dt = time.perf_counter() - t0
     if results is not None:
         results[label] = dt
