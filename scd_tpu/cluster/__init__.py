@@ -1,4 +1,9 @@
-from scd_tpu.cluster.kmeans import KMeansResult, fit_kmeans, fit_sskm  # noqa: F401
+from scd_tpu.cluster.kmeans import (  # noqa: F401
+    KMeansResult,
+    fit_kmeans,
+    fit_kmeans_from_labels,
+    fit_sskm,
+)
 from scd_tpu.cluster.constrained import (  # noqa: F401
     fit_constrained,
     fit_constrained_unsup,

@@ -224,3 +224,40 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     all_labels = np.concatenate([l_mapped.astype(np.int32),
                                  np.asarray(u_labels)[:n_u]])
     return KMeansResult(all_labels, np.asarray(centers), float(inertia), int(n_iter))
+
+
+@partial(jax.jit, static_argnames=("k", "max_iter"))
+def _fit_from_labels_device(x: jnp.ndarray, init_labels: jnp.ndarray,
+                            n_valid: jnp.ndarray, k: int, max_iter: int,
+                            tol: float):
+    row_w = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
+    sums, counts = segment_sums(x, init_labels, k, weights=row_w)
+    centers0 = sums / jnp.maximum(counts, 1.0)[:, None]
+    return _lloyd_loop(x, centers0, k, max_iter, tol, row_w)
+
+
+def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
+                           cfg: ClusterConfig, mesh=None) -> KMeansResult:
+    """K-means warm-started from an existing labelling — e.g. a supervised
+    classifier's predictions (the capability behind the reference launcher
+    ``gcd/bash_scripts/k_means_with_classifier_init.sh``, whose target
+    module is absent from the reference repo).  Deterministic: a single
+    Lloyd run from the label centroids, no k-means++ restarts."""
+    if mesh is not None:
+        x_j, n = _stage_rows(x, mesh)
+        lab = np.full(x_j.shape[0], 0, np.int32)
+        lab[:n] = np.asarray(init_labels, np.int32)
+        lab_j = jax.device_put(jnp.asarray(lab),
+                               x_j.sharding if hasattr(x_j, "sharding")
+                               else None)
+        n_valid = jnp.asarray(n)
+    else:
+        x_j = jnp.asarray(np.asarray(x, np.float32))
+        lab_j = jnp.asarray(np.asarray(init_labels, np.int32))
+        n = x_j.shape[0]
+        n_valid = jnp.asarray(n)
+    labels, inertia, centers, n_iter = _fit_from_labels_device(
+        x_j, lab_j, n_valid, cfg.n_clusters, cfg.max_iterations,
+        cfg.tolerance)
+    return KMeansResult(np.asarray(labels)[:n], np.asarray(centers),
+                        float(inertia), int(n_iter))

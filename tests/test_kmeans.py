@@ -117,3 +117,22 @@ def test_fit_sskm_unlabelled_clusters_get_high_ids(blobs):
                    y[l_mask], cfg)
     assert res.centers.shape == (4, 2)
     assert set(np.unique(res.labels)) <= set(range(4))
+
+
+def test_fit_kmeans_from_labels_warm_start(blobs):
+    """Warm start from an existing labelling (classifier preds) converges to
+    the blob structure even from a noisy init."""
+    from scd_tpu.core.config import ClusterConfig
+    from scd_tpu.cluster import fit_kmeans_from_labels
+
+    X, y = blobs
+    rng = np.random.default_rng(0)
+    noisy = np.where(rng.random(len(y)) < 0.3,
+                     rng.integers(0, 4, len(y)), y)
+    res = fit_kmeans_from_labels(X, noisy,
+                                 ClusterConfig(n_clusters=4,
+                                               max_iterations=50))
+    # warm start recovers most structure from a 30%-corrupted labelling
+    assert nmi(y, res.labels) > nmi(y, noisy)
+    assert nmi(y, res.labels) > 0.85
+    assert res.inertia < np.inf
