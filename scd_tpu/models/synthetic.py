@@ -82,6 +82,15 @@ class SyntheticCLIP:
         return out
 
 
+def synthetic_name_similarity(name_a: str, name_b: str) -> float:
+    """Stand-in for the WordNet lch similarity on synthetic vocabularies
+    (``main_unsup.py:170-188``): exact match scores the lch self-similarity
+    ceiling, anything else a small floor — mirroring lch's bounded-below,
+    maximal-at-identity shape so Soft-sACC printouts are meaningful and
+    testable without WordNet."""
+    return 3.6375861597263857 if name_a == name_b else 0.5
+
+
 def synthetic_vocabulary(class_names: List[str], n_distractors: int = 40,
                          seed: int = 3) -> List[str]:
     """Class names mixed into a larger noun list (stable order)."""

@@ -26,6 +26,7 @@ from scd_tpu.naming.loop import voting_loop_ptsup
 from scd_tpu.naming.templates import IMAGENET_TEMPLATES
 from scd_tpu.naming.vote import topk_names
 from scd_tpu.naming.zeroshot import build_zeroshot_weights
+from scd_tpu.ops.topk import classify_topk
 from scd_tpu.pipelines.common import (
     cluster_cache_key,
     extract_features,
@@ -42,6 +43,35 @@ from scd_tpu.pipelines.unsup import (
 )
 
 
+def zero_shot_preds(clip_feats: np.ndarray, weights: np.ndarray,
+                    scale: float = 100.0, batch: int = 8192) -> np.ndarray:
+    """Streaming zero-shot argmax over a (possibly huge) vocabulary.
+
+    Reference ``get_clip_preds_fast`` (``main_ptsup.py:78-99``) batches rows
+    for the same reason; here each chunk goes through ``classify_topk(k=1)``
+    so on TPU the fused Pallas kernel streams the vocabulary axis and the
+    [N, V] logits matrix never exists in HBM (at ImageNet-100 scale that is
+    127k x 68k = ~34 GB f32 — guaranteed OOM if materialized).
+
+    The final ragged chunk is zero-padded to the chunk size so every call
+    reuses one compiled program (row padding cannot change other rows'
+    argmax).
+    """
+    w = jnp.asarray(weights, jnp.float32)
+    n = len(clip_feats)
+    chunk = min(batch, n)
+    preds = []
+    for i in range(0, n, chunk):
+        f = np.asarray(clip_feats[i:i + chunk], np.float32)
+        rows = len(f)
+        if rows < chunk:
+            f = np.pad(f, ((0, chunk - rows), (0, 0)))
+        _, idx = classify_topk(jnp.asarray(f), w, k=1, scale=scale,
+                               apply_softmax=False)
+        preds.append(np.asarray(idx)[:rows, 0])
+    return np.concatenate(preds).astype(np.int64)
+
+
 def zero_shot_top1(clip_feats: np.ndarray, targets: np.ndarray,
                    cidx_to_cname: Dict[int, str], names: Sequence[str],
                    weights: np.ndarray, scale: float = 100.0) -> float:
@@ -49,10 +79,57 @@ def zero_shot_top1(clip_feats: np.ndarray, targets: np.ndarray,
     (reference ``evaluate_semantic_acc_ub_lb``, ``main_ptsup.py:102-129``)."""
     name_to_idx = {n: i for i, n in enumerate(names)}
     gt = np.array([name_to_idx[cidx_to_cname[int(t)]] for t in targets])
-    logits = scale * jnp.asarray(clip_feats, jnp.float32) @ jnp.asarray(
-        weights, jnp.float32)
-    preds = np.asarray(jnp.argmax(logits, axis=-1))
+    preds = zero_shot_preds(clip_feats, weights, scale=scale)
     return float((preds == gt).mean() * 100.0)
+
+
+def soft_sacc_bounds(clip_u: np.ndarray, u_targets: np.ndarray,
+                     mask: np.ndarray, cidx_to_cname: Dict[int, str],
+                     nouns: Sequence[str], weights: np.ndarray,
+                     name_similarity, scale: float = 100.0) -> Dict:
+    """Soft-sACC lower/upper bound block (``main_ptsup.py:564-585``).
+
+    LB: zero-shot preds over the FULL vocabulary scored with soft-sACC.
+    UB: vocabulary restricted to the ground-truth class names; also prints
+    the number of distinct predictions and the "clip ACC" split-v2 line the
+    reference emits in the same block (``main_ptsup.py:578-580``).
+    Each all/old/new subset normalizes by its own batch max, exactly like
+    the reference's per-call normalization.
+    """
+    from scd_tpu.metrics.semantic import evaluate_soft_semantic_acc
+
+    out: Dict = {}
+
+    def _soft3(preds: np.ndarray, cand: Sequence[str]):
+        vals = []
+        for sel in (np.ones(len(preds), bool), mask, ~mask):
+            if sel.sum() == 0:
+                vals.append(float("nan"))
+                continue
+            vals.append(evaluate_soft_semantic_acc(
+                u_targets[sel], cidx_to_cname, preds[sel], cand,
+                name_similarity))
+        return tuple(vals)
+
+    print("=====Soft sACC lower bound=====")
+    lb_preds = zero_shot_preds(clip_u, weights, scale=scale)
+    s_all, s_old, s_new = _soft3(lb_preds, nouns)
+    print(f"Soft sACC all {s_all},sACC old {s_old}, sACC new {s_new}")
+    out["soft_lb"] = (s_all, s_old, s_new)
+
+    print("=====Soft sACC upper bound=====")
+    noun_cols = {n: i for i, n in enumerate(nouns)}
+    cand = [n.lower().replace("-", "_") for n in cidx_to_cname.values()]
+    zw_sel = np.asarray(weights)[:, [noun_cols[n] for n in cand]]
+    ub_preds = zero_shot_preds(clip_u, zw_sel, scale=scale)
+    print(len(set(ub_preds.tolist())))
+    all_acc, old_acc, new_acc = split_cluster_acc_v2(u_targets, ub_preds, mask)
+    print(f"clip ACC: All {all_acc} | Old {old_acc} | New {new_acc}")
+    out["clip_acc"] = (all_acc, old_acc, new_acc)
+    s_all, s_old, s_new = _soft3(ub_preds, cand)
+    print(f"Soft sACC all {s_all},sACC old {s_old}, sACC new {s_new}")
+    out["soft_ub"] = (s_all, s_old, s_new)
+    return out
 
 
 def run_ptsup(cfg: PipelineConfig) -> Dict:
@@ -134,6 +211,20 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
                             gt_cand, zw_gt)
     print(f"sACC all {ub_all},sACC old {ub_old}, sACC new {ub_new}")
 
+    # ---- Soft-sACC LB/UB + clip ACC (reference main_ptsup.py:564-585,
+    # gated off for CUB exactly like the reference's `if 'cub' != ...`)
+    name_sim = taxonomy.name_similarity if taxonomy else None
+    if name_sim is None and cfg.data.dataset_name == "synthetic":
+        from scd_tpu.models.synthetic import synthetic_name_similarity
+
+        name_sim = synthetic_name_similarity
+    eval_soft = cfg.eval_soft_sacc and cfg.data.dataset_name != "cub"
+    soft_bounds = None
+    if eval_soft and name_sim is not None:
+        soft_bounds = soft_sacc_bounds(clip_u, u_targets, mask, cidx_to_cname,
+                                       nouns, zw, name_sim,
+                                       scale=cfg.naming.logit_scale)
+
     # ---- clustering ACC + voting (reference main_ptsup.py:588-705)
     name_idx, _ = topk_names(clip_all, zw, cfg.naming.topk,
                              scale=cfg.naming.logit_scale)
@@ -148,9 +239,6 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     l_preds = all_preds[mask_lab]
     lab_cluster_idx = sorted(set(l_preds.tolist()))
     unlab_cluster_idx = sorted(set(u_preds.tolist()) - set(lab_cluster_idx))
-
-    name_sim = taxonomy.name_similarity if taxonomy else None
-    eval_soft = cfg.eval_soft_sacc and cfg.data.dataset_name != "cub"
 
     def metrics_cb(it: int, preds: np.ndarray, cand_names: List[str]) -> Dict:
         print(f"iter: {it}")
@@ -176,6 +264,7 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     print(f"IoU: {iou}")
     return {"bounds": {"lb": (lb_all, lb_old, lb_new),
                        "ub": (ub_all, ub_old, ub_new)},
+            "soft_bounds": soft_bounds,
             "cluster_acc": (all_acc, old_acc, new_acc),
             "voting": result, "iou": iou,
             "cidx_to_cname": cidx_to_cname}

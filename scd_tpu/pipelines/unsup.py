@@ -226,6 +226,10 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
     clip_u_feats = clip_all[~mask_lab]
 
     name_sim = taxonomy.name_similarity if taxonomy else None
+    if name_sim is None and cfg.data.dataset_name == "synthetic":
+        from scd_tpu.models.synthetic import synthetic_name_similarity
+
+        name_sim = synthetic_name_similarity
     eval_soft = cfg.eval_soft_sacc and cfg.data.dataset_name != "cub"
 
     def metrics_cb(it: int, preds: np.ndarray, cand_names) -> Dict:

@@ -76,6 +76,16 @@ def test_ptsup_pipeline_synthetic(tmp_path, capsys):
     ub_all = res["bounds"]["ub"][0]
     assert ub_all >= lb_all  # restricting the vocab can only help
     assert ub_all > 90
+    # Soft-sACC LB/UB block (main_ptsup.py:564-585): both bounds printed,
+    # plus the UB "clip ACC" v2 line
+    assert "Soft sACC lower bound" in out
+    assert "Soft sACC upper bound" in out
+    assert "clip ACC: All" in out
+    sb = res["soft_bounds"]
+    assert sb is not None
+    assert 0.0 <= sb["soft_lb"][0] <= 1.0
+    assert sb["soft_ub"][0] >= sb["soft_lb"][0]
+    assert sb["clip_acc"][0] > 0.9  # synthetic zero-shot is near-perfect
     # labelled names must be pinned in the final candidates
     gt_names = list(res["cidx_to_cname"].values())
     assert set(gt_names[:5]) <= set(res["voting"].cand_names)
@@ -92,3 +102,62 @@ def test_pipeline_cli_args():
     assert cfg.cluster.algorithm == "KM"
     assert cfg.cluster.n_clusters == 7
     assert cfg.naming.topk == 3
+
+
+def test_zero_shot_preds_streaming_matches_dense():
+    """Chunked classify_topk(k=1) path == dense argmax, including the padded
+    ragged final chunk (batch=1024 over N=2500)."""
+    import numpy as np
+
+    from scd_tpu.pipelines.ptsup import zero_shot_preds
+
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2500, 64)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    w = rng.standard_normal((64, 512)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=0, keepdims=True)
+
+    preds = zero_shot_preds(feats, w, batch=1024)
+    dense = np.argmax(feats @ w, axis=1)
+    assert preds.shape == (2500,)
+    np.testing.assert_array_equal(preds, dense)
+
+
+def test_soft_sacc_bounds_block(capsys):
+    """soft_sacc_bounds reproduces the reference block semantics on a
+    hand-built fixture: a perfectly-separable embedding gives UB soft-sACC 1
+    and clip ACC 1; LB is pulled down by distractor nouns."""
+    import numpy as np
+
+    from scd_tpu.pipelines.ptsup import soft_sacc_bounds
+
+    # 3 classes with orthogonal CLIP features
+    d = 8
+    cls_vecs = np.eye(3, d, dtype=np.float32)
+    u_targets = np.repeat(np.arange(3), 10)
+    clip_u = cls_vecs[u_targets]
+    mask = u_targets < 2  # classes 0,1 old; 2 new
+    cidx_to_cname = {0: "cat", 1: "dog", 2: "fox"}
+    # vocab: the 3 GT names + a distractor that shadows class 2
+    nouns = ["cat", "dog", "fox", "wolf"]
+    zw = np.zeros((d, 4), np.float32)
+    zw[0, 0] = 1.0  # cat
+    zw[1, 1] = 1.0  # dog
+    zw[2, 2] = 0.5  # fox (weak)
+    zw[2, 3] = 1.0  # wolf shadows fox in the full vocab
+    sim = lambda a, b: 1.0 if a == b else 0.1
+
+    out = soft_sacc_bounds(clip_u, u_targets, mask, cidx_to_cname, nouns, zw,
+                           sim)
+    printed = capsys.readouterr().out
+    assert "Soft sACC lower bound" in printed
+    assert "Soft sACC upper bound" in printed
+    assert "clip ACC: All" in printed
+    # UB: restricted vocab -> all correct
+    assert out["clip_acc"] == (1.0, 1.0, 1.0)
+    assert out["soft_ub"][0] == 1.0
+    # LB: class 2 goes to "wolf" (sim 0.1), so overall = (20 + 10*0.1)/30
+    np.testing.assert_allclose(out["soft_lb"][0], 21.0 / 30.0)
+    # the "new" subset is all-wolf: per-subset batch-max normalization (a
+    # reference quirk we reproduce) rescales 0.1/0.1 -> 1.0
+    np.testing.assert_allclose(out["soft_lb"][2], 1.0)
