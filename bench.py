@@ -2,19 +2,50 @@
 
 Headline metric: CLIP ViT-B/16 image-embedding throughput per chip
 (bf16 compute, the feature-extraction hot loop of the SCD pipeline,
-reference ``main_unsup.py:297-311``).  Secondary metrics (k-means E/M
-iterations/sec, fused vocab top-k) go to stderr.
+reference ``main_unsup.py:297-311``), with analytic FLOPs and MFU so
+progress is measured against the hardware.  Secondary metrics (k-means E/M
+iterations/sec, fused vocab top-k, text encoder) go to stderr.
 
 Measurement protocol (the transport to the TPU in this environment resolves
 buffer futures optimistically, so ``block_until_ready`` on an un-fetched
 output is NOT a reliable fence):
 
-- inputs are generated ON DEVICE with ``jax.random`` (host->device copies
-  through the tunnel run at ~50 MB/s and would swamp the measurement);
+- inputs live ON DEVICE (host->device copies through the tunnel run at
+  ~50 MB/s and would swamp the measurement).  The image batch is generated
+  once outside the timed loop and re-derived per iteration with a cheap
+  key-dependent perturbation — fresh values every iteration (so nothing is
+  loop-hoisted) without paying ~4 ms/iter of Philox normal generation
+  inside the measurement;
 - each benchmark runs K iterations inside ONE jitted ``lax.scan`` whose
   carry chains every iteration into a scalar;
 - the wall time is taken around a host fetch of that scalar — the only
-  operation the transport cannot satisfy without running everything.
+  operation the transport cannot satisfy without running everything;
+- every dispatch through the tunnel carries a ~33 ms fixed round-trip
+  (measured: a no-op 1-iteration scan takes 34 ms wall).  A single timed
+  call would fold that constant into the per-iteration number (it made the
+  round-1 k-means figure 3.7x worse than reality), so each benchmark times
+  the SAME program at two scan lengths and reports the slope
+  ``(t_hi - t_lo) / (k_hi - k_lo)`` — the steady-state per-iteration time,
+  which is what any real pipeline running thousands of batches sees.
+
+FLOP accounting: ``CLIP_VIT_B16_FLOPS_PER_IMG`` counts 2 FLOPs per MAC
+(the MFU convention); the often-quoted "17.6 GFLOPs" for ViT-B/16 is the
+MAC count.  MFU is against the per-chip bf16 peak looked up from the
+device kind (v5e = 197 TFLOP/s).
+
+Why the CLIP tower tops out near ~47% MFU on v5e (measured analysis,
+round 2): the per-layer time splits into ~4.2 ms of dense matmuls that run
+at ~195 TFLOP/s (essentially the chip's measured matmul ceiling at
+K=768-class shapes) and ~3.6 ms of softmax attention that cannot go much
+faster on this hardware: head_dim=64 fills only half the 128-lane MXU
+contraction, L=197 score tiles are small, and the softmax's HBM round-trip
+of the [B, 12, 197, 197] score tensor is already halved by bf16 storage.
+Three Pallas kernel variants (per-head fused, packed-qkv lane-sliced,
+staged-scratch; see ``ops/pallas_kernels.py``) all measured SLOWER than
+the XLA bf16-score path (4.5-5.1 vs 3.6 ms/layer) because Mosaic
+serializes the per-head MXU->VPU->MXU chains.  Raising MFU further would
+require wider heads or longer sequences — model-architecture changes, not
+kernel ones.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md).  We normalize against a nominal 400 imgs/sec for the
@@ -31,19 +62,81 @@ import numpy as np
 
 REFERENCE_NOMINAL_IMGS_PER_SEC = 400.0
 
+# bf16 peak TFLOP/s per chip by device kind (2 FLOPs/MAC convention)
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
 
-def _timed_scalar(jitted, *args, inner_iters):
-    """Run ``jitted(*args)`` (a scan returning one scalar) twice: once to
-    compile + warm, once timed around the scalar fetch."""
-    float(jitted(*args))  # compile + warm
-    t0 = time.perf_counter()
-    val = float(jitted(*args))
-    dt = (time.perf_counter() - t0) / inner_iters
-    assert np.isfinite(val)
-    return dt
+
+def clip_vit_b16_flops_per_img(image_size: int = 224, patch: int = 16,
+                               width: int = 768, depth: int = 12,
+                               heads: int = 12, mlp_ratio: int = 4,
+                               out_dim: int = 512) -> float:
+    """Analytic forward FLOPs (2 per MAC) for the CLIP image tower."""
+    g = image_size // patch
+    n_patch = g * g
+    seq = n_patch + 1
+    head_dim = width // heads
+    conv = n_patch * (patch * patch * 3) * width
+    per_layer = (
+        3 * seq * width * width          # qkv
+        + 2 * heads * seq * seq * head_dim  # scores + AV
+        + seq * width * width            # out proj
+        + 2 * seq * width * (mlp_ratio * width)  # mlp fc1+fc2
+    )
+    proj = width * out_dim
+    return 2.0 * (conv + depth * per_layer + proj)
 
 
-def bench_clip_embed(batch: int = 256, k_iters: int = 8):
+CLIP_VIT_B16_FLOPS_PER_IMG = clip_vit_b16_flops_per_img()
+
+
+def device_peak_tflops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_TFLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return float("nan")
+
+
+def _timed_slope(make_run, k_lo: int, k_hi: int, *args, reps: int = 2):
+    """Two-point timing: ``make_run(k)`` builds a jitted scan of k chained
+    iterations returning one scalar.  Returns seconds per iteration as the
+    slope between the two scan lengths, cancelling the fixed per-dispatch
+    tunnel round-trip (~33 ms) exactly."""
+    times = []
+    for k in (k_lo, k_hi):
+        run = make_run(k)
+        val = float(run(*args))  # compile + warm
+        assert np.isfinite(val)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(*args))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    return (times[1] - times[0]) / (k_hi - k_lo)
+
+
+def _fresh(base, key):
+    """Cheap per-iteration freshening: key-dependent scale keeps every
+    iteration's input distinct (no loop hoisting) at the cost of one
+    elementwise pass instead of a full Philox re-generation."""
+    import jax.numpy as jnp
+
+    eps = (key[0] % 1024).astype(jnp.float32) * 1e-6
+    return base * (1.0 + eps)
+
+
+def bench_clip_embed(batch: int = 256):
     import jax
     import jax.numpy as jnp
 
@@ -64,75 +157,89 @@ def bench_clip_embed(batch: int = 256, k_iters: int = 8):
         jnp.zeros((1, 77), jnp.int32))
     jax.block_until_ready(variables)
 
-    @jax.jit
-    def run(v, key):
-        def body(acc, k):
-            x = jax.random.normal(k, (batch, 224, 224, 3), jnp.float32)
-            out = model.apply(v, x, method=CLIPModel.encode_image)
-            return acc + out.astype(jnp.float32).sum(), None
+    def make_run(k_iters):
+        @jax.jit
+        def run(v, key):
+            base = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jax.random.split(key, k_iters))
-        return acc
+            def body(acc, k):
+                out = model.apply(v, _fresh(base, k),
+                                  method=CLIPModel.encode_image)
+                return acc + out.astype(jnp.float32).sum(), None
 
-    dt = _timed_scalar(run, variables, jax.random.PRNGKey(1),
-                       inner_iters=k_iters)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jax.random.split(key, k_iters))
+            return acc
+
+        return run
+
+    dt = _timed_slope(make_run, 2, 10, variables, jax.random.PRNGKey(1))
     return batch / dt
 
 
-def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100,
-                      k_iters: int = 20):
+def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100):
+    """One full k-means EM iteration (E-step assign + M-step means).
+    ``estep_assign`` pads K to the 128-lane width internally."""
     import jax
     import jax.numpy as jnp
 
     from scd_tpu.ops.distance import estep_assign
     from scd_tpu.ops.segment import segment_mean
 
-    @jax.jit
-    def run(key):
-        kx, kc = jax.random.split(key)
-        x = jax.random.normal(kx, (n, d), jnp.float32)
+    def make_run(k_iters):
+        @jax.jit
+        def run(key):
+            kx, kc = jax.random.split(key)
+            x = jax.random.normal(kx, (n, d), jnp.float32)
 
-        def body(c, _):
-            labels, mindist = estep_assign(x, c)
-            means, _counts = segment_mean(x, labels, k)
-            return means, jnp.sum(mindist)
+            def body(c, _):
+                labels, mindist = estep_assign(x, c)
+                means, _counts = segment_mean(x, labels, k)
+                return means, jnp.sum(mindist)
 
-        c, inertias = jax.lax.scan(
-            body, jax.random.normal(kc, (k, d), jnp.float32), None,
-            length=k_iters)
-        return inertias.sum() + c.sum()
+            c, inertias = jax.lax.scan(
+                body, jax.random.normal(kc, (k, d), jnp.float32), None,
+                length=k_iters)
+            return inertias.sum() + c.sum()
 
-    dt = _timed_scalar(run, jax.random.PRNGKey(2), inner_iters=k_iters)
-    return 1.0 / dt
+        return run
+
+    dt = _timed_slope(make_run, 20, 220, jax.random.PRNGKey(2))
+    # E-step cross-term (N x Kpad x D MACs) + M-step one-hot matmul
+    k_pad = -(-k // 128) * 128
+    flops = 2.0 * n * k_pad * d * 2  # estep matmul + segment-sum matmul
+    return 1.0 / dt, flops * 1.0 / dt
 
 
 def bench_vocab_topk(n: int = 8192, d: int = 512, v: int = 68000,
-                     topk: int = 5, k_iters: int = 10):
+                     topk: int = 5):
     import jax
     import jax.numpy as jnp
 
     from scd_tpu.ops.topk import classify_topk
 
-    @jax.jit
-    def run(key):
-        kw, kf = jax.random.split(key)
-        w = jax.random.normal(kw, (d, v), jnp.float32)
+    def make_run(k_iters):
+        @jax.jit
+        def run(key):
+            kw, kf = jax.random.split(key)
+            w = jax.random.normal(kw, (d, v), jnp.float32)
+            base = jax.random.normal(kf, (n, d), jnp.float32)
 
-        def body(acc, k):
-            feats = jax.random.normal(k, (n, d), jnp.float32)
-            vals, idx = classify_topk(feats, w, topk)
-            return acc + vals.astype(jnp.float32).sum() + idx.sum(), None
+            def body(acc, k):
+                vals, idx = classify_topk(_fresh(base, k), w, topk)
+                return acc + vals.astype(jnp.float32).sum() + idx.sum(), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jax.random.split(kf, k_iters))
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jax.random.split(kf, k_iters))
+            return acc
 
-    dt = _timed_scalar(run, jax.random.PRNGKey(3), inner_iters=k_iters)
+        return run
+
+    dt = _timed_slope(make_run, 4, 20, jax.random.PRNGKey(3))
     return n / dt
 
 
-def bench_text_embed(batch: int = 2048, seq: int = 77, k_iters: int = 8):
+def bench_text_embed(batch: int = 2048, seq: int = 77):
     """CLIP text-encoder throughput (prompts/sec) — the vocabulary-embedding
     stage runs ~68k names x 80 templates = 5.4M prompts through it
     (reference loops one name at a time, ``clip_lang_util.py:96-108``)."""
@@ -148,19 +255,22 @@ def bench_text_embed(batch: int = 2048, seq: int = 77, k_iters: int = 8):
         jnp.zeros((1, 77), jnp.int32))
     jax.block_until_ready(variables)
 
-    @jax.jit
-    def run(v, key):
-        def body(acc, k):
-            toks = jax.random.randint(k, (batch, seq), 0, 49408, jnp.int32)
-            out = model.apply(v, toks, method=CLIPModel.encode_text)
-            return acc + out.astype(jnp.float32).sum(), None
+    def make_run(k_iters):
+        @jax.jit
+        def run(v, key):
+            def body(acc, k):
+                toks = jax.random.randint(k, (batch, seq), 0, 49408,
+                                          jnp.int32)
+                out = model.apply(v, toks, method=CLIPModel.encode_text)
+                return acc + out.astype(jnp.float32).sum(), None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jax.random.split(key, k_iters))
-        return acc
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jax.random.split(key, k_iters))
+            return acc
 
-    dt = _timed_scalar(run, variables, jax.random.PRNGKey(4),
-                       inner_iters=k_iters)
+        return run
+
+    dt = _timed_slope(make_run, 2, 10, variables, jax.random.PRNGKey(4))
     return batch / dt
 
 
@@ -169,12 +279,18 @@ def main():
 
     enable_compilation_cache()
 
+    peak = device_peak_tflops()
     imgs_per_sec = bench_clip_embed()
-    print(f"[bench] clip_embed: {imgs_per_sec:.1f} imgs/sec/chip",
+    tflops = imgs_per_sec * CLIP_VIT_B16_FLOPS_PER_IMG / 1e12
+    mfu = tflops / peak if np.isfinite(peak) else float("nan")
+    print(f"[bench] clip_embed: {imgs_per_sec:.1f} imgs/sec/chip "
+          f"({tflops:.1f} TFLOP/s, MFU {mfu * 100:.1f}% of {peak:.0f} peak, "
+          f"{CLIP_VIT_B16_FLOPS_PER_IMG / 1e9:.2f} GFLOP/img at 2/MAC)",
           file=sys.stderr)
     try:
-        km = bench_kmeans_iter()
-        print(f"[bench] kmeans_em_iter (N=65536,D=768,K=100): {km:.2f} iters/sec",
+        km, km_fl = bench_kmeans_iter()
+        print(f"[bench] kmeans_em_iter (N=65536,D=768,K=100->128pad): "
+              f"{km:.2f} iters/sec ({km_fl / 1e12:.1f} TFLOP/s)",
               file=sys.stderr)
         tk = bench_vocab_topk()
         print(f"[bench] vocab softmax-topk (V=68k): {tk:.0f} imgs/sec",
@@ -191,6 +307,10 @@ def main():
         "value": round(imgs_per_sec, 1),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / REFERENCE_NOMINAL_IMGS_PER_SEC, 2),
+        "flops_per_img": CLIP_VIT_B16_FLOPS_PER_IMG,
+        "tflops_per_sec": round(tflops, 1),
+        "mfu": round(mfu, 4),
+        "peak_tflops": peak,
     }))
 
 

@@ -58,12 +58,11 @@ class TextTransformer(nn.Module):
         x = tok_emb[tokens] + pos_emb[None, :L]
         x = x.astype(c.compute_dtype)
 
-        causal = jnp.tril(jnp.ones((L, L), jnp.bool_))[None, None]
         blk_cfg = ViTConfig(width=c.text_width, depth=c.text_depth,
                             heads=c.text_heads, quick_gelu=True,
                             compute_dtype=c.compute_dtype)
         for i in range(c.text_depth):
-            x = Block(blk_cfg, name=f"block_{i}")(x, mask=causal)
+            x = Block(blk_cfg, name=f"block_{i}")(x, causal=True)
         x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
 
         # pool at the EOT token (highest token id per row, CLIP convention)

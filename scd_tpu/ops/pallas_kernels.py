@@ -255,3 +255,151 @@ def topk_softmax_pallas(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
     if apply_softmax:
         vals = jnp.exp(vals - m[:n]) / s[:n]
     return vals, idx
+
+
+# ------------------------------------------- fused short-sequence attention
+
+def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, l_valid: int,
+                     scale: float, causal: bool):
+    """One program = ``G`` (batch*head) slices; the full [Lp, Lp] score
+    matrix lives only in VMEM/registers.  ViT sequences are short (197
+    image / 77 text tokens) so no online-softmax streaming is needed —
+    the win over XLA is purely not round-tripping the [B, H, L, L] score
+    tensor through HBM (4 passes/layer at B=256 is ~1.9 GB)."""
+    g = q_ref.shape[0]
+    col = None
+    for h in range(g):
+        q = q_ref[h]  # [Lp, d]
+        s = jax.lax.dot_general(
+            q, k_ref[h], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [Lp, Lp] f32
+        if col is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            keep = col < l_valid
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                keep = jnp.logical_and(keep, col <= row)
+        s = jnp.where(keep, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Lp, d]
+        o_ref[h] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "causal", "group",
+                                             "interpret"))
+def vit_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         scale: float, causal: bool = False, group: int = 8,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused softmax attention for short fixed sequences.
+
+    q/k/v: [B, L, H, d] -> out [B, L, H, d] (same dtype as v).  Scores are
+    computed in f32 and never leave the chip.  ``causal`` applies the CLIP
+    text-encoder triangular mask (``clip.py`` builds an explicit tril for
+    the XLA path).
+    """
+    b, l, h, d = q.shape
+    lp = _cdiv(l, 128) * 128
+
+    def to_rows(t):
+        t = jnp.transpose(t, (0, 2, 1, 3)).reshape(b * h, l, d)
+        return jnp.pad(t, ((0, 0), (0, lp - l), (0, 0)))
+
+    qr, kr, vr = to_rows(q), to_rows(k), to_rows(v)
+    bh = b * h
+    g = min(group, bh)
+    bh_pad = _cdiv(bh, g) * g
+    if bh_pad != bh:
+        qr = jnp.pad(qr, ((0, bh_pad - bh), (0, 0), (0, 0)))
+        kr = jnp.pad(kr, ((0, bh_pad - bh), (0, 0), (0, 0)))
+        vr = jnp.pad(vr, ((0, bh_pad - bh), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_vit_attn_kernel, l_valid=l, scale=scale,
+                          causal=causal),
+        grid=(bh_pad // g,),
+        in_specs=[
+            pl.BlockSpec((g, lp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, lp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, lp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, lp, d), v.dtype),
+        interpret=interpret,
+    )(qr, kr, vr)
+
+    out = out[:bh, :l].reshape(b, h, l, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _qkv_attn_kernel(qkv_ref, o_ref, *, heads: int, head_dim: int,
+                     l_valid: int, scale: float, causal: bool):
+    """Heads are static lane-dim slices of the fused qkv projection — the
+    layout the Dense layer already produces — so the wrapper needs NO
+    transposes (the [B,L,H,d] repack in the first kernel version cost more
+    than the fused softmax saved)."""
+    width = heads * head_dim
+    keep = None
+    for h in range(heads):
+        q = qkv_ref[0][:, h * head_dim:(h + 1) * head_dim]
+        k = qkv_ref[0][:, width + h * head_dim:width + (h + 1) * head_dim]
+        v = qkv_ref[0][:, 2 * width + h * head_dim:
+                       2 * width + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [Lp, Lp] f32
+        if keep is None:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            keep = col < l_valid
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                keep = jnp.logical_and(keep, col <= row)
+        s = jnp.where(keep, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(qkv_ref.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Lp, d]
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "causal",
+                                             "interpret"))
+def qkv_attention_pallas(qkv: jnp.ndarray, heads: int, scale: float,
+                         causal: bool = False,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Fused multi-head softmax attention on the packed qkv projection.
+
+    qkv: [B, L, 3*width] (q | k | v concatenated on the feature axis, the
+    native output of the fused qkv Dense) -> out [B, L, width].  One grid
+    step per batch row; scores live only in VMEM.
+    """
+    b, l, w3 = qkv.shape
+    width = w3 // 3
+    head_dim = width // heads
+    lp = _cdiv(l, 128) * 128
+    if lp != l:
+        qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_qkv_attn_kernel, heads=heads, head_dim=head_dim,
+                          l_valid=l, scale=scale, causal=causal),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, lp, w3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, lp, width), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lp, width), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :l]

@@ -68,3 +68,70 @@ def test_topk_softmax_pallas_raw_logits():
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_vit_attention_pallas_matches_xla():
+    """Fused short-seq attention kernel (interpret mode) == XLA dpa, for the
+    image (L=197) and text (L=77, causal) shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.pallas_kernels import vit_attention_pallas
+
+    for (b, l, h, d, causal) in [(2, 197, 12, 64, False),
+                                 (3, 77, 8, 64, True),
+                                 (1, 5, 2, 64, False)]:
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = [jax.random.normal(kk, (b, l, h, d), jnp.float32)
+                   for kk in ks]
+        out = vit_attention_pallas(q, k, v, scale=d ** -0.5, causal=causal,
+                                   interpret=True)
+        mask = (jnp.tril(jnp.ones((l, l), jnp.bool_))[None, None]
+                if causal else None)
+        ref = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+
+
+def test_qkv_attention_pallas_matches_xla():
+    """Packed-qkv attention kernel (interpret mode) == XLA dpa."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.pallas_kernels import qkv_attention_pallas
+
+    for (b, l, h, d, causal) in [(2, 197, 12, 64, False),
+                                 (3, 77, 8, 64, True)]:
+        qkv = jax.random.normal(jax.random.PRNGKey(1), (b, l, 3 * h * d),
+                                jnp.float32)
+        out = qkv_attention_pallas(qkv, heads=h, scale=d ** -0.5,
+                                   causal=causal, interpret=True)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hh = lambda t: t.reshape(b, l, h, d)
+        mask = (jnp.tril(jnp.ones((l, l), jnp.bool_))[None, None]
+                if causal else None)
+        ref = jax.nn.dot_product_attention(
+            hh(q), hh(k), hh(v), mask=mask).reshape(b, l, h * d)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+
+
+def test_manual_attention_bf16_close_to_f32():
+    """The bf16-score attention used on TPU stays within bf16 tolerance of
+    the f32 XLA reference (causal and non-causal)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.vit import _manual_attention_bf16
+
+    for causal in (False, True):
+        ks = jax.random.split(jax.random.PRNGKey(2), 3)
+        q, k, v = [jax.random.normal(kk, (2, 197, 12, 64), jnp.float32)
+                   for kk in ks]
+        got = _manual_attention_bf16(q.astype(jnp.bfloat16),
+                                     k.astype(jnp.bfloat16),
+                                     v.astype(jnp.bfloat16),
+                                     64 ** -0.5, causal)
+        mask = (jnp.tril(jnp.ones((197, 197), jnp.bool_))[None, None]
+                if causal else None)
+        ref = jax.nn.dot_product_attention(q, k, v, mask=mask)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+        assert err < 0.05, err
