@@ -131,6 +131,32 @@ def make_imagenet_1000(root: str) -> Tuple[ImageTable, ImageTable, Dict]:
                             os.path.join(root, "val"))
 
 
+def make_imagenet_127(root: str) -> Tuple[ImageTable, ImageTable, Dict]:
+    """ImageNet-127 (reference ``imagenet.py:395-453``): a 127-class
+    ImageFolder tree whose ``val`` split serves as BOTH the training pool
+    and the test set.  The reference "subsamples" all 127 of 127 classes
+    with seed 0 (``np.random.choice(range(127), size=127, replace=False)``
+    then sorted — an identity permutation, quirk preserved here) so
+    ``class_map`` is the identity and targets keep folder order."""
+    np.random.seed(0)
+    chosen = np.sort(np.random.choice(range(127), size=(127,), replace=False))
+    cls_map = {int(i): j for j, i in enumerate(chosen)}
+
+    val_root = os.path.join(root, "val")
+    paths, targets, classes = scan_imagefolder(val_root)
+
+    def table():
+        t = ImageTable(source=paths.copy(), targets=targets.copy(),
+                       uq_idxs=np.arange(len(targets)),
+                       classnames=classes, load=_pil_loader)
+        keep = np.isin(t.targets, chosen)
+        t = t.select_mask(keep).remap_targets(cls_map)
+        t.uq_idxs = np.arange(len(t))
+        return t
+
+    return table(), table(), {"classes": classes, "class_map": cls_map}
+
+
 # ------------------------------------------------------------------------ cub
 
 def make_cub(root: str) -> Tuple[ImageTable, ImageTable, Dict]:

@@ -25,6 +25,8 @@ _READERS = {
         os.path.join(cfg.root_dir, "ILSVRC12")),
     "imagenet_1000": lambda cfg: D.make_imagenet_1000(
         os.path.join(cfg.root_dir, "ILSVRC12")),
+    "imagenet_127": lambda cfg: D.make_imagenet_127(
+        os.path.join(cfg.root_dir, "imagenet127")),
     "aircraft": lambda cfg: D.make_aircraft(cfg.root_dir),
     "scars": lambda cfg: D.make_scars(cfg.root_dir),
     "herbarium_19": lambda cfg: D.make_herbarium(cfg.root_dir),
@@ -40,6 +42,7 @@ _DEFAULT_SPLITS = {
     "cifar100": (range(80), range(80, 100)),
     "imagenet_100": (range(50), range(50, 100)),
     "imagenet_1000": (range(500), range(500, 1000)),
+    "imagenet_127": (range(64), range(64, 127)),
     "sdogs": (range(60), range(60, 120)),
     "cub": (range(100), range(100, 200)),
     "scars": (range(98), range(98, 196)),

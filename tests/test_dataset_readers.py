@@ -180,3 +180,79 @@ def test_make_herbarium_and_imagenet100(tmp_path):
     expected = len([i for i in range(n_dirs) if i in chosen])
     assert len(whole) == expected and len(test) == expected
     assert len(extra["class_map"]) == 100
+
+
+def test_make_imagenet_127(tmp_path):
+    """ImageNet-127 fixture: 127 wnid dirs under <root>/imagenet127/val
+    serve as both training pool and test set (imagenet.py:395-453);
+    the seed-0 'subsample' is the identity, class_map maps folder order
+    straight through, and the dataset resolves end-to-end through
+    get_datasets."""
+    from scd_tpu.core.config import DataConfig
+    from scd_tpu.data import get_class_splits, get_datasets
+    from scd_tpu.data.datasets import make_imagenet_127
+
+    root = tmp_path / "imagenet127"
+    for i in range(127):
+        _write_jpg(str(root / "val" / f"n{i:08d}" / "i.jpg"),
+                   color=(i, 255 - i, 0))
+    whole, test, extra = make_imagenet_127(str(tmp_path / "imagenet127"))
+    assert len(whole) == 127 and len(test) == 127
+    assert extra["class_map"] == {i: i for i in range(127)}
+    np.testing.assert_array_equal(np.unique(whole.targets),
+                                  np.arange(127))
+
+    cfg = DataConfig(dataset_name="imagenet_127", root_dir=str(tmp_path),
+                     prop_train_labels=0.5)
+    train_classes, unlab_classes = get_class_splits(cfg)
+    assert list(train_classes) == list(range(64))
+    assert list(unlab_classes) == list(range(64, 127))
+    merged, test_ds, unlab_test, extras = get_datasets(cfg)
+    # split invariant (the reference's __main__ check, imagenet.py:456-474):
+    lab = extras["splits"].train_labelled
+    unlab = extras["splits"].train_unlabelled
+    assert not set(lab.uq_idxs.tolist()) & set(unlab.uq_idxs.tolist())
+    assert len(lab) + len(unlab) == 127
+
+
+def test_imagenet_osr_splits():
+    """I21K OSR machinery (imagenet.py:55-199) on a synthetic hypernym
+    tree: tier ordering by semantic distance, and the seed-0 random draw."""
+    from scd_tpu.data.imagenet_osr import (get_imagenet_osr_class_splits,
+                                           osr_difficulty_splits,
+                                           semantic_tree_distances)
+
+    # wnids: a (I1K), b/c/d (I21K); paths leaf->root over shared ancestors
+    class_list = ["a", "b", "c", "d", "animal", "thing"]
+    tree = [
+        [0, 4, 5],   # a -> animal -> thing
+        [1, 4, 5],   # b -> animal -> thing   (closest to a)
+        [2, 5],      # c -> thing             (medium)
+        [3],         # d (no common ancestor) (farthest)
+    ]
+    mat, rows = semantic_tree_distances(tree, class_list, ["a"],
+                                        ["b", "c", "d"])
+    assert rows == ["a"]
+    # a<->b meet at 'animal': path 1 up + 1 down = 2
+    assert mat[0, 0] == 2
+    # a<->c meet at 'thing': a is 2 up, c is 1 up = 3
+    assert mat[0, 1] == 3
+    # a<->d: no common ancestor: 3 + 1 + 1 = 5
+    assert mat[0, 2] == 5
+
+    tiers = osr_difficulty_splits(mat, ["b", "c", "d"], tier_size=1)
+    assert tiers["hard_i21k_classes"] == ["b"]
+    assert tiers["easy_i21k_classes"] == ["d"]
+    assert tiers["medium_i21k_classes"] == ["c"]
+
+    c2i = {w: i for i, w in enumerate(class_list)}
+    got = get_imagenet_osr_class_splits(c2i, ["a"], ["b", "c", "d"],
+                                        num_classes=2, osr_split="random")
+    assert len(got) == 2 and set(got) <= {1, 2, 3}
+    # deterministic across calls (sorted disjoint list + seed 0)
+    assert got == get_imagenet_osr_class_splits(
+        c2i, ["a"], ["b", "c", "d"], num_classes=2, osr_split="random")
+
+    hard = get_imagenet_osr_class_splits(c2i, ["a"], ["b", "c", "d"],
+                                         osr_split="Hard", precomputed=tiers)
+    assert hard == [1]
