@@ -297,7 +297,9 @@ def main():
               file=sys.stderr)
         tx = bench_text_embed()
         print(f"[bench] clip text encoder: {tx:.0f} prompts/sec "
-              f"(68k-name x 80-template vocab in ~{5.44e6 / tx / 60:.1f} min)",
+              f"(68k-name x 80-template vocab in ~{5.44e6 / tx / 60:.1f} min"
+              "/chip; names axis shards linearly over a mesh via "
+              "build_zeroshot_weights(mesh=...) -> ~8x on v5e-8)",
               file=sys.stderr)
     except Exception as e:  # secondary benches must not kill the headline
         print(f"[bench] secondary failed: {e}", file=sys.stderr)

@@ -176,10 +176,13 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
             if cfg.data.zeroshot_weights.endswith(".npz") else \
             np.load(cfg.data.zeroshot_weights)
     else:
+        from scd_tpu.pipelines.common import _pipeline_mesh
+
         zw = cache.load_or_compute(
             "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
             lambda: {"weights": build_zeroshot_weights(
-                encode_text, nouns, IMAGENET_TEMPLATES)})["weights"]
+                encode_text, nouns, IMAGENET_TEMPLATES,
+                mesh=_pipeline_mesh(cfg))})["weights"]
 
     cidx_to_cname = resolve_class_names(
         cfg.data.dataset_name, extras, nouns, zw, encode_text,

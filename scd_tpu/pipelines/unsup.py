@@ -100,6 +100,14 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
     def encode_text(texts) -> np.ndarray:
         return np.asarray(_clip_txt(clip_vars, jnp.asarray(tokenizer(texts))))
 
+    # expose the raw pieces so build_zeroshot_weights can shard the names
+    # axis over a mesh (the ~68k-vocabulary build is the pipeline's longest
+    # cold-start stage and embarrassingly parallel)
+    encode_text.forward = lambda v, toks: clip_model.apply(
+        v, toks, method=CLIPModel.encode_text)
+    encode_text.variables = clip_vars
+    encode_text.tokenize = tokenizer
+
     if name == "clip":
         feat_encode = clip_encode_image
     elif name in ("dino_vit", "gcd"):
@@ -207,10 +215,13 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
             if cfg.data.zeroshot_weights.endswith(".npz") \
             else np.load(cfg.data.zeroshot_weights)
     else:
+        from scd_tpu.pipelines.common import _pipeline_mesh
+
         zw = cache.load_or_compute(
             "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
             lambda: {"weights": build_zeroshot_weights(
-                encode_text, nouns, IMAGENET_TEMPLATES)})["weights"]
+                encode_text, nouns, IMAGENET_TEMPLATES,
+                mesh=_pipeline_mesh(cfg))})["weights"]
 
     cidx_to_cname = resolve_class_names(
         cfg.data.dataset_name, extras, nouns, zw, encode_text,
