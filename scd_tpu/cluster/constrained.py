@@ -30,7 +30,7 @@ import numpy as np
 from scd_tpu.core.config import ClusterConfig
 from scd_tpu.cluster.kmeans import KMeansResult
 from scd_tpu.ops.distance import pairwise_sqdist
-from scd_tpu.ops.kpp import kmeans_plus_plus
+from scd_tpu.ops.kpp import kmeans_plus_plus, kmeans_plus_plus_local_trials
 from scd_tpu.ops.native import constrained_assign
 from scd_tpu.ops.segment import segment_mean, segment_sums
 from scd_tpu.ops.sinkhorn import sinkhorn_constrained_assign
@@ -46,6 +46,23 @@ class _State(NamedTuple):
     best_feasible: jnp.ndarray
 
 
+def _resolve_local_trials(cfg: ClusterConfig, k: int) -> int:
+    """0 = simple kpp; -1 = the vendored package's auto ``2 + int(log k)``
+    (``k_means_constrained_.py:93-96``); >0 = explicit count."""
+    t = cfg.kpp_local_trials
+    return (2 + int(np.log(k))) if t < 0 else t
+
+
+def _seed_centers(key, x, k, local_trials: int, pre_centers=None,
+                  n_valid=None):
+    if local_trials > 0:
+        return kmeans_plus_plus_local_trials(
+            key, x, k, n_local_trials=local_trials, pre_centers=pre_centers,
+            n_valid=n_valid)
+    return kmeans_plus_plus(key, x, k, pre_centers=pre_centers,
+                            n_valid=n_valid)
+
+
 def _labelled_stats(l_feats: jnp.ndarray, l_labels: jnp.ndarray, k: int,
                     n_l_classes: int):
     sums, counts = segment_sums(l_feats, l_labels, k)
@@ -54,12 +71,13 @@ def _labelled_stats(l_feats: jnp.ndarray, l_labels: jnp.ndarray, k: int,
 
 
 @partial(jax.jit, static_argnames=("k", "n_l_classes", "max_iter", "n_init",
-                                   "size_min", "size_max", "sk_iters"))
+                                   "size_min", "size_max", "sk_iters",
+                                   "local_trials"))
 def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
                               max_iter: int, tol: float, n_init: int,
                               size_min: int, size_max: int,
                               sk_eps: float, sk_iters: int,
-                              n_valid=None):
+                              n_valid=None, local_trials: int = 0):
     n_u = u.shape[0]
     if n_valid is None:
         n_valid = jnp.asarray(n_u)
@@ -116,8 +134,8 @@ def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
         )
 
     def one_restart(sub):
-        centers0 = kmeans_plus_plus(sub, u, k, pre_centers=l_centers,
-                                    n_valid=n_valid)
+        centers0 = _seed_centers(sub, u, k, local_trials,
+                                 pre_centers=l_centers, n_valid=n_valid)
         init = _State(jnp.zeros((), jnp.int32), centers0,
                       jnp.full((), jnp.inf, jnp.float32),
                       jnp.zeros((n_u,), jnp.int32),
@@ -141,7 +159,8 @@ def _fit_constrained_mcf_once(key, u_j, l_sums, l_counts, l_centers,
     """One restart with the exact native MCF E-step (host solver, device
     distances/M-step) — the reference's algorithm with the reference's cost
     rounding."""
-    centers = kmeans_plus_plus(key, u_j, k, pre_centers=l_centers)
+    centers = _seed_centers(key, u_j, k, _resolve_local_trials(cfg, k),
+                            pre_centers=l_centers)
     n_u = u_j.shape[0]
     best_labels, best_inertia, best_centers = None, np.inf, None
     it = 0
@@ -207,7 +226,8 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         labels, inertia, centers, n_iter, feasible = _fit_constrained_sinkhorn(
             key, u, l, l_labels, k, n_l_classes, cfg.max_iterations,
             cfg.tolerance, cfg.n_init, cfg.size_min, cfg.size_max,
-            cfg.sinkhorn_epsilon, cfg.sinkhorn_iters, n_valid=n_valid)
+            cfg.sinkhorn_epsilon, cfg.sinkhorn_iters, n_valid=n_valid,
+            local_trials=_resolve_local_trials(cfg, k))
         if bool(feasible):
             all_labels = np.concatenate([l_mapped.astype(np.int32),
                                          np.asarray(labels)[:n_u]])
@@ -250,7 +270,8 @@ def fit_constrained_unsup(key: jax.Array, x: np.ndarray,
         labels, inertia, centers, n_iter, feasible = _fit_constrained_sinkhorn(
             key, x_j, empty_l, empty_labels, k, 0, cfg.max_iterations,
             cfg.tolerance, cfg.n_init, cfg.size_min, cfg.size_max,
-            cfg.sinkhorn_epsilon, cfg.sinkhorn_iters)
+            cfg.sinkhorn_epsilon, cfg.sinkhorn_iters,
+            local_trials=_resolve_local_trials(cfg, k))
         if bool(feasible):
             return KMeansResult(np.asarray(labels), np.asarray(centers),
                                 float(inertia), int(n_iter))

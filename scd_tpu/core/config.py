@@ -63,6 +63,10 @@ class ClusterConfig:
     seed: int = 0
     # Constrained E-step backend: "sinkhorn" (on-device OT) or "mcf" (native C++)
     constrained_backend: str = "sinkhorn"
+    # k-means++ greedy local trials (vendored-package ``_k_init``):
+    # 0 = simple kpp (sskm_constrained.py:28), -1 = auto (2 + int(log k)),
+    # >0 = explicit trial count
+    kpp_local_trials: int = 0
     sinkhorn_epsilon: float = 0.01
     sinkhorn_iters: int = 200
     # chunk of the N axis used by the pallas E-step kernel

@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scd_tpu.ops.distance import pairwise_sqdist
 
@@ -66,6 +67,62 @@ def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
         d_new = jnp.sum((x - new_c) ** 2, axis=1)
         d2 = jnp.where(row_valid, jnp.minimum(d2, d_new), 0.0)
         return key, centers, d2
+
+    if start < k:
+        _, centers, _ = jax.lax.fori_loop(start, k, body, (key, centers, d2))
+    return centers
+
+
+@partial(jax.jit, static_argnames=("k", "n_local_trials"))
+def kmeans_plus_plus_local_trials(key: jax.Array, x: jnp.ndarray, k: int,
+                                  n_local_trials: Optional[int] = None,
+                                  pre_centers: Optional[jnp.ndarray] = None,
+                                  n_valid: Optional[jnp.ndarray] = None
+                                  ) -> jnp.ndarray:
+    """k-means++ with greedy local trials (the vendored package's ``_k_init``,
+    ``k_means_constrained_.py:89-144``): each step samples
+    ``n_local_trials`` candidates D²-proportionally (default
+    ``2 + int(log(k))``) and keeps the one minimizing the resulting
+    potential.  All trials evaluate as ONE [N, T] distance block per step —
+    the greedy inner loop of the reference becomes a vectorized argmin.
+    """
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    t = n_local_trials or (2 + int(np.log(k)))
+    row_valid = (jnp.arange(n) < (n if n_valid is None else n_valid))
+
+    if pre_centers is not None and pre_centers.shape[0] == 0:
+        pre_centers = None
+    centers = jnp.zeros((k, d), jnp.float32)
+    if pre_centers is not None:
+        p = pre_centers.shape[0]
+        centers = centers.at[:p].set(pre_centers.astype(jnp.float32))
+        d2 = jnp.min(pairwise_sqdist(x, pre_centers), axis=1)
+        start = p
+    else:
+        key, sub = jax.random.split(key)
+        first = jax.random.randint(sub, (), 0,
+                                   n if n_valid is None else n_valid)
+        centers = centers.at[0].set(x[first])
+        d2 = jnp.sum((x - x[first]) ** 2, axis=1)
+        start = 1
+
+    d2 = jnp.where(row_valid, d2, 0.0)
+
+    def body(i, carry):
+        key, centers, d2 = carry
+        key, sub = jax.random.split(key)
+        pot = jnp.maximum(d2.sum(), 1e-30)
+        # candidate draw: searchsorted on the unnormalized cumsum, exactly
+        # the reference's rand * current_pot construction
+        r = jax.random.uniform(sub, (t,)) * pot
+        cand = jnp.clip(jnp.searchsorted(jnp.cumsum(d2), r), 0, n - 1)
+        dists = pairwise_sqdist(x, x[cand])  # [N, T]
+        new_d2 = jnp.where(row_valid[:, None],
+                           jnp.minimum(d2[:, None], dists), 0.0)
+        best = jnp.argmin(jnp.sum(new_d2, axis=0))
+        centers = centers.at[i].set(x[cand[best]])
+        return key, centers, new_d2[:, best]
 
     if start < k:
         _, centers, _ = jax.lax.fori_loop(start, k, body, (key, centers, d2))

@@ -91,3 +91,63 @@ def test_fit_constrained_infeasible_raises(blobs):
     with pytest.raises(ValueError):
         fit_constrained(jax.random.PRNGKey(0), X[:100], X[100:150], y[100:150],
                         cfg)
+
+
+def test_kpp_local_trials_lowers_potential(blobs):
+    """Greedy local trials (k_means_constrained_.py:89-144) must not seed
+    worse than simple kpp on average: the k-means++ potential (sum of
+    squared min-distances) is what the greedy step minimizes directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import pairwise_sqdist
+    from scd_tpu.ops.kpp import (kmeans_plus_plus,
+                                 kmeans_plus_plus_local_trials)
+
+    X, _ = blobs
+    x = jnp.asarray(X)
+    k = 8
+
+    def potential(centers):
+        return float(jnp.sum(jnp.min(pairwise_sqdist(x, centers), axis=1)))
+
+    pots_simple, pots_local = [], []
+    for s in range(10):
+        key = jax.random.PRNGKey(s)
+        pots_simple.append(potential(kmeans_plus_plus(key, x, k)))
+        pots_local.append(potential(
+            kmeans_plus_plus_local_trials(key, x, k)))
+    assert np.mean(pots_local) <= np.mean(pots_simple)
+
+
+def test_kpp_local_trials_respects_pins_and_padding():
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.kpp import kmeans_plus_plus_local_trials
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 4)).astype(np.float32)
+    x[50:] = 1e6  # padded rows: must never be chosen
+    pre = jnp.asarray(x[:2])
+    centers = kmeans_plus_plus_local_trials(
+        jax.random.PRNGKey(0), jnp.asarray(x), 6, pre_centers=pre,
+        n_valid=jnp.asarray(50))
+    got = np.asarray(centers)
+    np.testing.assert_array_equal(got[:2], x[:2])  # pins kept
+    assert np.abs(got).max() < 1e5  # no padded row selected
+
+
+def test_fit_constrained_unsup_local_trials(blobs):
+    import jax
+
+    from scd_tpu.cluster.constrained import fit_constrained_unsup
+    from scd_tpu.core.config import ClusterConfig
+
+    X, y = blobs
+    cfg = ClusterConfig(algorithm="ConSSKM", n_clusters=4, n_init=2,
+                        max_iterations=15, size_min=50, size_max=250,
+                        kpp_local_trials=-1)
+    res = fit_constrained_unsup(jax.random.PRNGKey(0), X, cfg)
+    counts = np.bincount(res.labels, minlength=4)
+    assert counts.min() >= 50 and counts.max() <= 250
