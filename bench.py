@@ -239,10 +239,13 @@ def bench_vocab_topk(n: int = 8192, d: int = 512, v: int = 68000,
     return n / dt
 
 
-def bench_text_embed(batch: int = 2048, seq: int = 77):
+def bench_text_embed(batch: int = 2048, seq: int = 32):
     """CLIP text-encoder throughput (prompts/sec) — the vocabulary-embedding
     stage runs ~68k names x 80 templates = 5.4M prompts through it
-    (reference loops one name at a time, ``clip_lang_util.py:96-108``)."""
+    (reference loops one name at a time, ``clip_lang_util.py:96-108``).
+    Default seq=32: the EOT-bucket truncation the vocab build uses
+    (``naming/zeroshot.py::truncate_to_eot_bucket`` — exact for the causal
+    EOT-pooled tower; typical vocabulary prompts are 10-20 tokens)."""
     import jax
     import jax.numpy as jnp
 
@@ -296,7 +299,8 @@ def main():
         print(f"[bench] vocab softmax-topk (V=68k): {tk:.0f} imgs/sec",
               file=sys.stderr)
         tx = bench_text_embed()
-        print(f"[bench] clip text encoder: {tx:.0f} prompts/sec "
+        print(f"[bench] clip text encoder (seq=32 EOT bucket): {tx:.0f} "
+              f"prompts/sec "
               f"(68k-name x 80-template vocab in ~{5.44e6 / tx / 60:.1f} min"
               "/chip; names axis shards linearly over a mesh via "
               "build_zeroshot_weights(mesh=...) -> ~8x on v5e-8)",

@@ -153,40 +153,91 @@ def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
             feas[best])
 
 
+@jax.jit
+def _mcf_initial_costs(u, centers):
+    """Distances to the seed centers + the reference's int32 cost rounding
+    (``round(1000*sqrt(dist))``, ``sskm_constrained.py:324``)."""
+    d = pairwise_sqdist(u, centers)
+    return d, jnp.around(jnp.sqrt(d) * 1000.0).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _mcf_device_step(u, centers, d, labels, l_sums, l_counts, l, l_labels,
+                     k: int):
+    """The whole per-Lloyd-iteration device side as ONE compiled program:
+    inertia of the solver's labels (against the distances they were solved
+    on), the M-step, the convergence shift, and the NEXT iteration's rounded
+    cost matrix.  Through the TPU tunnel every eager op is a separate remote
+    dispatch (~33 ms round-trip); the previous op-by-op loop spent ~8 round
+    trips per iteration where this spends one dispatch + one cost fetch.
+    """
+    picked = jnp.take_along_axis(d, labels[:, None], axis=1)[:, 0]
+    l_diff = l.astype(jnp.float32) - centers[l_labels]
+    inertia = picked.sum() + jnp.sum(l_diff * l_diff)
+    sums, counts = segment_sums(u, labels, k)
+    sums = sums + l_sums
+    counts = counts + l_counts
+    new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
+    new_centers = jnp.where((counts < 0.5)[:, None], centers, new_centers)
+    shift = jnp.sum(jnp.sqrt(jnp.sum((new_centers - centers) ** 2, axis=1)))
+    d_next = pairwise_sqdist(u, new_centers)
+    costs_next = jnp.around(jnp.sqrt(d_next) * 1000.0).astype(jnp.int32)
+    return new_centers, d_next, costs_next, jnp.stack([inertia, shift * shift])
+
+
 def _fit_constrained_mcf_once(key, u_j, l_sums, l_counts, l_centers,
-                              l_inertia_fn, cfg: ClusterConfig,
+                              l, l_labels, cfg: ClusterConfig,
                               k: int) -> Tuple[np.ndarray, float, np.ndarray, int]:
     """One restart with the exact native MCF E-step (host solver, device
     distances/M-step) — the reference's algorithm with the reference's cost
-    rounding."""
+    rounding.  The final iteration's eagerly-computed next costs are wasted
+    work (one small matmul), the price of the single-dispatch loop."""
     centers = _seed_centers(key, u_j, k, _resolve_local_trials(cfg, k),
                             pre_centers=l_centers)
-    n_u = u_j.shape[0]
+    d, costs = _mcf_initial_costs(u_j, centers)
+    costs_host = np.asarray(costs)
     best_labels, best_inertia, best_centers = None, np.inf, None
     it = 0
     for it in range(1, cfg.max_iterations + 1):
-        d = np.asarray(pairwise_sqdist(u_j, centers))
-        costs = np.around(np.sqrt(d) * 1000.0).astype(np.int32)
-        labels = constrained_assign(costs, cfg.size_min, cfg.size_max)
-        inertia = float(d[np.arange(n_u), labels].sum()) + float(l_inertia_fn(centers))
-
-        labels_j = jnp.asarray(labels)
-        sums, counts = segment_sums(u_j, labels_j, k)
-        sums = sums + l_sums
-        counts = counts + l_counts
-        new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
-        new_centers = jnp.where((counts < 0.5)[:, None], centers, new_centers)
-
+        labels = constrained_assign(costs_host, cfg.size_min, cfg.size_max)
+        centers_new, d, costs, scalars = _mcf_device_step(
+            u_j, centers, d, jnp.asarray(labels), l_sums, l_counts, l,
+            l_labels, k)
+        costs_host = np.asarray(costs)
+        inertia, shift_sq = (float(v) for v in np.asarray(scalars))
         if inertia < best_inertia:
-            best_labels, best_inertia = labels, inertia
-            best_centers = np.asarray(new_centers)
-
-        shift = float(jnp.sum(jnp.sqrt(jnp.sum((new_centers - centers) ** 2,
-                                               axis=1))))
-        centers = new_centers
-        if shift ** 2 < cfg.tolerance:
+            best_labels, best_inertia, best_centers = labels, inertia, centers_new
+        centers = centers_new
+        if shift_sq < cfg.tolerance:
             break
-    return best_labels, best_inertia, best_centers, it
+    return best_labels, best_inertia, np.asarray(best_centers), it
+
+
+def _run_mcf_restarts(keys, run_one, cfg: ClusterConfig):
+    """Run the exact-MCF restarts concurrently and keep the best inertia.
+
+    The native solver call releases the GIL for its whole duration
+    (ctypes foreign call), so while one restart blocks in C++ push-relabel
+    another thread dispatches device distances / M-steps — the overlap the
+    reference's joblib restart pool got from separate processes
+    (``sskm_constrained.py:177-187``), without pickling features.  Selection
+    is deterministic: results are ranked in restart-key order with a strict
+    ``<``, identical to the serial loop.
+    """
+    n = len(keys)
+    workers = cfg.mcf_restart_threads if cfg.mcf_restart_threads > 0 else min(n, 4)
+    if workers == 1 or n == 1:
+        results = [run_one(sub) for sub in keys]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(run_one, keys))
+    best = None
+    for r in results:
+        if best is None or r[1] < best[1]:
+            best = r
+    return best
 
 
 def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
@@ -239,17 +290,11 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     # exact MCF backend (also the sinkhorn fallback)
     l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)
 
-    def l_inertia_fn(centers):
-        diff = l.astype(jnp.float32) - centers[l_labels]
-        return jnp.sum(diff * diff)
-
-    best = None
-    for sub in jax.random.split(key, cfg.n_init):
-        labels, inertia, centers, n_iter = _fit_constrained_mcf_once(
-            sub, u, l_sums, l_counts, l_centers, l_inertia_fn, cfg, k)
-        if best is None or inertia < best[1]:
-            best = (labels, inertia, centers, n_iter)
-    labels, inertia, centers, n_iter = best
+    labels, inertia, centers, n_iter = _run_mcf_restarts(
+        list(jax.random.split(key, cfg.n_init)),
+        lambda sub: _fit_constrained_mcf_once(
+            sub, u, l_sums, l_counts, l_centers, l, l_labels, cfg, k),
+        cfg)
     all_labels = np.concatenate([l_mapped.astype(np.int32), labels])
     return KMeansResult(all_labels, centers, float(inertia), int(n_iter))
 
@@ -278,11 +323,9 @@ def fit_constrained_unsup(key: jax.Array, x: np.ndarray,
 
     l_sums = jnp.zeros((k, x_j.shape[1]), jnp.float32)
     l_counts = jnp.zeros((k,), jnp.float32)
-    best = None
-    for sub in jax.random.split(key, cfg.n_init):
-        labels, inertia, centers, n_iter = _fit_constrained_mcf_once(
-            sub, x_j, l_sums, l_counts, None, lambda c: 0.0, cfg, k)
-        if best is None or inertia < best[1]:
-            best = (labels, inertia, centers, n_iter)
-    labels, inertia, centers, n_iter = best
+    labels, inertia, centers, n_iter = _run_mcf_restarts(
+        list(jax.random.split(key, cfg.n_init)),
+        lambda sub: _fit_constrained_mcf_once(
+            sub, x_j, l_sums, l_counts, None, empty_l, empty_labels, cfg, k),
+        cfg)
     return KMeansResult(labels, centers, float(inertia), int(n_iter))

@@ -69,6 +69,10 @@ class ClusterConfig:
     kpp_local_trials: int = 0
     sinkhorn_epsilon: float = 0.01
     sinkhorn_iters: int = 200
+    # exact-MCF restart thread pool: 0 = auto (min(n_init, 4)), 1 = serial.
+    # The host solver releases the GIL (ctypes), so concurrent restarts
+    # overlap MCF solve time with device distance/M-step dispatch
+    mcf_restart_threads: int = 0
     # chunk of the N axis used by the pallas E-step kernel
     estep_block_rows: int = 1024
 

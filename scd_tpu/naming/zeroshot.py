@@ -20,6 +20,32 @@ import numpy as np
 
 IMAGENET_TEMPLATE_COUNT = 80
 
+# Compile-bounded sequence buckets for the text tower.  CLIP's text
+# embedding is read at the EOT position of a CAUSAL transformer, so
+# truncating the [N, 77] token batch to any length that still contains
+# every row's EOT is mathematically exact (later positions are padding no
+# earlier position can attend to).  Vocabulary prompts are short
+# ("a photo of a {name}." ~ 10-20 tokens), so nearly every batch runs at
+# 32 tokens — ~2.4x fewer FLOPs than the fixed 77-token context the
+# reference always pays (``clip_lang_util.py:96-108``).  Two buckets keep
+# the remote-compile count at two programs.
+TEXT_SEQ_BUCKETS = (32, 77)
+
+
+def truncate_to_eot_bucket(tokens: np.ndarray,
+                           buckets: Sequence[int] = TEXT_SEQ_BUCKETS) -> np.ndarray:
+    """Slice [N, L] token rows to the smallest bucket covering every EOT.
+
+    EOT is the per-row argmax token id (CLIP convention: EOT is the largest
+    id in the vocabulary).  Exact — see ``TEXT_SEQ_BUCKETS``.
+    """
+    tokens = np.asarray(tokens)
+    need = int(tokens.argmax(axis=1).max()) + 1
+    for b in buckets:
+        if b >= need and b <= tokens.shape[1]:
+            return tokens[:, :b]
+    return tokens
+
 
 @jax.jit
 def _ensemble_reduce(emb: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +127,8 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
         valid = len(batch)
         batch += [batch[-1]] * (b - valid)  # pad with a repeat, drop below
         texts = [tmpl.format(name) for name in batch for tmpl in templates]
-        tokens = np.asarray(tokenize(texts), np.int32)  # [b*T, L]
+        tokens = truncate_to_eot_bucket(
+            np.asarray(tokenize(texts), np.int32))  # [b*T, <=L]
         tokens = jax.device_put(jnp.asarray(tokens), row)
         cols.append(np.asarray(encode_reduce(variables, tokens))[:valid])
     weights = np.concatenate(cols, axis=0)  # [V, D]

@@ -98,7 +98,12 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
         return np.asarray(_clip_img(clip_vars, jnp.asarray(images)))
 
     def encode_text(texts) -> np.ndarray:
-        return np.asarray(_clip_txt(clip_vars, jnp.asarray(tokenizer(texts))))
+        from scd_tpu.naming.zeroshot import truncate_to_eot_bucket
+
+        # EOT-bucket truncation is exact (causal tower, EOT pooling) and
+        # cuts the text FLOPs ~2.4x for typical vocabulary prompts
+        toks = truncate_to_eot_bucket(np.asarray(tokenizer(texts), np.int32))
+        return np.asarray(_clip_txt(clip_vars, jnp.asarray(toks)))
 
     # expose the raw pieces so build_zeroshot_weights can shard the names
     # axis over a mesh (the ~68k-vocabulary build is the pipeline's longest

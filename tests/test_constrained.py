@@ -151,3 +151,27 @@ def test_fit_constrained_unsup_local_trials(blobs):
     res = fit_constrained_unsup(jax.random.PRNGKey(0), X, cfg)
     counts = np.bincount(res.labels, minlength=4)
     assert counts.min() >= 50 and counts.max() <= 250
+
+
+def test_mcf_threaded_restarts_match_serial(blobs):
+    """The restart thread pool (which overlaps the GIL-releasing native
+    solves with device dispatch) must be a pure wall-clock optimization:
+    labels, inertia, and centers bit-identical to the serial loop."""
+    import dataclasses
+
+    import jax
+
+    from scd_tpu.cluster.constrained import fit_constrained_unsup
+    from scd_tpu.core.config import ClusterConfig
+
+    X, y = blobs
+    base = ClusterConfig(algorithm="ConSSKM", n_clusters=4, n_init=3,
+                         max_iterations=8, size_min=50, size_max=250,
+                         constrained_backend="mcf")
+    serial = fit_constrained_unsup(
+        jax.random.PRNGKey(3), X, dataclasses.replace(base, mcf_restart_threads=1))
+    threaded = fit_constrained_unsup(
+        jax.random.PRNGKey(3), X, dataclasses.replace(base, mcf_restart_threads=3))
+    np.testing.assert_array_equal(serial.labels, threaded.labels)
+    assert serial.inertia == threaded.inertia
+    np.testing.assert_array_equal(serial.centers, threaded.centers)

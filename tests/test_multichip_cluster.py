@@ -67,3 +67,24 @@ def test_fit_constrained_sharded_respects_sizes(mesh):
     assert sizes.sum() == n_u
     assert sizes.min() >= lo and sizes.max() <= hi
     assert nmi(y[~mask_lab], u) > 0.9
+
+
+def test_fit_kmeans_from_labels_sharded_matches_single(mesh):
+    """Warm-start path over the mesh: the 1-D init-label array rides the
+    same row sharding as the feature matrix (P over data axis applies to
+    dim-0 of any rank); padded rows carry weight 0 and must not move the
+    centroids."""
+    from scd_tpu.cluster import fit_kmeans_from_labels
+
+    X, y = make_blobs(n_samples=1003, n_features=16, centers=8, seed=7)
+    rng = np.random.default_rng(0)
+    noisy = y.copy()
+    flip = rng.random(len(y)) < 0.15
+    noisy[flip] = rng.integers(0, 8, flip.sum())
+    cfg = ClusterConfig(n_clusters=8, max_iterations=50)
+    single = fit_kmeans_from_labels(X, noisy, cfg)
+    sharded = fit_kmeans_from_labels(X, noisy, cfg, mesh=mesh)
+    assert sharded.labels.shape == (1003,)
+    assert np.array_equal(single.labels, sharded.labels)
+    assert sharded.inertia == pytest.approx(single.inertia, rel=1e-4)
+    assert nmi(y, sharded.labels) > 0.95

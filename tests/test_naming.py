@@ -272,3 +272,46 @@ def test_build_zeroshot_weights_sharded_matches_single():
                                      names_per_batch=16, mesh=mesh)
     assert sharded.shape == (d, len(names))
     np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
+def test_eot_bucket_truncation_exact():
+    """Truncating the token batch to an EOT-covering bucket must not change
+    the text embeddings: the tower is causal and pooled at EOT, so dropped
+    positions are padding nothing earlier can attend to."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.clip import CLIPConfig, CLIPModel
+    from scd_tpu.models.vit import ViTConfig
+    from scd_tpu.naming.zeroshot import truncate_to_eot_bucket
+
+    cfg = CLIPConfig(
+        vision=ViTConfig(image_size=16, patch_size=8, width=32, depth=1,
+                         heads=4, quick_gelu=True, pre_post_norm=True,
+                         output_proj=16, patch_bias=False),
+        vocab_size=100, context_length=77, text_width=32, text_depth=2,
+        text_heads=4, embed_dim=16)
+    model = CLIPModel(cfg)
+    rng = np.random.default_rng(0)
+    toks = np.zeros((5, 77), np.int32)
+    for i, n in enumerate([5, 11, 17, 23, 30]):
+        toks[i, 0] = 98  # SOT-like
+        toks[i, 1:n] = rng.integers(1, 98, n - 1)
+        toks[i, n] = 99  # EOT = largest id
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32),
+        jnp.asarray(toks[:1]))
+
+    def enc(t):
+        return np.asarray(model.apply(variables, jnp.asarray(t),
+                                      method=CLIPModel.encode_text))
+
+    short = truncate_to_eot_bucket(toks)
+    assert short.shape == (5, 32)  # max EOT idx 30 -> bucket 32
+    np.testing.assert_allclose(enc(short), enc(toks), rtol=2e-5, atol=2e-5)
+
+    # rows needing more than the largest small bucket stay at full length
+    # (EOT is unique per row in real tokenizer output — move row 0's)
+    toks[0, 5] = 1
+    toks[0, 60] = 99
+    assert truncate_to_eot_bucket(toks).shape == (5, 77)
