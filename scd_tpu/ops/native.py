@@ -75,19 +75,28 @@ def mcf_solve(tail: np.ndarray, head: np.ndarray, cap: np.ndarray,
     return flow
 
 
+_ASSIGN_METHODS = {"auto": 0, "ssp": 1, "cost_scaling": 2, "sparse": 3}
+
+
 def constrained_assign(costs: np.ndarray, size_min: int, size_max: int,
-                       method: str = "cost_scaling") -> np.ndarray:
+                       method: str = "auto") -> np.ndarray:
     """Labels minimizing total cost s.t. size_min <= |cluster| <= size_max.
 
     ``costs``: [n_x, n_c] int32 (pre-rounded; the ConSSKM caller rounds
     1000*sqrt(sqdist) like the reference, ``sskm_constrained.py:324``).
+
+    ``method``: "auto" (default) solves large instances by exact sparse
+    candidate-arc pricing — column generation over each point's nearest
+    clusters with a reduced-cost optimality certificate against the full
+    arc set — and small ones densely; "cost_scaling"/"ssp" force the dense
+    solvers; "sparse" forces the pricing path (tests).
     """
     lib = _load()
     costs = np.ascontiguousarray(costs, np.int32)
     n_x, n_c = costs.shape
     labels = np.zeros(n_x, np.int32)
     rc = lib.scd_constrained_assign(n_x, n_c, costs, size_min, size_max,
-                                    labels, 1 if method == "ssp" else 2)
+                                    labels, _ASSIGN_METHODS.get(method, 0))
     if rc == 2:
         raise ValueError(
             f"infeasible size constraints: n_x={n_x}, n_c={n_c}, "

@@ -121,3 +121,53 @@ def test_constrained_assign_infeasible():
         constrained_assign(costs, size_min=2, size_max=5)  # 2*2 > 3
     with pytest.raises(ValueError):
         constrained_assign(costs, size_min=0, size_max=1)  # 2*1 < 3
+
+
+def test_constrained_assign_sparse_matches_dense(rng):
+    """The sparse candidate-arc pricing path (column generation with a
+    reduced-cost optimality certificate) must return a flow of exactly the
+    same total cost as the dense solve — it is exact, not approximate."""
+    for trial in range(3):
+        n, k = 600, 12
+        pts = rng.standard_normal((n, 6))
+        cent = rng.standard_normal((k, 6)) * 2
+        c2 = ((pts[:, None] - cent[None]) ** 2).sum(-1)
+        costs = np.around(np.sqrt(c2) * 1000).astype(np.int32)
+        lo, hi = n // k // 2, n // k * 3
+        la = constrained_assign(costs, lo, hi, method="cost_scaling")
+        lb = constrained_assign(costs, lo, hi, method="sparse")
+        ca = costs[np.arange(n), la].sum()
+        cb = costs[np.arange(n), lb].sum()
+        assert ca == cb
+        sizes = np.bincount(lb, minlength=k)
+        assert sizes.min() >= lo and sizes.max() <= hi
+
+
+def test_constrained_assign_sparse_correlated_preferences(rng):
+    """Adversarial case: every point prefers the same few clusters, so the
+    initial candidate set is infeasible.  The max-flow feasibility gate
+    must densify (or bail to dense) instead of price-churning, and the
+    result must still be optimal."""
+    n, k = 800, 40  # k > the 16 initial row candidates, so the gate engages
+    base = rng.random(k) * 10  # shared cluster ranking for every point
+    costs = np.around((base[None] + 0.001 * rng.random((n, k))) * 1000).astype(np.int32)
+    lo, hi = 15, 25  # tight: the 16 shared favorites cannot hold everyone
+    la = constrained_assign(costs, lo, hi, method="cost_scaling")
+    lb = constrained_assign(costs, lo, hi, method="sparse")
+    assert costs[np.arange(n), la].sum() == costs[np.arange(n), lb].sum()
+    sizes = np.bincount(lb, minlength=k)
+    assert sizes.min() >= lo and sizes.max() <= hi
+
+
+def test_constrained_assign_row_offset_invariance(rng):
+    """Adding a per-row constant must not change the assignment cost
+    structure (each point is assigned exactly once) — guards the row
+    normalization the native solver applies."""
+    n, k = 200, 8
+    costs = rng.integers(0, 1000, (n, k)).astype(np.int32)
+    offset = rng.integers(0, 100000, (n, 1)).astype(np.int32)
+    la = constrained_assign(costs, 10, 50, method="cost_scaling")
+    lb = constrained_assign(costs + offset, 10, 50, method="cost_scaling")
+    ca = costs[np.arange(n), la].sum()
+    cb = costs[np.arange(n), lb].sum()
+    assert ca == cb
