@@ -277,6 +277,50 @@ def bench_text_embed(batch: int = 2048, seq: int = 32):
     return batch / dt
 
 
+def bench_gcd_train(batch: int = 64, n_views: int = 2):
+    """GCD contrastive finetuning step (ViT-B/16 bf16, InfoNCE+SupCon,
+    fwd+bwd+SGD in one program, reference ``learn_metric.py:217-338``).
+    With the reference recipe (grad_from_block=11) backprop stops at the
+    last trainable block, so a step costs ~fwd + bwd-of-one-block+head."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.core.config import TrainConfig
+    from scd_tpu.models.vit import ViTConfig
+    from scd_tpu.train.gcd import make_gcd_state
+
+    vit_cfg = ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
+                        heads=12, compute_dtype=jnp.bfloat16)
+    cfg = TrainConfig(grad_from_block=11, proj_dim=65536, lr=0.1,
+                      n_views=n_views)
+    params, opt_state, step = make_gcd_state(
+        vit_cfg, cfg, jax.random.PRNGKey(0), total_steps=1000)
+    n_img = n_views * batch
+    labels = jnp.asarray(np.arange(batch) % 10, jnp.int32)
+    mask = jnp.asarray(np.arange(batch) % 2 == 0)
+
+    def make_run(k_iters):
+        @jax.jit
+        def run(p, o, key):
+            base = jax.random.normal(key, (n_img, 224, 224, 3), jnp.float32)
+
+            def body(carry, k):
+                p, o, acc = carry
+                p, o, m = step(p, o, {"images": _fresh(base, k),
+                                      "labels": labels, "mask_lab": mask})
+                return (p, o, acc + m["loss"]), None
+
+            (p, o, acc), _ = jax.lax.scan(
+                body, (p, o, jnp.zeros((), jnp.float32)),
+                jax.random.split(key, k_iters))
+            return acc
+
+        return run
+
+    dt = _timed_slope(make_run, 2, 8, params, opt_state, jax.random.PRNGKey(5))
+    return n_img / dt
+
+
 def main():
     from scd_tpu.utils.runtime import enable_compilation_cache
 
@@ -305,6 +349,9 @@ def main():
               "/chip; names axis shards linearly over a mesh via "
               "build_zeroshot_weights(mesh=...) -> ~8x on v5e-8)",
               file=sys.stderr)
+        gt = bench_gcd_train()
+        print(f"[bench] gcd train step (ViT-B/16 bf16, fwd+bwd@block11+SGD): "
+              f"{gt:.0f} imgs/sec/chip", file=sys.stderr)
     except Exception as e:  # secondary benches must not kill the headline
         print(f"[bench] secondary failed: {e}", file=sys.stderr)
 

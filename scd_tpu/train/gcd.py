@@ -224,8 +224,14 @@ class GCDTrainer:
 
     def train_epoch(self, batches) -> Dict[str, float]:
         """``batches``: iterable of dicts with images (view-major
-        [n_views*B, H, W, C]), labels [B], mask_lab [B]."""
-        agg: Dict[str, float] = {}
+        [n_views*B, H, W, C]), labels [B], mask_lab [B].
+
+        Per-step metrics stay ON DEVICE until the epoch ends: ``float(v)``
+        inside the loop would block on a device fetch every step (~33 ms
+        fixed round-trip each through the TPU tunnel), serializing the
+        pipeline; one deferred fetch per metric per epoch costs the same as
+        one step's worth."""
+        device_metrics: Dict[str, list] = {}
         n = 0
         for batch in batches:
             self.params, self.opt_state, metrics = self.step_fn(
@@ -233,8 +239,9 @@ class GCDTrainer:
                 {k: jnp.asarray(v) for k, v in batch.items()})
             n += 1
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-        out = {k: v / max(n, 1) for k, v in agg.items()}
+                device_metrics.setdefault(k, []).append(v)
+        out = {k: float(np.mean(jax.device_get(vs)))
+               for k, vs in device_metrics.items()}
         self.metrics_log.append(out)
         return out
 

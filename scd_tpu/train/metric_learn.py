@@ -91,8 +91,13 @@ def run_metric_learn(args) -> dict:
     merged_eval, _t2, _u2, _e2 = get_datasets(
         data_cfg, train_transform=test_tf, test_transform=test_tf)
 
+    import jax.numpy as jnp
+
+    # bf16 compute with f32 params/layernorms/loss: the TPU-native training
+    # dtype (~2.5x the f32 6-pass matmul ceiling); --bf16 0 opts out
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     vit_cfg = ViTConfig(image_size=args.image_size, patch_size=args.patch_size,
-                        **_VIT_SIZES[args.vit])
+                        compute_dtype=dtype, **_VIT_SIZES[args.vit])
     n_classes = len(train_classes) + len(unlabeled_classes)
     steps = args.steps_per_epoch or max(len(merged) // args.batch_size, 1)
     cfg = TrainConfig(lr=args.lr, sup_con_weight=args.sup_con_weight,
@@ -178,6 +183,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--proj_dim", type=int, default=65536)
     p.add_argument("--max_kmeans_iter", type=int, default=50)
     p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--bf16", type=int, default=1,
+                   help="1 = bf16 compute / f32 params+layernorms (TPU "
+                        "native); 0 = full f32")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--exp_root", type=str, default="runs")
     p.add_argument("--mesh_data", type=int, default=1,
