@@ -277,6 +277,40 @@ def bench_text_embed(batch: int = 2048, seq: int = 32):
     return batch / dt
 
 
+def bench_constrained_estep(n: int = 65536, k: int = 100,
+                            size_min: int = 50, size_max: int = 1200):
+    """On-device size-constrained E-step (Sinkhorn OT + integral repair,
+    ``ops/sinkhorn.py``) at the k-means bench shape.  This is the step the
+    reference solves with a HOST min-cost-flow per Lloyd iteration
+    (``sskm_constrained.py:116``) — the exact native solver needs seconds
+    at this size where the on-device OT needs milliseconds."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.sinkhorn import sinkhorn_constrained_assign
+
+    def make_run(k_iters):
+        @jax.jit
+        def run(key):
+            cost = jax.random.uniform(key, (n, k), jnp.float32)
+
+            def body(acc, kk):
+                # per-iteration scale keeps the body loop-variant (XLA would
+                # hoist a constant-input assignment out of the scan)
+                c = cost * (1.0 + kk.astype(jnp.float32) * 1e-7)
+                a = sinkhorn_constrained_assign(c, k, size_min, size_max)
+                return acc + a.labels.sum() + a.feasible, None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                  jnp.arange(k_iters))
+            return acc
+
+        return run
+
+    dt = _timed_slope(make_run, 2, 8, jax.random.PRNGKey(6))
+    return 1.0 / dt
+
+
 def bench_gcd_train(batch: int = 64, n_views: int = 2):
     """GCD contrastive finetuning step (ViT-B/16 bf16, InfoNCE+SupCon,
     fwd+bwd+SGD in one program, reference ``learn_metric.py:217-338``).
@@ -349,6 +383,11 @@ def main():
               "/chip; names axis shards linearly over a mesh via "
               "build_zeroshot_weights(mesh=...) -> ~8x on v5e-8)",
               file=sys.stderr)
+        ce = bench_constrained_estep()
+        print(f"[bench] constrained E-step, on-device sinkhorn+repair "
+              f"(N=65536,K=100): {ce:.1f} steps/sec "
+              f"({1000.0 / ce:.0f} ms/step; the exact host MCF needs "
+              "seconds at this shape)", file=sys.stderr)
         gt = bench_gcd_train()
         print(f"[bench] gcd train step (ViT-B/16 bf16, fwd+bwd@block11+SGD): "
               f"{gt:.0f} imgs/sec/chip", file=sys.stderr)
