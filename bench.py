@@ -394,6 +394,8 @@ def main():
     except Exception as e:  # secondary benches must not kill the headline
         print(f"[bench] secondary failed: {e}", file=sys.stderr)
 
+    # null (not NaN) for unknown device kinds — NaN is not valid strict JSON
+    known_peak = np.isfinite(peak)
     print(json.dumps({
         "metric": "clip_embed_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),
@@ -401,8 +403,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / REFERENCE_NOMINAL_IMGS_PER_SEC, 2),
         "flops_per_img": CLIP_VIT_B16_FLOPS_PER_IMG,
         "tflops_per_sec": round(tflops, 1),
-        "mfu": round(mfu, 4),
-        "peak_tflops": peak,
+        "mfu": round(mfu, 4) if known_peak else None,
+        "peak_tflops": peak if known_peak else None,
     }))
 
 

@@ -179,14 +179,15 @@ class CostScaling {
         static_cast<long long>(g_.cost.size()) * 64LL;
     long long relabels = 0;
     const long long relabel_trigger = std::max(g_.n / 2, 256);
-    // Feasibility cut-off: in a feasible graph a node is relabelled at
-    // most 3n times per refine (its price drops <= 3n*eps, Goldberg-
-    // Tarjan).  An INFEASIBLE graph (possible for the sparse candidate
-    // subgraph) has excess nodes that relabel forever — without this
-    // bound they churn until the generic guard, minutes instead of
-    // milliseconds.
+    // Feasibility cut-off: per refine, a feasible graph bounds each
+    // node's price decrease by ~(1+alpha)*n*eps (the Goldberg-Tarjan 3n
+    // lemma is for eps-halving; this solver scales by alpha=16), i.e.
+    // <= ~17n relabels per node.  An INFEASIBLE graph (possible for the
+    // sparse candidate subgraph) has excess nodes that relabel forever —
+    // without this bound they churn until the generic guard, minutes
+    // instead of milliseconds.  Cap at 24n for slack above the bound.
     std::vector<int> n_relabel(g_.n, 0);
-    const int relabel_cap = 4 * g_.n + 16;
+    const int relabel_cap = 24 * g_.n + 16;
     while (!active.empty()) {
       int u = active.front(); active.pop(); in_queue[u] = 0;
       while (excess_[u] > 0) {

@@ -285,9 +285,13 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
             return KMeansResult(all_labels, np.asarray(centers),
                                 float(inertia), int(n_iter))
         # fall through to the exact backend if the OT repair didn't converge
-        u = jnp.asarray(np.asarray(u_feats, np.float32))  # unpadded for MCF
 
-    # exact MCF backend (also the sinkhorn fallback)
+    # exact MCF backend (also the sinkhorn fallback).  The MCF path has no
+    # sentinel-label machinery, so it must see the UNPADDED rows — with a
+    # mesh, ``u`` above is staged/padded and would hand phantom zero-rows
+    # to the solver (wrong sizes/centroids and labels misaligned with the
+    # dataset).
+    u = jnp.asarray(np.asarray(u_feats, np.float32))
     l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)
 
     labels, inertia, centers, n_iter = _run_mcf_restarts(

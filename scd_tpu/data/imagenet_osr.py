@@ -98,12 +98,13 @@ def osr_difficulty_splits(sim_matrix: np.ndarray,
     total = sim_matrix.sum(axis=0)
     order = np.argsort(total, kind="stable")
     mid = (len(order) - 1) // 2
-    half = tier_size // 2
+    # clamp the median window: a negative start would silently wrap to a
+    # short slice from the tail when len(order) < tier_size
+    start = max(mid - tier_size // 2, 0)
     return {
         "hard_i21k_classes": [i21k_wnids[c] for c in order[:tier_size]],
         "medium_i21k_classes": [i21k_wnids[c]
-                                for c in order[mid - half:
-                                               mid - half + tier_size]],
+                                for c in order[start:start + tier_size]],
         "easy_i21k_classes": [i21k_wnids[c] for c in order[-tier_size:]],
     }
 

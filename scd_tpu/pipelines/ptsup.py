@@ -12,7 +12,7 @@ Same skeleton as the unsupervised pipeline plus (reference SURVEY §3.2):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -72,21 +72,28 @@ def zero_shot_preds(clip_feats: np.ndarray, weights: np.ndarray,
     return np.concatenate(preds).astype(np.int64)
 
 
+def _top1_acc(preds: np.ndarray, targets: np.ndarray,
+              cidx_to_cname: Dict[int, str], names: Sequence[str]) -> float:
+    name_to_idx = {n: i for i, n in enumerate(names)}
+    gt = np.array([name_to_idx[cidx_to_cname[int(t)]] for t in targets])
+    return float((preds == gt).mean() * 100.0)
+
+
 def zero_shot_top1(clip_feats: np.ndarray, targets: np.ndarray,
                    cidx_to_cname: Dict[int, str], names: Sequence[str],
                    weights: np.ndarray, scale: float = 100.0) -> float:
     """Zero-shot top-1 accuracy of CLIP features against a name list
     (reference ``evaluate_semantic_acc_ub_lb``, ``main_ptsup.py:102-129``)."""
-    name_to_idx = {n: i for i, n in enumerate(names)}
-    gt = np.array([name_to_idx[cidx_to_cname[int(t)]] for t in targets])
     preds = zero_shot_preds(clip_feats, weights, scale=scale)
-    return float((preds == gt).mean() * 100.0)
+    return _top1_acc(preds, targets, cidx_to_cname, names)
 
 
 def soft_sacc_bounds(clip_u: np.ndarray, u_targets: np.ndarray,
                      mask: np.ndarray, cidx_to_cname: Dict[int, str],
                      nouns: Sequence[str], weights: np.ndarray,
-                     name_similarity, scale: float = 100.0) -> Dict:
+                     name_similarity, scale: float = 100.0,
+                     lb_preds: Optional[np.ndarray] = None,
+                     ub_preds: Optional[np.ndarray] = None) -> Dict:
     """Soft-sACC lower/upper bound block (``main_ptsup.py:564-585``).
 
     LB: zero-shot preds over the FULL vocabulary scored with soft-sACC.
@@ -95,6 +102,11 @@ def soft_sacc_bounds(clip_u: np.ndarray, u_targets: np.ndarray,
     reference emits in the same block (``main_ptsup.py:578-580``).
     Each all/old/new subset normalizes by its own batch max, exactly like
     the reference's per-call normalization.
+
+    ``lb_preds``/``ub_preds``: precomputed zero-shot argmax indices over the
+    full / GT-restricted vocabulary — the sACC bound block computes the
+    identical passes, and at real scale each full-vocab pass streams ~8.6G
+    logit evaluations; pass them to avoid recomputing.
     """
     from scd_tpu.metrics.semantic import evaluate_soft_semantic_acc
 
@@ -112,16 +124,18 @@ def soft_sacc_bounds(clip_u: np.ndarray, u_targets: np.ndarray,
         return tuple(vals)
 
     print("=====Soft sACC lower bound=====")
-    lb_preds = zero_shot_preds(clip_u, weights, scale=scale)
+    if lb_preds is None:
+        lb_preds = zero_shot_preds(clip_u, weights, scale=scale)
     s_all, s_old, s_new = _soft3(lb_preds, nouns)
     print(f"Soft sACC all {s_all},sACC old {s_old}, sACC new {s_new}")
     out["soft_lb"] = (s_all, s_old, s_new)
 
     print("=====Soft sACC upper bound=====")
-    noun_cols = {n: i for i, n in enumerate(nouns)}
     cand = [n.lower().replace("-", "_") for n in cidx_to_cname.values()]
-    zw_sel = np.asarray(weights)[:, [noun_cols[n] for n in cand]]
-    ub_preds = zero_shot_preds(clip_u, zw_sel, scale=scale)
+    if ub_preds is None:
+        noun_cols = {n: i for i, n in enumerate(nouns)}
+        zw_sel = np.asarray(weights)[:, [noun_cols[n] for n in cand]]
+        ub_preds = zero_shot_preds(clip_u, zw_sel, scale=scale)
     print(len(set(ub_preds.tolist())))
     all_acc, old_acc, new_acc = split_cluster_acc_v2(u_targets, ub_preds, mask)
     print(f"clip ACC: All {all_acc} | Old {old_acc} | New {new_acc}")
@@ -194,24 +208,28 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     mask_lab = clip_feats["mask_lab"].astype(bool)
     clip_u = clip_all[~mask_lab]
 
-    # ---- sACC bounds (reference main_ptsup.py:548-561)
+    # ---- sACC bounds (reference main_ptsup.py:548-561).  Each vocabulary
+    # pass streams the full [N, V] logits once (8.6G logit evals at
+    # ImageNet-100 scale); the all/old/new splits and the Soft-sACC block
+    # below all reuse the same two passes instead of recomputing.
     noun_cols = {n: i for i, n in enumerate(nouns)}
     print("=====sACC lower bound=====")
-    lb_all = zero_shot_top1(clip_u, u_targets, cidx_to_cname, nouns, zw)
-    lb_old = zero_shot_top1(clip_u[mask], u_targets[mask], cidx_to_cname,
-                            nouns, zw)
-    lb_new = zero_shot_top1(clip_u[~mask], u_targets[~mask], cidx_to_cname,
-                            nouns, zw)
+    lb_preds = zero_shot_preds(clip_u, zw)
+    lb_all = _top1_acc(lb_preds, u_targets, cidx_to_cname, nouns)
+    lb_old = _top1_acc(lb_preds[mask], u_targets[mask], cidx_to_cname, nouns)
+    lb_new = _top1_acc(lb_preds[~mask], u_targets[~mask], cidx_to_cname,
+                       nouns)
     print(f"sACC all {lb_all},sACC old {lb_old}, sACC new {lb_new}")
 
     print("=====sACC upper bound=====")
     gt_cand = [n.lower().replace("-", "_") for n in cidx_to_cname.values()]
     zw_gt = zw[:, [noun_cols[n] for n in gt_cand]]
-    ub_all = zero_shot_top1(clip_u, u_targets, cidx_to_cname, gt_cand, zw_gt)
-    ub_old = zero_shot_top1(clip_u[mask], u_targets[mask], cidx_to_cname,
-                            gt_cand, zw_gt)
-    ub_new = zero_shot_top1(clip_u[~mask], u_targets[~mask], cidx_to_cname,
-                            gt_cand, zw_gt)
+    ub_preds = zero_shot_preds(clip_u, zw_gt)
+    ub_all = _top1_acc(ub_preds, u_targets, cidx_to_cname, gt_cand)
+    ub_old = _top1_acc(ub_preds[mask], u_targets[mask], cidx_to_cname,
+                       gt_cand)
+    ub_new = _top1_acc(ub_preds[~mask], u_targets[~mask], cidx_to_cname,
+                       gt_cand)
     print(f"sACC all {ub_all},sACC old {ub_old}, sACC new {ub_new}")
 
     # ---- Soft-sACC LB/UB + clip ACC (reference main_ptsup.py:564-585,
@@ -226,7 +244,8 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     if eval_soft and name_sim is not None:
         soft_bounds = soft_sacc_bounds(clip_u, u_targets, mask, cidx_to_cname,
                                        nouns, zw, name_sim,
-                                       scale=cfg.naming.logit_scale)
+                                       scale=cfg.naming.logit_scale,
+                                       lb_preds=lb_preds, ub_preds=ub_preds)
 
     # ---- clustering ACC + voting (reference main_ptsup.py:588-705)
     name_idx, _ = topk_names(clip_all, zw, cfg.naming.topk,

@@ -88,3 +88,25 @@ def test_fit_kmeans_from_labels_sharded_matches_single(mesh):
     assert np.array_equal(single.labels, sharded.labels)
     assert sharded.inertia == pytest.approx(single.inertia, rel=1e-4)
     assert nmi(y, sharded.labels) > 0.95
+
+
+def test_fit_constrained_mcf_backend_ignores_mesh_padding(mesh):
+    """constrained_backend='mcf' with a mesh must solve on the UNPADDED
+    rows: the MCF path has no sentinel-label machinery, so staged/padded
+    rows would be assigned to clusters (wrong sizes, labels misaligned
+    with the dataset)."""
+    from scd_tpu.cluster import fit_constrained
+
+    X, y = make_blobs(n_samples=453, n_features=8, centers=4, seed=9)
+    mask_lab = (y < 2) & (np.arange(len(y)) % 3 == 0)
+    n_u = int((~mask_lab).sum())
+    cfg = ClusterConfig(n_clusters=4, n_init=2, max_iterations=5,
+                        size_min=n_u // 8, size_max=n_u,
+                        constrained_backend="mcf")
+    res = fit_constrained(jax.random.PRNGKey(0), X[~mask_lab], X[mask_lab],
+                          y[mask_lab], cfg, mesh=mesh)
+    assert res.labels.shape == (len(y),)  # not padded length
+    u = res.labels[int(mask_lab.sum()):]
+    sizes = np.bincount(u, minlength=4)
+    assert sizes.sum() == n_u
+    assert sizes.min() >= n_u // 8
