@@ -73,7 +73,9 @@ def build_zeroshot_weights(encode_text_fn: Callable[[List[str]], np.ndarray],
     the ~68k-name vocabulary build is embarrassingly parallel and scales
     linearly with chips (round-1 cold-start: ~9 min on one chip).
     """
-    if mesh is not None and hasattr(encode_text_fn, "forward"):
+    if hasattr(encode_text_fn, "forward"):
+        # raw encoder pieces available: use the pipelined builder (host
+        # tokenization overlaps device encode; optionally mesh-sharded)
         return build_zeroshot_weights_sharded(
             encode_text_fn.forward, encode_text_fn.variables,
             encode_text_fn.tokenize, classnames, templates, mesh,
@@ -92,44 +94,61 @@ def build_zeroshot_weights(encode_text_fn: Callable[[List[str]], np.ndarray],
 
 def build_zeroshot_weights_sharded(forward, variables, tokenize,
                                    classnames: Sequence[str],
-                                   templates: Sequence[str], mesh,
+                                   templates: Sequence[str], mesh=None,
                                    names_per_batch: int = 64,
                                    data_axis: str = "data") -> np.ndarray:
-    """Mesh-sharded vocabulary embedding.
+    """Pipelined (and optionally mesh-sharded) vocabulary embedding.
 
     ``forward(variables, tokens [B, L] i32) -> [B, D]`` is the jittable raw
     text encoder; ``tokenize(texts) -> [len(texts), L] i32`` runs on host.
-    Each batch of names is padded to a multiple of the data-axis size, its
-    token rows are placed with a row sharding, and the encoder + ensemble
-    reduction run as ONE jitted program over the mesh — XLA keeps every
-    chip on its own V/n slice of the vocabulary; the gathered [D, V]
-    weights are bitwise identical to the single-device build (weights are
-    replicated, and each name's 80-template block stays on one shard).
+    With a ``mesh``, each batch of names is padded to a multiple of the
+    data-axis size, its token rows are placed with a row sharding, and the
+    encoder + ensemble reduction run as ONE jitted program over the mesh —
+    XLA keeps every chip on its own V/n slice of the vocabulary; the
+    gathered [D, V] weights are bitwise identical to the single-device
+    build (weights are replicated, and each name's 80-template block stays
+    on one shard).  With ``mesh=None`` the same pipelined loop runs
+    unsharded on the default device.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    n_dev = mesh.shape[data_axis]
+    n_dev = mesh.shape[data_axis] if mesh is not None else 1
     t = len(templates)
     b = max(names_per_batch // n_dev, 1) * n_dev  # whole names per shard
 
-    rep = NamedSharding(mesh, P())
-    row = NamedSharding(mesh, P(data_axis))
-    variables = jax.device_put(variables, rep)
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        row = NamedSharding(mesh, P(data_axis))
+        variables = jax.device_put(variables, rep)
+        put_tokens = lambda tok: jax.device_put(tok, row)
+        jit_kwargs = {"out_shardings": row}
+    else:
+        put_tokens = lambda tok: tok
+        jit_kwargs = {}
 
-    @partial(jax.jit, out_shardings=row)
-    def encode_reduce(v, tokens):  # tokens [B*T, L] row-sharded
+    @partial(jax.jit, **jit_kwargs)
+    def encode_reduce(v, tokens):  # tokens [B*T, L] (row-sharded w/ mesh)
         emb = forward(v, tokens)  # [B*T, D]
         return _ensemble_reduce.__wrapped__(emb.reshape(b, t, -1))  # [B, D]
 
-    cols = []
-    for start in range(0, len(classnames), b):
+    # Pipelined host/device loop: dispatch is async, so NOT fetching each
+    # batch result lets the host tokenize batch i+1 while the device
+    # encodes batch i — host BPE tokenization is otherwise serialized with
+    # the encoder and becomes the bottleneck once the names axis is
+    # sharded over several chips.  A sliding block bounds in-flight work.
+    cols, valids = [], []
+    for i, start in enumerate(range(0, len(classnames), b)):
         batch = list(classnames[start:start + b])
         valid = len(batch)
         batch += [batch[-1]] * (b - valid)  # pad with a repeat, drop below
         texts = [tmpl.format(name) for name in batch for tmpl in templates]
         tokens = truncate_to_eot_bucket(
             np.asarray(tokenize(texts), np.int32))  # [b*T, <=L]
-        tokens = jax.device_put(jnp.asarray(tokens), row)
-        cols.append(np.asarray(encode_reduce(variables, tokens))[:valid])
-    weights = np.concatenate(cols, axis=0)  # [V, D]
+        tokens = put_tokens(jnp.asarray(tokens))
+        cols.append(encode_reduce(variables, tokens))
+        valids.append(valid)
+        if i >= 32:
+            jax.block_until_ready(cols[i - 32])  # backpressure
+    weights = np.concatenate(
+        [np.asarray(c)[:v] for c, v in zip(cols, valids)], axis=0)  # [V, D]
     return weights.T.astype(np.float32)  # [D, V]
