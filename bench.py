@@ -33,19 +33,20 @@ FLOP accounting: ``CLIP_VIT_B16_FLOPS_PER_IMG`` counts 2 FLOPs per MAC
 MAC count.  MFU is against the per-chip bf16 peak looked up from the
 device kind (v5e = 197 TFLOP/s).
 
-Why the CLIP tower tops out near ~47% MFU on v5e (measured analysis,
-round 2): the per-layer time splits into ~4.2 ms of dense matmuls that run
-at ~195 TFLOP/s (essentially the chip's measured matmul ceiling at
-K=768-class shapes) and ~3.6 ms of softmax attention that cannot go much
-faster on this hardware: head_dim=64 fills only half the 128-lane MXU
-contraction, L=197 score tiles are small, and the softmax's HBM round-trip
-of the [B, 12, 197, 197] score tensor is already halved by bf16 storage.
+Why the CLIP tower tops out near ~59% MFU on v5e (measured analysis,
+round 2): the per-layer time splits into dense matmuls that run at ~195
+TFLOP/s (essentially the chip's measured matmul ceiling at K=768-class
+shapes) and softmax attention that cannot go much faster on this
+hardware: head_dim=64 fills only half the 128-lane MXU contraction, L=197
+score tiles are small, and the softmax's HBM round-trip of the
+[B, 12, 197, 197] score tensor is already halved by bf16 storage.  Batch
+size is a first-order knob: B=128 measures 3.3k imgs/s vs 2.9k at 256 and
+2.6k at 512 (smaller score tensors keep the softmax chain resident).
 Three Pallas kernel variants (per-head fused, packed-qkv lane-sliced,
 staged-scratch; see ``ops/pallas_kernels.py``) all measured SLOWER than
-the XLA bf16-score path (4.5-5.1 vs 3.6 ms/layer) because Mosaic
-serializes the per-head MXU->VPU->MXU chains.  Raising MFU further would
-require wider heads or longer sequences — model-architecture changes, not
-kernel ones.
+the XLA bf16-score path because Mosaic serializes the per-head
+MXU->VPU->MXU chains.  Raising MFU further would require wider heads or
+longer sequences — model-architecture changes, not kernel ones.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md).  We normalize against a nominal 400 imgs/sec for the
@@ -136,7 +137,10 @@ def _fresh(base, key):
     return base * (1.0 + eps)
 
 
-def bench_clip_embed(batch: int = 256):
+def bench_clip_embed(batch: int = 128):
+    """Batch 128 is the measured v5e sweet spot (3.3k imgs/s vs 2.9k at
+    256, 2.6k at 512): the [B, 12, 197, 197] bf16 attention scores shrink
+    enough for XLA to keep the softmax chain better-resident."""
     import jax
     import jax.numpy as jnp
 

@@ -256,3 +256,20 @@ def test_imagenet_osr_splits():
     hard = get_imagenet_osr_class_splits(c2i, ["a"], ["b", "c", "d"],
                                          osr_split="Hard", precomputed=tiers)
     assert hard == [1]
+
+
+def test_osr_difficulty_splits_small_vocab_clamps():
+    """tier_size larger than the I21K vocabulary: the medium window must
+    clamp its start to 0 instead of slicing with a negative index (which
+    silently returns a short window from the tail)."""
+    import numpy as np
+
+    from scd_tpu.data.imagenet_osr import osr_difficulty_splits
+
+    wnids = [f"w{i}" for i in range(5)]
+    mat = np.arange(5, dtype=float)[None, :]  # distances 0..4
+    tiers = osr_difficulty_splits(mat, wnids, tier_size=1000)
+    # every tier covers the whole (smaller-than-tier) vocabulary
+    assert tiers["hard_i21k_classes"] == wnids
+    assert tiers["easy_i21k_classes"] == wnids
+    assert tiers["medium_i21k_classes"] == wnids
