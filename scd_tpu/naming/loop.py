@@ -41,9 +41,11 @@ class VotingResult:
     lab_class_index: Optional[List[int]] = None  # ptsup: candidate cols of labelled names
 
 
-def _reclassify_device(feats, w_sel, scale):
+def _reclassify_device(feats, w_sel, n_valid, scale):
     """Module-level jitted body (defining jitted fns per call would retrace
-    every invocation — jax.jit caches per function object)."""
+    every invocation — jax.jit caches per function object).  ``w_sel`` is
+    column-padded to a bucket; ``n_valid`` masks the padding out of the
+    argmax."""
     import jax
     import jax.numpy as jnp
 
@@ -51,6 +53,8 @@ def _reclassify_device(feats, w_sel, scale):
         feats, w_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGH)
+    col = jnp.arange(w_sel.shape[1])[None, :]
+    logits = jnp.where(col < n_valid, logits, -jnp.inf)
     return jnp.argmax(logits, axis=-1)
 
 
@@ -75,17 +79,28 @@ _te_mix_jit = None
 
 def _reclassify(clip_u_feats: np.ndarray, zeroshot_weights: np.ndarray,
                 name_cols: Sequence[int], scale: float) -> np.ndarray:
-    """argmax over the selected name columns (reference ``main_unsup.py:601-614``):
-    one jitted dot+argmax program per candidate-count shape."""
+    """argmax over the selected name columns (reference ``main_unsup.py:601-614``).
+
+    The candidate axis is padded to a 64-wide bucket: the voting loop's
+    candidate count changes every round, and an exact-shape jit would
+    recompile the [N, D] x [D, K] program each iteration (tens of seconds
+    per round through the remote-compile tunnel); with the bucket every
+    round reuses one compiled program, the padded columns masked out of
+    the argmax."""
     import jax.numpy as jnp
 
     global _reclassify_jit
     if _reclassify_jit is None:
         _reclassify_jit = _jitted(_reclassify_device)
-    w_sel = jnp.asarray(np.asarray(zeroshot_weights)[:, list(name_cols)],
-                        dtype=jnp.float32)
-    feats = jnp.asarray(clip_u_feats, dtype=jnp.float32)
-    return np.asarray(_reclassify_jit(feats, w_sel, jnp.float32(scale)))
+    w = np.asarray(zeroshot_weights)[:, list(name_cols)]
+    n_cand = w.shape[1]
+    pad = (-n_cand) % 64
+    if pad:
+        w = np.pad(w, ((0, 0), (0, pad)))
+    feats = jnp.asarray(clip_u_feats, dtype=jnp.float32)  # no-op if on device
+    return np.asarray(_reclassify_jit(
+        feats, jnp.asarray(w, jnp.float32), jnp.int32(n_cand),
+        jnp.float32(scale)))
 
 
 def voting_loop(nouns: Sequence[str],
@@ -103,7 +118,12 @@ def voting_loop(nouns: Sequence[str],
     the ``i``-th cluster id present in ``u_preds`` (sorted), truncated to
     ``n_clusters`` rows, exactly as the reference builds it.
     """
+    import jax.numpy as jnp
+
     noun_to_col = {n: i for i, n in enumerate(nouns)}
+    # stage the features once: re-uploading [N, D] through the tunnel every
+    # round would dominate the loop (~200 MB/round at ImageNet-100 scale)
+    clip_u_feats = jnp.asarray(clip_u_feats, jnp.float32)
     u_preds = np.asarray(u_preds_init).copy()
     cur_voted = [0]
     prev_voted = [1]
@@ -236,10 +256,14 @@ def voting_loop_ptsup(nouns: Sequence[str],
     ``cand_names = sorted(voted ∪ labelled)`` and the cluster/known index
     sets are recomputed against the new candidate list.
     """
+    import jax.numpy as jnp
+
     noun_to_col = {n: i for i, n in enumerate(nouns)}
     lab_names = list(lab_names)
     num_unlab_classes = n_clusters - len(lab_names)
 
+    # stage once (see voting_loop): avoids a [N, D] re-upload every round
+    clip_u_feats = jnp.asarray(clip_u_feats, jnp.float32)
     u_preds = np.asarray(u_preds_init).copy()
     known_name_idx = {noun_to_col[n] for n in lab_names}
     unlab_cluster_idx = list(unlab_cluster_idx_init)  # clusters not owned by labelled classes

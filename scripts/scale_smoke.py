@@ -22,9 +22,10 @@ backend — CLAUDE.md rule 6; the vmapped SSKM program alone compiles for
 minutes) and the SSKM stage includes the one-time ~400 MB host->device
 feature upload at ~50 MB/s.  Steady-state per-iteration rates are what
 ``bench.py`` measures; this script's job is true-shape viability:
-measured on v5e (first run): SSKM 330s (mostly compile), ConSSKM 32s,
-vocabulary top-k 8.5s, voting loop 44s (4 iterations to fixpoint),
-zero-shot bounds 51s — all stages complete within HBM at full scale.
+measured on v5e (first run): SSKM ~300s (mostly compile), ConSSKM 13s,
+vocabulary top-k 12s, voting loop 10.5s (4 iterations to fixpoint; one
+bucket-padded compile + one feature upload for all rounds), zero-shot
+bounds 20s — all stages complete within HBM at full scale.
 """
 
 from __future__ import annotations
