@@ -253,7 +253,10 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     """
     k = cfg.n_clusters
     n_u = int(np.asarray(u_feats).shape[0])
-    if mesh is not None:
+    if mesh is not None and cfg.constrained_backend == "sinkhorn":
+        # staging (pad + shard + upload) only pays off for the sinkhorn
+        # loop; the MCF path below rebuilds unpadded anyway, and a ~300 MB
+        # upload through the tunnel is not free
         from scd_tpu.cluster.kmeans import _stage_rows
 
         u, _n = _stage_rows(u_feats, mesh)
@@ -287,11 +290,12 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         # fall through to the exact backend if the OT repair didn't converge
 
     # exact MCF backend (also the sinkhorn fallback).  The MCF path has no
-    # sentinel-label machinery, so it must see the UNPADDED rows — with a
-    # mesh, ``u`` above is staged/padded and would hand phantom zero-rows
-    # to the solver (wrong sizes/centroids and labels misaligned with the
-    # dataset).
-    u = jnp.asarray(np.asarray(u_feats, np.float32))
+    # sentinel-label machinery, so it must see the UNPADDED rows — when
+    # falling through from a staged sinkhorn attempt, ``u`` is padded and
+    # would hand phantom zero-rows to the solver (wrong sizes/centroids
+    # and labels misaligned with the dataset).
+    if n_valid is not None:  # set only by the staged/padded branch
+        u = jnp.asarray(np.asarray(u_feats, np.float32))
     l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)
 
     labels, inertia, centers, n_iter = _run_mcf_restarts(

@@ -47,6 +47,26 @@ def truncate_to_eot_bucket(tokens: np.ndarray,
     return tokens
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _encode_reduce_fn(forward, b: int, t: int, row_sharding):
+    """Cached jit of encode+ensemble-reduce: building it per call would
+    retrace (and remote-recompile) the text tower on every invocation —
+    the same per-call-jit trap ``naming/loop.py`` documents.  Keyed by the
+    forward function object, the batch geometry, and the (hashable)
+    output sharding."""
+    jit_kwargs = {} if row_sharding is None else {"out_shardings": row_sharding}
+
+    @partial(jax.jit, **jit_kwargs)
+    def encode_reduce(v, tokens):  # tokens [B*T, L] (row-sharded w/ mesh)
+        emb = forward(v, tokens)  # [B*T, D]
+        return _ensemble_reduce.__wrapped__(emb.reshape(b, t, -1))  # [B, D]
+
+    return encode_reduce
+
+
 @jax.jit
 def _ensemble_reduce(emb: jnp.ndarray) -> jnp.ndarray:
     """[B, T, D] raw text embeddings -> [B, D] prompt-ensembled weights."""
@@ -73,9 +93,13 @@ def build_zeroshot_weights(encode_text_fn: Callable[[List[str]], np.ndarray],
     the ~68k-name vocabulary build is embarrassingly parallel and scales
     linearly with chips (round-1 cold-start: ~9 min on one chip).
     """
-    if hasattr(encode_text_fn, "forward"):
-        # raw encoder pieces available: use the pipelined builder (host
-        # tokenization overlaps device encode; optionally mesh-sharded)
+    if hasattr(encode_text_fn, "forward") and (
+            mesh is not None or len(classnames) >= 2 * names_per_batch):
+        # raw encoder pieces available and the build is large enough to
+        # amortize: use the pipelined builder (host tokenization overlaps
+        # device encode; optionally mesh-sharded).  Tiny calls — e.g. the
+        # missing-classname repair encoding a handful of names — stay on
+        # the plain path rather than padding to a whole batch.
         return build_zeroshot_weights_sharded(
             encode_text_fn.forward, encode_text_fn.variables,
             encode_text_fn.tokenize, classnames, templates, mesh,
@@ -121,15 +145,10 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
         row = NamedSharding(mesh, P(data_axis))
         variables = jax.device_put(variables, rep)
         put_tokens = lambda tok: jax.device_put(tok, row)
-        jit_kwargs = {"out_shardings": row}
     else:
+        row = None
         put_tokens = lambda tok: tok
-        jit_kwargs = {}
-
-    @partial(jax.jit, **jit_kwargs)
-    def encode_reduce(v, tokens):  # tokens [B*T, L] (row-sharded w/ mesh)
-        emb = forward(v, tokens)  # [B*T, D]
-        return _ensemble_reduce.__wrapped__(emb.reshape(b, t, -1))  # [B, D]
+    encode_reduce = _encode_reduce_fn(forward, b, t, row)
 
     # Pipelined host/device loop: dispatch is async, so NOT fetching each
     # batch result lets the host tokenize batch i+1 while the device

@@ -43,16 +43,23 @@ class ConstrainedAssignment(NamedTuple):
 def _sinkhorn_duals(cost: jnp.ndarray, size_min, size_max,
                     eps: float, iters: int,
                     row_mask: jnp.ndarray = None,
-                    tol: float = 1e-5
+                    tol: float = 1e-6
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Log-domain scaling; returns (f [N], g [K]) duals.  Rows where
     ``row_mask`` is False carry zero transport mass (sharding padding).
 
-    Early exit: stops when the column-dual update falls below ``tol``
-    (cost is normalized to unit std by the caller, so an absolute
-    threshold is scale-free) — typical instances converge in a fraction
-    of the ``iters`` cap, and labels come from ``argmin(cost - g)``,
-    which sub-``tol`` dual wiggle cannot flip outside exact ties."""
+    Early exit: stops once the column-dual update falls below ``tol``
+    (cost is unit-std normalized by the caller, so the threshold is
+    scale-free).  This does NOT bound the remaining convergence tail — the
+    whole dual track is approximate by contract (the entropic solution at
+    the ``iters`` cap itself differs from the converged one; measured at
+    eps=0.01 the capped duals flip ~0.15% of labels vs converged, and the
+    ``tol=1e-6`` exit adds label churn of the same order).  Downstream the
+    assignment is feasibility-checked and falls back to the exact MCF
+    solver, so the stopping rule trades only which near-tie labels the
+    repair passes start from.  A geometric tail-extrapolation stop was
+    tried and measured WORSE (transiently small decay ratios collapse the
+    bound and exit far too early)."""
     n, k = cost.shape
     f = jnp.zeros((n,), jnp.float32)
     g = jnp.zeros((k,), jnp.float32)

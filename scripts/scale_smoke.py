@@ -16,12 +16,13 @@ convergence, bound evaluators):
 
 Run on the TPU: ``python scripts/scale_smoke.py``; CI uses ``--small``.
 Each stage prints wall-clock.  In this environment the figures are
-dominated by one-time costs rather than compute: every stage pays a fresh
-remote XLA compile (the persistent compilation cache does not survive this
-backend — CLAUDE.md rule 6; the vmapped SSKM program alone compiles for
-minutes) and the SSKM stage includes the one-time ~400 MB host->device
-feature upload at ~50 MB/s.  Steady-state per-iteration rates are what
-``bench.py`` measures; this script's job is true-shape viability:
+dominated by one-time costs rather than compute: every stage pays a
+remote XLA compile on a cold cache (the persistent cache partially works
+— CLAUDE.md rule 6: the SSKM program's cold start drops 112s -> 42s when
+a previous process populated it; this script enables it) and the SSKM
+stage includes the one-time ~400 MB host->device feature upload at
+~50 MB/s.  Steady-state per-iteration rates are what ``bench.py``
+measures; this script's job is true-shape viability:
 measured on v5e (first run): SSKM ~300s (mostly compile), ConSSKM 13s,
 vocabulary top-k 12s, voting loop 10.5s (4 iterations to fixpoint; one
 bucket-padded compile + one feature upload for all rounds), zero-shot

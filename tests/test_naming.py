@@ -265,12 +265,22 @@ def test_build_zeroshot_weights_sharded_matches_single():
     names = [f"name_{i}" for i in range(37)]  # ragged vs any batch of 8
     templates = ["a photo of a {}.", "art of the {}.", "the small {}."]
 
-    single = build_zeroshot_weights(encode_text, names, templates,
+    # reference: the PLAIN text-batch loop — a bare callable without the
+    # .forward attrs cannot route into the pipelined builder, so this
+    # cross-checks the pipelined implementation instead of comparing it
+    # to itself
+    def encode_text_bare(texts):
+        return np.asarray(forward(variables, jnp.asarray(tokenize(texts))))
+
+    single = build_zeroshot_weights(encode_text_bare, names, templates,
                                     names_per_batch=16)
+    pipelined = build_zeroshot_weights(encode_text, names, templates,
+                                       names_per_batch=16)
     mesh = make_mesh(MeshConfig(data=8, model=1))
     sharded = build_zeroshot_weights(encode_text, names, templates,
                                      names_per_batch=16, mesh=mesh)
     assert sharded.shape == (d, len(names))
+    np.testing.assert_allclose(pipelined, single, atol=1e-6)
     np.testing.assert_allclose(sharded, single, atol=1e-6)
 
 
