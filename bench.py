@@ -182,13 +182,17 @@ def bench_clip_embed(batch: int = 128):
 
 
 def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100):
-    """One full k-means EM iteration (E-step assign + M-step means).
-    ``estep_assign`` pads K to the 128-lane width internally."""
+    """One full k-means EM iteration — the same path the library's Lloyd
+    loop runs: on TPU that is the fused Pallas E+M kernel (one streaming
+    pass over x instead of two), with K padded to the 128-lane width."""
     import jax
     import jax.numpy as jnp
 
     from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
     from scd_tpu.ops.segment import segment_mean
+
+    use_fused = jax.default_backend() == "tpu"
 
     def make_run(k_iters):
         @jax.jit
@@ -197,9 +201,14 @@ def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100):
             x = jax.random.normal(kx, (n, d), jnp.float32)
 
             def body(c, _):
-                labels, mindist = estep_assign(x, c)
-                means, _counts = segment_mean(x, labels, k)
-                return means, jnp.sum(mindist)
+                if use_fused:
+                    _lab, sums, counts, inertia = fused_em_step_pallas(x, c)
+                    means = sums / jnp.maximum(counts, 1.0)[:, None]
+                else:
+                    labels, mindist = estep_assign(x, c)
+                    means, _counts = segment_mean(x, labels, k)
+                    inertia = jnp.sum(mindist)
+                return means, inertia
 
             c, inertias = jax.lax.scan(
                 body, jax.random.normal(kc, (k, d), jnp.float32), None,

@@ -65,38 +65,50 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
                 row_w: jnp.ndarray,
                 extra_sums: Optional[jnp.ndarray] = None,
                 extra_counts: Optional[jnp.ndarray] = None,
-                extra_inertia_fn=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                extra_inertia_fn=None,
+                fused: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Shared Lloyd iteration engine.
 
     ``row_w`` [N] weights (0 for padded rows).  ``extra_sums``/``extra_counts``
     add a constant labelled contribution to the M-step; ``extra_inertia_fn``
     maps centers -> scalar labelled inertia.  Returns
     (best_labels, best_inertia, best_centers, n_iter).
+
+    ``fused=True`` runs E-step + M-step as ONE Pallas pass over ``x``
+    (halves the dominant HBM stream; ``fused_em_step_pallas``).  Callers
+    enable it only on the unsharded single-device path: a Pallas call is
+    opaque to GSPMD, so the mesh path keeps the XLA ops (which partition
+    automatically), and ``row_w`` must be all-ones (the kernel masks only
+    its own internal block padding).
     """
     n = x.shape[0]
 
-    def estep(centers):
-        labels, mindist = estep_assign(x, centers)
-        inertia = jnp.sum(mindist * row_w)
+    def em_iter(centers):
+        """(labels, inertia, new_centers) for one EM iteration."""
+        if fused:
+            from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+
+            labels, sums, counts, inertia = fused_em_step_pallas(
+                x, centers, interpret=jax.default_backend() != "tpu")
+        else:
+            labels, mindist = estep_assign(x, centers)
+            inertia = jnp.sum(mindist * row_w)
+            sums, counts = segment_sums(x, labels, k, weights=row_w)
         if extra_inertia_fn is not None:
             inertia = inertia + extra_inertia_fn(centers)
-        return labels, mindist, inertia
-
-    def mstep(labels, centers):
-        sums, counts = segment_sums(x, labels, k, weights=row_w)
         if extra_sums is not None:
             sums = sums + extra_sums
             counts = counts + extra_counts
         new_centers = sums / jnp.maximum(counts, 1.0)[:, None]
         # empty cluster: keep previous center
-        return jnp.where((counts < 0.5)[:, None], centers, new_centers)
+        new_centers = jnp.where((counts < 0.5)[:, None], centers, new_centers)
+        return labels, inertia, new_centers
 
     def cond(s: _LoopState):
         return (s.it < max_iter) & (s.shift_sq >= tol)
 
     def body(s: _LoopState):
-        labels, mindist, inertia = estep(s.centers)
-        new_centers = mstep(labels, s.centers)
+        labels, inertia, new_centers = em_iter(s.centers)
         better = inertia < s.best_inertia
         best_labels = jnp.where(better, labels, s.best_labels)
         best_inertia = jnp.where(better, inertia, s.best_inertia)
@@ -117,19 +129,27 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
     return final.best_labels, final.best_inertia, final.best_centers, final.it
 
 
-@partial(jax.jit, static_argnames=("k", "max_iter", "n_init"))
+@partial(jax.jit, static_argnames=("k", "max_iter", "n_init", "fused"))
 def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
-                       k: int, max_iter: int, tol: float, n_init: int):
+                       k: int, max_iter: int, tol: float, n_init: int,
+                       fused: bool = False):
     row_w = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
 
     def one_restart(sub):
         centers0 = kmeans_plus_plus(sub, x, k, n_valid=n_valid)
-        return _lloyd_loop(x, centers0, k, max_iter, tol, row_w)
+        return _lloyd_loop(x, centers0, k, max_iter, tol, row_w, fused=fused)
 
     keys = jax.random.split(key, n_init)
     labels, inertias, centers, iters = jax.vmap(one_restart)(keys)
     best = jnp.argmin(inertias)
     return labels[best], inertias[best], centers[best], iters[best]
+
+
+def _use_fused(mesh) -> bool:
+    """Fused Pallas E+M only on the unsharded TPU path: a pallas_call is
+    opaque to GSPMD (the mesh path needs the auto-partitioned XLA ops), and
+    on CPU the interpret-mode kernel is slower than XLA."""
+    return mesh is None and jax.default_backend() == "tpu"
 
 
 def _stage_rows(x: np.ndarray, mesh):
@@ -157,16 +177,17 @@ def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
         n_valid = jnp.asarray(x_j.shape[0])
     labels, inertia, centers, n_iter = _fit_kmeans_device(
         key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
-        cfg.tolerance, cfg.n_init)
+        cfg.tolerance, cfg.n_init, fused=_use_fused(mesh))
     return KMeansResult(np.asarray(labels)[:int(n_valid)], np.asarray(centers),
                         float(inertia), int(n_iter))
 
 
-@partial(jax.jit, static_argnames=("k", "n_l_classes", "max_iter", "n_init"))
+@partial(jax.jit, static_argnames=("k", "n_l_classes", "max_iter", "n_init",
+                                   "fused"))
 def _fit_sskm_device(key: jax.Array, u: jnp.ndarray, l: jnp.ndarray,
                      l_labels: jnp.ndarray, n_valid: jnp.ndarray,
                      k: int, n_l_classes: int, max_iter: int, tol: float,
-                     n_init: int):
+                     n_init: int, fused: bool = False):
     row_w = (jnp.arange(u.shape[0]) < n_valid).astype(jnp.float32)
 
     # Labelled structure is constant across iterations and restarts.
@@ -182,7 +203,7 @@ def _fit_sskm_device(key: jax.Array, u: jnp.ndarray, l: jnp.ndarray,
                                     n_valid=n_valid)
         return _lloyd_loop(u, centers0, k, max_iter, tol, row_w,
                            extra_sums=l_sums, extra_counts=l_counts,
-                           extra_inertia_fn=l_inertia_fn)
+                           extra_inertia_fn=l_inertia_fn, fused=fused)
 
     keys = jax.random.split(key, n_init)
     labels, inertias, centers, iters = jax.vmap(one_restart)(keys)
@@ -219,21 +240,22 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     u_labels, inertia, centers, n_iter = _fit_sskm_device(
         key, u, l, jnp.asarray(l_mapped.astype(np.int32)),
         n_valid, cfg.n_clusters, n_l_classes,
-        cfg.max_iterations, cfg.tolerance, cfg.n_init)
+        cfg.max_iterations, cfg.tolerance, cfg.n_init,
+        fused=_use_fused(mesh))
 
     all_labels = np.concatenate([l_mapped.astype(np.int32),
                                  np.asarray(u_labels)[:n_u]])
     return KMeansResult(all_labels, np.asarray(centers), float(inertia), int(n_iter))
 
 
-@partial(jax.jit, static_argnames=("k", "max_iter"))
+@partial(jax.jit, static_argnames=("k", "max_iter", "fused"))
 def _fit_from_labels_device(x: jnp.ndarray, init_labels: jnp.ndarray,
                             n_valid: jnp.ndarray, k: int, max_iter: int,
-                            tol: float):
+                            tol: float, fused: bool = False):
     row_w = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
     sums, counts = segment_sums(x, init_labels, k, weights=row_w)
     centers0 = sums / jnp.maximum(counts, 1.0)[:, None]
-    return _lloyd_loop(x, centers0, k, max_iter, tol, row_w)
+    return _lloyd_loop(x, centers0, k, max_iter, tol, row_w, fused=fused)
 
 
 def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
@@ -258,6 +280,6 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
         n_valid = jnp.asarray(n)
     labels, inertia, centers, n_iter = _fit_from_labels_device(
         x_j, lab_j, n_valid, cfg.n_clusters, cfg.max_iterations,
-        cfg.tolerance)
+        cfg.tolerance, fused=_use_fused(mesh))
     return KMeansResult(np.asarray(labels)[:n], np.asarray(centers),
                         float(inertia), int(n_iter))

@@ -403,3 +403,118 @@ def qkv_attention_pallas(qkv: jnp.ndarray, heads: int, scale: float,
         interpret=interpret,
     )(qkv)
     return out[:, :l]
+
+
+# ------------------------------------------------- fused E+M k-means step
+
+def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
+                     lab_ref, sums_ref, stats_ref):
+    """One row-block of a full k-means EM iteration: nearest-centroid
+    assignment AND the one-hot M-step partial sums in a single pass over
+    the block — ``x`` streams from HBM once per iteration instead of twice
+    (the separate estep_assign + segment_sums matmuls each read it).
+
+    Partial-outputs design: every grid step writes its own [Kp, D] sums
+    slab (reduced by the wrapper) instead of accumulating in place, so the
+    kernel needs no ``pl.program_id`` and stays safe under ``jax.vmap``
+    (the restart axis) — program_id would silently re-bind to the batch
+    dimension there.
+    """
+    xb = x_ref[:].astype(jnp.float32)  # [BN, D]
+    m = mask_ref[:]  # [BN, 1] f32 (0 for wrapper row padding)
+
+    # Mosaic supports only DEFAULT/HIGHEST dot precision; HIGHEST's 6-pass
+    # f32 emulation would make the kernel compute-bound.  Hand-rolled
+    # bf16x3 (the decomposition Precision.HIGH uses): hi/lo bf16 split,
+    # three single-pass MXU dots, f32 accumulation — f32-class accuracy at
+    # 3 passes.
+    def _split(a):
+        hi = a.astype(jnp.bfloat16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def _dot3(a, b, dims):
+        ah, al = _split(a)
+        bh, bl = _split(b)
+        dot = functools.partial(
+            jax.lax.dot_general, dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+        return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+    cross = _dot3(xb, ct_ref[:].astype(jnp.float32),
+                  (((1,), (0,)), ((), ())))  # [BN, Kp]
+    d = csq_ref[:] - 2.0 * cross  # |x|^2 deferred: constant per row
+    lab = jnp.argmin(d, axis=1)  # first-min tie-break, matches jnp.argmin
+    # 2-D throughout: mosaic's vector layout cannot lower reductions over
+    # 1-D slices of 2-D values ("Offset change")
+    xsq = jnp.sum(xb * xb, axis=1, keepdims=True)  # [BN, 1]
+    mind = jnp.maximum(jnp.min(d, axis=1, keepdims=True) + xsq, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    oh = jnp.where(col == lab[:, None], 1.0, 0.0) * m  # [BN, Kp]
+    # one-hot entries are exact in bf16: two passes (x hi/lo) suffice
+    xh, xl = _split(xb)
+    ohb = oh.astype(jnp.bfloat16)
+    msum = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sums_ref[0] = msum(ohb, xh) + msum(ohb, xl)  # [Kp, D]
+    # stats slab [8, Kp] (mosaic wants >= (8, 128) minor block dims):
+    # row 0 = counts, row 1 col 0 = this block's inertia partial.
+    # Built with iota masks — mosaic has no scatter lowering for .at[].set
+    kp = oh.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, kp), 0)
+    colid = jax.lax.broadcasted_iota(jnp.int32, (8, kp), 1)
+    counts = jnp.sum(oh, axis=0)[None, :]  # [1, Kp]
+    ine = jnp.sum(mind * m)  # 2-D elementwise then full reduce
+    stats = jnp.where(row == 0, jnp.broadcast_to(counts, (8, kp)), 0.0)
+    stats = jnp.where((row == 1) & (colid == 0), ine, stats)
+    stats_ref[0] = stats
+    lab_ref[:] = lab[:, None].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
+                         block_n: int = 1024, interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray]:
+    """Fused k-means EM iteration.  x [N, D] f32, c [K, D] ->
+    (labels [N] i32, sums [K, D], counts [K], inertia scalar).
+
+    Semantics match ``estep_assign`` + ``segment_sums`` + the min-distance
+    inertia sum, with K padded to the 128-lane width internally (padded
+    centers get squared norm 1e30 and never win the argmin)."""
+    n, d_dim = x.shape
+    k = c.shape[0]
+    x32 = _pad_rows(x.astype(jnp.float32), block_n)
+    npad = x32.shape[0]
+    nb = npad // block_n
+    c32 = _pad_rows(c.astype(jnp.float32), 128)
+    kp = c32.shape[0]
+    csq = jnp.sum(c32 * c32, axis=1)[None, :]
+    if kp != k:
+        colk = jnp.arange(kp)[None, :]
+        csq = jnp.where(colk < k, csq, 1e30)
+    mask = (jnp.arange(npad) < n).astype(jnp.float32)[:, None]
+    lab, sums, stats = pl.pallas_call(
+        _fused_em_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((block_n, d_dim), lambda i: (i, 0)),
+            pl.BlockSpec((d_dim, kp), lambda i: (0, 0)),
+            pl.BlockSpec((1, kp), lambda i: (0, 0)),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, kp, d_dim), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, kp), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, kp, d_dim), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 8, kp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x32, c32.T, csq, mask)
+    return (lab[:n, 0], sums.sum(axis=0)[:k], stats[:, 0, :].sum(axis=0)[:k],
+            stats[:, 1, 0].sum())

@@ -135,3 +135,59 @@ def test_manual_attention_bf16_close_to_f32():
         ref = jax.nn.dot_product_attention(q, k, v, mask=mask)
         err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
         assert err < 0.05, err
+
+
+def test_fused_em_step_matches_xla_ops():
+    """fused_em_step_pallas == estep_assign + segment_sums + inertia, incl.
+    under vmap (the restart axis) — partial-output design, no program_id."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+    from scd_tpu.ops.segment import segment_sums
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1500, 48)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((10, 48)), jnp.float32)
+    lab, sums, cnt, ine = fused_em_step_pallas(x, c, block_n=512,
+                                               interpret=True)
+    lab_ref, mind = estep_assign(x, c)
+    s_ref, c_ref = segment_sums(x, lab_ref, 10)
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab_ref))
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(s_ref), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(c_ref))
+    np.testing.assert_allclose(float(ine), float(mind.sum()), rtol=1e-5)
+
+    cs = jnp.stack([c, c * 1.1, c * 0.9])
+    labv, sumsv, cntv, inev = jax.vmap(
+        lambda cc: fused_em_step_pallas(x, cc, block_n=512, interpret=True))(cs)
+    l1, s1, n1, i1 = fused_em_step_pallas(x, cs[1], block_n=512,
+                                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(labv[1]), np.asarray(l1))
+    np.testing.assert_allclose(np.asarray(sumsv[1]), np.asarray(s1),
+                               atol=1e-3)
+
+
+def test_fused_lloyd_loop_matches_xla_path():
+    """The full fit path with fused=True (interpret-mode kernel on CPU)
+    reproduces the XLA E/M path: same labels and inertia on blobs."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.cluster.kmeans import _fit_kmeans_device
+
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((6, 16)) * 4
+    x = (centers[rng.integers(0, 6, 900)]
+         + 0.3 * rng.standard_normal((900, 16))).astype(np.float32)
+    x_j = jnp.asarray(x)
+    nv = jnp.asarray(900)
+    a = _fit_kmeans_device(jax.random.PRNGKey(0), x_j, nv, 6, 25, 1e-4, 2,
+                           fused=False)
+    b = _fit_kmeans_device(jax.random.PRNGKey(0), x_j, nv, 6, 25, 1e-4, 2,
+                           fused=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    # inertia: hand-rolled bf16x3 vs XLA HIGH accumulate in different
+    # orders -> f32-class but not bitwise agreement
+    np.testing.assert_allclose(float(a[1]), float(b[1]), rtol=1e-3)
