@@ -65,17 +65,29 @@ def _dynk_run(key, x, k_active, max_k, max_iterations, n_init):
     import jax.numpy as jnp
 
     from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
     from scd_tpu.ops.segment import segment_mean
+
+    # same dispatch as the Lloyd loop: fused Pallas E+M on the TPU (the
+    # far-sentinel clusters never win the argmin, so dynamic-K semantics
+    # carry over unchanged); XLA ops elsewhere
+    fused = jax.default_backend() == "tpu"
 
     def one_restart(sub):
         centers0 = _kpp_masked(sub, x, k_active, max_k)
 
         def body(_, carry):
             centers, _labels, _inertia = carry
-            labels, mindist = estep_assign(x, centers)
-            means, counts = segment_mean(x, labels, max_k)
+            if fused:
+                labels, sums, counts, inertia = fused_em_step_pallas(
+                    x, centers)
+                means = sums / jnp.maximum(counts, 1.0)[:, None]
+            else:
+                labels, mindist = estep_assign(x, centers)
+                means, counts = segment_mean(x, labels, max_k)
+                inertia = jnp.sum(mindist)
             new_centers = jnp.where((counts > 0)[:, None], means, centers)
-            return new_centers, labels, jnp.sum(mindist)
+            return new_centers, labels, inertia
 
         init = (centers0, jnp.zeros((x.shape[0],), jnp.int32),
                 jnp.float32(0))
