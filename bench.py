@@ -188,11 +188,7 @@ def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100):
     import jax
     import jax.numpy as jnp
 
-    from scd_tpu.ops.distance import estep_assign
-    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
-    from scd_tpu.ops.segment import segment_mean
-
-    use_fused = jax.default_backend() == "tpu"
+    from scd_tpu.ops.em import em_iteration
 
     def make_run(k_iters):
         @jax.jit
@@ -201,13 +197,11 @@ def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100):
             x = jax.random.normal(kx, (n, d), jnp.float32)
 
             def body(c, _):
-                if use_fused:
-                    _lab, sums, counts, inertia = fused_em_step_pallas(x, c)
-                    means = sums / jnp.maximum(counts, 1.0)[:, None]
-                else:
-                    labels, mindist = estep_assign(x, c)
-                    means, _counts = segment_mean(x, labels, k)
-                    inertia = jnp.sum(mindist)
+                # exactly the library Lloyd-loop iteration incl. the
+                # empty-cluster keep-previous-center select
+                _lab, sums, counts, inertia = em_iteration(x, c, k)
+                means = sums / jnp.maximum(counts, 1.0)[:, None]
+                means = jnp.where((counts < 0.5)[:, None], c, means)
                 return means, inertia
 
             c, inertias = jax.lax.scan(

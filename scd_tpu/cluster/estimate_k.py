@@ -58,34 +58,26 @@ def _kpp_masked(key, x, k_active, max_k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("max_k", "max_iterations",
-                                             "n_init"))
-def _dynk_run(key, x, k_active, max_k, max_iterations, n_init):
+                                             "n_init", "fused"))
+def _dynk_run(key, x, k_active, max_k, max_iterations, n_init,
+              fused: bool = False):
     """Module-level jitted core: jax.jit caches per function object, so this
     must NOT be redefined per call — one executable serves every probed K."""
     import jax.numpy as jnp
 
-    from scd_tpu.ops.distance import estep_assign
-    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
-    from scd_tpu.ops.segment import segment_mean
-
-    # same dispatch as the Lloyd loop: fused Pallas E+M on the TPU (the
-    # far-sentinel clusters never win the argmin, so dynamic-K semantics
-    # carry over unchanged); XLA ops elsewhere
-    fused = jax.default_backend() == "tpu"
+    from scd_tpu.ops.em import em_iteration
 
     def one_restart(sub):
         centers0 = _kpp_masked(sub, x, k_active, max_k)
 
         def body(_, carry):
             centers, _labels, _inertia = carry
-            if fused:
-                labels, sums, counts, inertia = fused_em_step_pallas(
-                    x, centers)
-                means = sums / jnp.maximum(counts, 1.0)[:, None]
-            else:
-                labels, mindist = estep_assign(x, centers)
-                means, counts = segment_mean(x, labels, max_k)
-                inertia = jnp.sum(mindist)
+            # shared fused/XLA dispatch (the far-sentinel clusters of the
+            # dynamic-K trick never win the argmin, so semantics carry
+            # over unchanged)
+            labels, sums, counts, inertia = em_iteration(x, centers, max_k,
+                                                         fused=fused)
+            means = sums / jnp.maximum(counts, 1.0)[:, None]
             new_centers = jnp.where((counts > 0)[:, None], means, centers)
             return new_centers, labels, inertia
 
@@ -101,16 +93,20 @@ def _dynk_run(key, x, k_active, max_k, max_iterations, n_init):
 
 
 def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
-                         n_init: int = 3, max_iterations: int = 50):
+                         n_init: int = 3, max_iterations: int = 50,
+                         fused: bool = None):
     """K-means whose cluster count is a TRACED value: clusters >= k_active
     are far sentinels that never receive points.  Returns (labels [N],
     inertia).  Compiled once per (shape, max_k); every K in
-    [2, max_k] reuses the same executable."""
+    [2, max_k] reuses the same executable.  ``fused=None``: fused Pallas
+    E+M on TPU, XLA ops elsewhere (overridable for tests)."""
     import jax.numpy as jnp
 
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
     labels, inertia = _dynk_run(key, jnp.asarray(np.asarray(x, np.float32)),
                                 jnp.asarray(int(k_active)), max_k,
-                                max_iterations, n_init)
+                                max_iterations, n_init, fused=fused)
     return np.asarray(labels), float(inertia)
 
 

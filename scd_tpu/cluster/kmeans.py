@@ -75,25 +75,20 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
     (best_labels, best_inertia, best_centers, n_iter).
 
     ``fused=True`` runs E-step + M-step as ONE Pallas pass over ``x``
-    (halves the dominant HBM stream; ``fused_em_step_pallas``).  Callers
-    enable it only on the unsharded single-device path: a Pallas call is
-    opaque to GSPMD, so the mesh path keeps the XLA ops (which partition
-    automatically), and ``row_w`` must be all-ones (the kernel masks only
-    its own internal block padding).
+    (halves the dominant HBM stream; ``fused_em_step_pallas``, which
+    honors ``row_w`` as its row mask).  Callers enable it only on the
+    unsharded single-device path: a Pallas call is opaque to GSPMD, so the
+    mesh path keeps the XLA ops (which partition automatically).
     """
     n = x.shape[0]
 
     def em_iter(centers):
         """(labels, inertia, new_centers) for one EM iteration."""
-        if fused:
-            from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+        from scd_tpu.ops.em import em_iteration
 
-            labels, sums, counts, inertia = fused_em_step_pallas(
-                x, centers, interpret=jax.default_backend() != "tpu")
-        else:
-            labels, mindist = estep_assign(x, centers)
-            inertia = jnp.sum(mindist * row_w)
-            sums, counts = segment_sums(x, labels, k, weights=row_w)
+        labels, sums, counts, inertia = em_iteration(x, centers, k,
+                                                     row_w=row_w,
+                                                     fused=fused)
         if extra_inertia_fn is not None:
             inertia = inertia + extra_inertia_fn(centers)
         if extra_sums is not None:

@@ -474,6 +474,7 @@ def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
 def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
+                         row_mask: jnp.ndarray = None,
                          block_n: int = 1024, interpret: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                     jnp.ndarray]:
@@ -482,7 +483,9 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
 
     Semantics match ``estep_assign`` + ``segment_sums`` + the min-distance
     inertia sum, with K padded to the 128-lane width internally (padded
-    centers get squared norm 1e30 and never win the argmin)."""
+    centers get squared norm 1e30 and never win the argmin).  ``row_mask``
+    [N] (0/1) drops rows from sums/counts/inertia — the caller's padded
+    sharding rows; labels for masked rows are still the plain argmin."""
     n, d_dim = x.shape
     k = c.shape[0]
     x32 = _pad_rows(x.astype(jnp.float32), block_n)
@@ -494,7 +497,10 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
     if kp != k:
         colk = jnp.arange(kp)[None, :]
         csq = jnp.where(colk < k, csq, 1e30)
-    mask = (jnp.arange(npad) < n).astype(jnp.float32)[:, None]
+    if row_mask is None:
+        mask = (jnp.arange(npad) < n).astype(jnp.float32)[:, None]
+    else:
+        mask = _pad_rows(row_mask.astype(jnp.float32)[:, None], block_n)
     lab, sums, stats = pl.pallas_call(
         _fused_em_kernel,
         grid=(nb,),

@@ -138,3 +138,25 @@ def test_dynamic_k_reuses_one_executable():
     for k in (3, 5, 7, 5):
         fit_kmeans_dynamic_k(jax.random.PRNGKey(0), X, k, max_k=10, n_init=2)
     assert _dynk_run._cache_size() == before + 1  # one trace for all K
+
+
+def test_dynamic_k_fused_matches_xla():
+    """The fused E+M branch of the dynamic-K loop (interpret-mode kernel on
+    CPU): the far-sentinel clusters must never win the argmin, and labels/
+    inertia must agree with the XLA branch."""
+    import jax
+    import numpy as np
+
+    from scd_tpu.cluster.estimate_k import fit_kmeans_dynamic_k
+
+    rng = np.random.default_rng(0)
+    cent = rng.standard_normal((5, 12)) * 4
+    x = (cent[rng.integers(0, 5, 600)]
+         + 0.3 * rng.standard_normal((600, 12))).astype(np.float32)
+    la, ia = fit_kmeans_dynamic_k(jax.random.PRNGKey(0), x, 5, max_k=32,
+                                  n_init=2, max_iterations=15, fused=False)
+    lb, ib = fit_kmeans_dynamic_k(jax.random.PRNGKey(0), x, 5, max_k=32,
+                                  n_init=2, max_iterations=15, fused=True)
+    assert lb.max() < 5  # sentinels never assigned
+    np.testing.assert_array_equal(la, lb)
+    np.testing.assert_allclose(ia, ib, rtol=1e-3)
