@@ -45,8 +45,12 @@ size is a first-order knob: B=128 measures 3.3k imgs/s vs 2.9k at 256 and
 Three Pallas kernel variants (per-head fused, packed-qkv lane-sliced,
 staged-scratch; see ``ops/pallas_kernels.py``) all measured SLOWER than
 the XLA bf16-score path because Mosaic serializes the per-head
-MXU->VPU->MXU chains.  Raising MFU further would require wider heads or
-longer sequences — model-architecture changes, not kernel ones.
+MXU->VPU->MXU chains; jax's own
+``pallas.ops.tpu.flash_attention`` (padded 197->256 with segment-id
+masking) measured 6x slower still (4.4 vs 0.72 ms/layer at B=128) —
+flash-style streaming pays off at long sequences, not L=197 x d=64.
+Raising MFU further would require wider heads or longer sequences —
+model-architecture changes, not kernel ones.
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md).  We normalize against a nominal 400 imgs/sec for the
