@@ -67,8 +67,15 @@ struct Graph {
 
 class CostScaling {
  public:
-  CostScaling(Graph& g, std::vector<i64> supply)
-      : g_(g), excess_(std::move(supply)), price_(g.n, 0), cur_(g.n, -1) {}
+  // ``bounded_relabels``: enable the heuristic per-node relabel cap that
+  // aborts as "infeasible" (used for the sparse candidate subgraphs, which
+  // CAN be infeasible and would otherwise churn to the generic guard).
+  // The terminal dense solve runs UNBOUNDED except for the guard — its
+  // instances are feasible by the caller's pre-check, and a heuristic cap
+  // would turn an adversarial-but-feasible solve into a crash.
+  CostScaling(Graph& g, std::vector<i64> supply, bool bounded_relabels = false)
+      : g_(g), excess_(std::move(supply)), price_(g.n, 0), cur_(g.n, -1),
+        bounded_relabels_(bounded_relabels) {}
 
   // Node prices after solve(): in SCALED cost units (costs were multiplied
   // in place by n+1).  The final refine ran at eps=1, so every residual
@@ -187,7 +194,8 @@ class CostScaling {
     // without this bound they churn until the generic guard, minutes
     // instead of milliseconds.  Cap at 24n for slack above the bound.
     std::vector<int> n_relabel(g_.n, 0);
-    const int relabel_cap = 24 * g_.n + 16;
+    const long long relabel_cap =
+        bounded_relabels_ ? 24LL * g_.n + 16 : (1LL << 62);
     while (!active.empty()) {
       int u = active.front(); active.pop(); in_queue[u] = 0;
       while (excess_[u] > 0) {
@@ -235,6 +243,7 @@ class CostScaling {
   std::vector<i64> excess_;
   std::vector<i64> price_;
   std::vector<int> cur_;
+  bool bounded_relabels_ = false;
 };
 
 // ------------------------------------------------- successive shortest paths
@@ -452,7 +461,7 @@ static bool solve_candidate_graph(
   for (int j = 0; j < n_c; ++j) sup[c0 + j] = -static_cast<i64>(size_min);
   sup[art] = -(static_cast<i64>(n_x) - static_cast<i64>(n_c) * size_min);
 
-  CostScaling cs(g, std::move(sup));
+  CostScaling cs(g, std::move(sup), /*bounded_relabels=*/true);
   if (!cs.solve()) return false;
 
   labels_out->assign(n_x, -1);

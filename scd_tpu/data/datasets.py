@@ -110,8 +110,11 @@ def make_imagenet_100(root: str) -> Tuple[ImageTable, ImageTable, Dict]:
     """Seed-0 100-class subsample of ImageNet-1k (reference
     ``imagenet.py:275-333``): the class choice and the idx100->idx1000
     ``class_map`` must reproduce the reference draw exactly."""
-    np.random.seed(0)
-    chosen = np.sort(np.random.choice(range(1000), size=(100,), replace=False))
+    # RandomState(0) draws the identical legacy sequence as the
+    # reference's np.random.seed(0) WITHOUT reseeding the caller's global
+    # NumPy RNG as a side effect
+    chosen = np.sort(np.random.RandomState(0).choice(
+        range(1000), size=(100,), replace=False))
     cls_map = {int(i): j for j, i in enumerate(chosen)}
 
     whole, test, extra = make_imagefolder(os.path.join(root, "train"),
@@ -138,8 +141,8 @@ def make_imagenet_127(root: str) -> Tuple[ImageTable, ImageTable, Dict]:
     with seed 0 (``np.random.choice(range(127), size=127, replace=False)``
     then sorted — an identity permutation, quirk preserved here) so
     ``class_map`` is the identity and targets keep folder order."""
-    np.random.seed(0)
-    chosen = np.sort(np.random.choice(range(127), size=(127,), replace=False))
+    chosen = np.sort(np.random.RandomState(0).choice(
+        range(127), size=(127,), replace=False))  # no global-RNG side effect
     cls_map = {int(i): j for j, i in enumerate(chosen)}
 
     val_root = os.path.join(root, "val")

@@ -80,6 +80,16 @@ def semantic_tree_distances(class_tree_list: Sequence[Sequence[int]],
         tree_by_wnid[wnids[0]] = wnids
 
     rows = [w for w in i1k_wnids if w in tree_by_wnid]
+    missing = [w for w in i21k_wnids if w not in tree_by_wnid]
+    if missing:
+        # fail fast with a clear message — the wnid lists and the tree
+        # artifact are independent arguments, and a KeyError mid-way
+        # through the O(|I1K|*|I21K|) loop names neither the wnid nor the
+        # cause
+        raise ValueError(
+            f"{len(missing)} I21K wnid(s) absent from the semantic tree "
+            f"(first: {missing[:3]}); the tree artifact must cover every "
+            "I21K class passed in")
     mat = np.zeros((len(rows), len(i21k_wnids)))
     for i, w1 in enumerate(rows):
         t1 = tree_by_wnid[w1]
@@ -125,8 +135,7 @@ def get_imagenet_osr_class_splits(
     """
     if osr_split == "random":
         disjoint = sorted(set(i21k_wnids) - set(i1k_wnids))
-        np.random.seed(0)
-        chosen = np.random.choice(disjoint, replace=False,
+        chosen = np.random.RandomState(0).choice(disjoint, replace=False,
                                   size=(num_classes,))
         return [i21k_class_to_idx[w] for w in chosen]
 

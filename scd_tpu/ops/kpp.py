@@ -25,6 +25,12 @@ import numpy as np
 from scd_tpu.ops.distance import pairwise_sqdist
 
 
+def auto_local_trials(k: int) -> int:
+    """The vendored package's greedy-trial count (``k_means_constrained_.py:93-96``)
+    — the ONE definition; callers resolve through this."""
+    return 2 + int(np.log(k))
+
+
 @partial(jax.jit, static_argnames=("k",))
 def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
                      pre_centers: Optional[jnp.ndarray] = None,
@@ -88,7 +94,7 @@ def kmeans_plus_plus_local_trials(key: jax.Array, x: jnp.ndarray, k: int,
     """
     n, d = x.shape
     x = x.astype(jnp.float32)
-    t = n_local_trials or (2 + int(np.log(k)))
+    t = n_local_trials or auto_local_trials(k)
     row_valid = (jnp.arange(n) < (n if n_valid is None else n_valid))
 
     if pre_centers is not None and pre_centers.shape[0] == 0:
@@ -114,9 +120,13 @@ def kmeans_plus_plus_local_trials(key: jax.Array, x: jnp.ndarray, k: int,
         key, sub = jax.random.split(key)
         pot = jnp.maximum(d2.sum(), 1e-30)
         # candidate draw: searchsorted on the unnormalized cumsum, exactly
-        # the reference's rand * current_pot construction
+        # the reference's rand * current_pot construction.  Clip to the
+        # last VALID row: when all remaining D^2 mass is ~0 the search
+        # lands past the end, and on padded inputs row n-1 is a zero pad
+        # row — seeding a phantom origin center
         r = jax.random.uniform(sub, (t,)) * pot
-        cand = jnp.clip(jnp.searchsorted(jnp.cumsum(d2), r), 0, n - 1)
+        last = (n if n_valid is None else n_valid) - 1
+        cand = jnp.clip(jnp.searchsorted(jnp.cumsum(d2), r), 0, last)
         dists = pairwise_sqdist(x, x[cand])  # [N, T]
         new_d2 = jnp.where(row_valid[:, None],
                            jnp.minimum(d2[:, None], dists), 0.0)

@@ -229,8 +229,8 @@ class GCDTrainer:
         Per-step metrics stay ON DEVICE until the epoch ends: ``float(v)``
         inside the loop would block on a device fetch every step (~33 ms
         fixed round-trip each through the TPU tunnel), serializing the
-        pipeline; one deferred fetch per metric per epoch costs the same as
-        one step's worth."""
+        pipeline; at epoch end each metric's buffers are stacked in ONE
+        device program and fetched as ONE transfer."""
         device_metrics: Dict[str, list] = {}
         n = 0
         for batch in batches:
@@ -240,7 +240,7 @@ class GCDTrainer:
             n += 1
             for k, v in metrics.items():
                 device_metrics.setdefault(k, []).append(v)
-        out = {k: float(np.mean(jax.device_get(vs)))
+        out = {k: float(np.asarray(jnp.stack(vs).mean()))
                for k, vs in device_metrics.items()}
         self.metrics_log.append(out)
         return out

@@ -66,11 +66,22 @@ def profile_trace(out_dir: str) -> Iterator[None]:
     No-op on tunneled backends (the remote 'axon' transport hangs in
     ``stop_trace`` waiting for device trace data); real TPU/CPU backends
     trace normally.  Force with SCD_FORCE_PROFILE=1.
+
+    Detection note: on the tunnel ``jax.default_backend()`` reports
+    ``"tpu"`` (the plugin canonicalizes), so the backend NAME cannot
+    identify it — the registry key ('axon' in ``xla_bridge.backends()``)
+    can.
     """
-    backend = jax.default_backend()
-    if backend not in ("tpu", "cpu") and not os.environ.get(
-            "SCD_FORCE_PROFILE"):
-        print(f"[profile] tracing skipped on backend {backend!r} "
+    def _tunneled() -> bool:
+        try:
+            from jax._src import xla_bridge
+
+            return "axon" in xla_bridge.backends()
+        except Exception:
+            return False
+
+    if _tunneled() and not os.environ.get("SCD_FORCE_PROFILE"):
+        print("[profile] tracing skipped on the tunneled 'axon' backend "
               "(set SCD_FORCE_PROFILE=1 to force)")
         yield
         return
