@@ -124,8 +124,20 @@ class CostScaling {
     // (path reduced costs are >= -2*eps*len coming out of the previous
     // eps round); nodes beyond the cap shift uniformly, which is safe.
     const int R_CAP = 3 * g_.n + 3;
-    std::vector<int> rank(g_.n, R_CAP);
-    std::vector<std::vector<int>> buckets(R_CAP + 1);
+    // rank_/buckets_ are members reused across calls (a global update runs
+    // every max(n/2,256) relabels plus once per refine; reallocating the
+    // O(3n) vector-of-vectors each call cost ~200k vector constructions at
+    // N=65k).  The sweep below clears buckets_[0..R_CAP-1] as it goes;
+    // only the overflow bucket needs an explicit clear on re-entry.
+    if (rank_.size() != static_cast<size_t>(g_.n)) {
+      rank_.assign(g_.n, R_CAP);
+      buckets_.resize(R_CAP + 1);
+    } else {
+      std::fill(rank_.begin(), rank_.end(), R_CAP);
+      buckets_[R_CAP].clear();
+    }
+    std::vector<int>& rank = rank_;
+    std::vector<std::vector<int>>& buckets = buckets_;
     for (int u = 0; u < g_.n; ++u) {
       if (excess_[u] < 0) { rank[u] = 0; buckets[0].push_back(u); }
     }
@@ -150,9 +162,16 @@ class CostScaling {
       }
       buckets[r].clear();
     }
+    // Price floor: nodes unreachable from the deficits drop by R_CAP*eps
+    // every update; with adversarial near-2^31 costs at N=65k the scaled
+    // eps is ~1e13 and repeated updates could in principle underflow i64.
+    // Detect it and fail the refine (solver returns false -> caller raises)
+    // instead of silently wrapping.
+    const i64 price_floor = std::numeric_limits<i64>::min() / 4;
     for (int u = 0; u < g_.n; ++u) {
       if (rank[u] > 0) {
         price_[u] -= static_cast<i64>(rank[u]) * eps;
+        if (price_[u] < price_floor) price_underflow_ = true;
         cur_[u] = g_.first[u];
       }
     }
@@ -173,6 +192,7 @@ class CostScaling {
       cur_[u] = g_.first[u];
     }
     global_update(eps);
+    if (price_underflow_) return false;
     std::queue<int> active;
     std::vector<char> in_queue(g_.n, 0);
     for (int u = 0; u < g_.n; ++u) {
@@ -215,6 +235,7 @@ class CostScaling {
           if (++relabels >= relabel_trigger) {
             relabels = 0;
             global_update(eps);
+            if (price_underflow_) return false;
             // repricing may have made u's earlier arcs admissible again
             cur_[u] = g_.first[u];
           }
@@ -244,6 +265,9 @@ class CostScaling {
   std::vector<i64> price_;
   std::vector<int> cur_;
   bool bounded_relabels_ = false;
+  bool price_underflow_ = false;
+  std::vector<int> rank_;                 // global_update scratch, reused
+  std::vector<std::vector<int>> buckets_;  // across calls (see global_update)
 };
 
 // ------------------------------------------------- successive shortest paths

@@ -298,9 +298,14 @@ def voting_loop_ptsup(nouns: Sequence[str],
                      if col < len(voted_idx)]
 
         cand_names = sorted(set(cur_voted) | set(lab_names))
-        lab_class_index = [cand_names.index(n) for n in lab_names]
-        unlab_cluster_idx = [cand_names.index(n)
-                             for n in set(cand_names) - set(lab_names)]
+        # single dict inversion keeps the host bookkeeping O(K); repeated
+        # list.index calls were O(K^2) per round (fine at K<=1000, quadratic
+        # toward Herbarium-683 and beyond)
+        name_pos = {n: i for i, n in enumerate(cand_names)}
+        lab_set = set(lab_names)
+        lab_class_index = [name_pos[n] for n in lab_names]
+        unlab_cluster_idx = [name_pos[n] for n in cand_names
+                             if n not in lab_set]
         unlab_cluster_set = set(unlab_cluster_idx)
 
         u_preds = _reclassify(clip_u_feats, zeroshot_weights,

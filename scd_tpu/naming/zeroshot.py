@@ -56,7 +56,15 @@ def _encode_reduce_fn(forward, b: int, t: int, row_sharding):
     retrace (and remote-recompile) the text tower on every invocation —
     the same per-call-jit trap ``naming/loop.py`` documents.  Keyed by the
     forward function object, the batch geometry, and the (hashable)
-    output sharding."""
+    output sharding.
+
+    Retention caveat: keying on the function OBJECT means pipelines that
+    rebuild encoders per run (closure-fresh forwards) accumulate up to
+    ``maxsize`` jitted text-tower executables (plus their sharding refs)
+    for the process lifetime — bounded at 32, which is a few hundred MB of
+    host-side executables at ViT-B scale only if an app rebuilds encoders
+    32 times in one process; key on a stable model identity if that ever
+    becomes a real usage pattern."""
     jit_kwargs = {} if row_sharding is None else {"out_shardings": row_sharding}
 
     @partial(jax.jit, **jit_kwargs)

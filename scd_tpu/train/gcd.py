@@ -238,6 +238,12 @@ class GCDTrainer:
                 self.params, self.opt_state,
                 {k: jnp.asarray(v) for k, v in batch.items()})
             n += 1
+            if device_metrics and set(metrics) != set(device_metrics):
+                # each metric is averaged over its own buffer length, which
+                # silently changes semantics if a key appears intermittently
+                raise ValueError(
+                    f"step metrics changed keys mid-epoch: "
+                    f"{sorted(device_metrics)} -> {sorted(metrics)}")
             for k, v in metrics.items():
                 device_metrics.setdefault(k, []).append(v)
         out = {k: float(np.asarray(jnp.stack(vs).mean()))

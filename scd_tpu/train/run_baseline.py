@@ -36,6 +36,32 @@ def _views(feats: np.ndarray, noise: float, seed: int, n: int = 2):
                      .astype(np.float32) for _ in range(n)])
 
 
+def _combine_cluster_preds(key, feats, targets, mask_lab, n_labeled: int,
+                           n_unlab_cls: int, backend: str = "sskm"):
+    """Cluster assignment the classifier is combined with.  The reference
+    pairs the classifier with the SEMI-SUPERVISED k-means predictions
+    (``combine_classifier_and_kmeans.py:46-121``): labelled instances pin
+    the Old-class centroids, so Old clusters keep their true class ids and
+    the combine's Old-class pinning is meaningful.  ``backend="km"`` keeps
+    the plain-k-means variant (cluster ids offset past the labelled range —
+    a pure New-class assignment)."""
+    from scd_tpu.core.config import ClusterConfig
+    from scd_tpu.cluster import fit_kmeans, fit_sskm
+
+    k = n_labeled + n_unlab_cls
+    cfg = ClusterConfig(n_clusters=k, n_init=3, max_iterations=50)
+    if backend == "sskm" and mask_lab.any():
+        res = fit_sskm(key, feats[~mask_lab], feats[mask_lab],
+                       targets[mask_lab], cfg)
+        n_lab = int(mask_lab.sum())
+        out = np.empty(len(feats), np.int64)
+        out[mask_lab] = res.labels[:n_lab]
+        out[~mask_lab] = res.labels[n_lab:]
+        return out
+    km = fit_kmeans(key, feats, cfg)
+    return km.labels + n_labeled
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="NCD baseline training")
 
@@ -54,6 +80,9 @@ def main(argv=None):
     p.add_argument("--view_noise", type=float, default=0.05,
                    help="gaussian feature-space augmentation for views")
     p.add_argument("--osr_threshold", type=float, default=0.5)
+    p.add_argument("--combine_cluster", type=str, default="sskm",
+                   help="sskm (reference default: Old centroids pinned by "
+                        "labelled data) | km (plain k-means)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval_funcs", nargs="+", default=["v2"])
     args = p.parse_args(argv)
@@ -93,16 +122,11 @@ def main(argv=None):
             seed=args.seed)
         cls_preds = np.asarray(osr_threshold_preds(logits_fn(feats),
                                                    args.osr_threshold))
-        # combine with a cluster assignment on everything (reference
-        # combine_classifier_and_kmeans.py): here a plain k-means
-        from scd_tpu.core.config import ClusterConfig
-        from scd_tpu.cluster import fit_kmeans
-
-        km = fit_kmeans(key, feats,
-                        ClusterConfig(n_clusters=args.n_labeled + n_unlab_cls,
-                                      n_init=3, max_iterations=50))
+        cluster_preds = _combine_cluster_preds(
+            key, feats, targets, mask_lab, args.n_labeled, n_unlab_cls,
+            backend=args.combine_cluster)
         preds = combine_classifier_and_cluster_preds(
-            cls_preds, km.labels + args.n_labeled, args.n_labeled)
+            cls_preds, cluster_preds, args.n_labeled)
     else:
         raise ValueError(f"unknown method {args.method!r}")
 

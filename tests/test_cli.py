@@ -87,6 +87,41 @@ def test_baseline_cli_supervised(feature_store):
     assert old_acc > 0.5  # separable synthetic blobs
 
 
+def test_combine_sskm_old_pinned_new_clustered():
+    """The combine evaluator pairs the classifier with SEMI-SUPERVISED
+    k-means (reference ``combine_classifier_and_kmeans.py:46-121``): Old
+    classes keep classifier predictions; New-class instances the classifier
+    rejects get SSKM cluster ids whose Old block is pinned by the labelled
+    data (so an Old-class cluster id == the true class id)."""
+    import jax
+
+    from scd_tpu.train.run_baseline import _combine_cluster_preds
+    from scd_tpu.train.baselines import combine_classifier_and_cluster_preds
+
+    rng = np.random.default_rng(0)
+    n_per, n_lab_cls, n_cls, d = 40, 2, 4, 16
+    centers = rng.standard_normal((n_cls, d)).astype(np.float32) * 6
+    feats = np.concatenate([centers[c] + 0.2 * rng.standard_normal(
+        (n_per, d)).astype(np.float32) for c in range(n_cls)])
+    targets = np.repeat(np.arange(n_cls), n_per)
+    mask_lab = (targets < n_lab_cls) & (np.arange(len(targets)) % 2 == 0)
+
+    cluster_preds = _combine_cluster_preds(
+        jax.random.PRNGKey(0), feats, targets, mask_lab, n_lab_cls,
+        n_cls - n_lab_cls, backend="sskm")
+    # labelled pinning makes Old clusters carry true class ids
+    old = targets < n_lab_cls
+    assert (cluster_preds[old] == targets[old]).mean() > 0.9
+
+    # classifier confident on Old, abstains (-1) on New
+    cls_preds = np.where(old, targets, -1)
+    preds = combine_classifier_and_cluster_preds(cls_preds, cluster_preds,
+                                                 n_lab_cls)
+    np.testing.assert_array_equal(preds[old], targets[old])
+    # New instances fall through to cluster ids outside the Old block
+    assert (preds[~old] >= n_lab_cls).all()
+
+
 def test_metric_learn_cli(tmp_path):
     from scd_tpu.train.metric_learn import main as ml_main
 

@@ -85,6 +85,33 @@ def test_fit_constrained_forces_balance(rng, backend):
     assert counts.min() >= 30 and counts.max() <= 70
 
 
+def test_feasible_sinkhorn_skips_host_mcf(blobs, monkeypatch):
+    """When the vmapped sinkhorn restarts produce a feasible assignment the
+    host MCF solver must never run: the restart ranking prefers feasible
+    restarts (infeasible ones get +inf inertia), so one infeasible restart
+    cannot discard feasible siblings and trigger the expensive fallback."""
+    import scd_tpu.cluster.constrained as mod
+
+    X, y = blobs
+    l_mask = y > 1
+    calls = []
+
+    def _spy(*a, **kw):
+        calls.append(a)
+        raise AssertionError("host MCF invoked despite feasible sinkhorn")
+
+    monkeypatch.setattr(mod, "constrained_assign", _spy)
+    cfg = ClusterConfig(n_clusters=4, n_init=4, max_iterations=15,
+                        size_min=10, size_max=200,
+                        constrained_backend="sinkhorn")
+    res = fit_constrained(jax.random.PRNGKey(3), X[~l_mask], X[l_mask],
+                          y[l_mask], cfg)
+    n_l = int(l_mask.sum())
+    counts = np.bincount(res.labels[n_l:], minlength=4)
+    assert counts.min() >= 10 and counts.max() <= 200
+    assert not calls
+
+
 def test_fit_constrained_infeasible_raises(blobs):
     X, y = blobs
     cfg = ClusterConfig(n_clusters=4, size_min=200, size_max=300)
