@@ -381,8 +381,10 @@ def main():
     mfu = tflops / peak if np.isfinite(peak) else float("nan")
     print(f"[bench] clip_embed: {imgs_per_sec:.1f} imgs/sec/chip "
           f"({tflops:.1f} TFLOP/s, MFU {mfu * 100:.1f}% of {peak:.0f} peak, "
-          f"{CLIP_VIT_B16_FLOPS_PER_IMG / 1e9:.2f} GFLOP/img at 2/MAC)",
-          file=sys.stderr)
+          f"{CLIP_VIT_B16_FLOPS_PER_IMG / 1e9:.2f} GFLOP/img at 2/MAC; "
+          "extraction dp-shards over a mesh with zero collectives — "
+          f"make_sharded_image_encoder projects ~{imgs_per_sec * 8 / 1000:.1f}k "
+          "imgs/s on v5e-8)", file=sys.stderr)
     try:
         km, km_fl = bench_kmeans_iter()
         print(f"[bench] kmeans_em_iter (N=65536,D=768,K=100->128pad): "

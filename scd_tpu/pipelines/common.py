@@ -29,21 +29,24 @@ from scd_tpu.metrics import (
 from scd_tpu.metrics.semantic import evaluate_soft_semantic_acc
 
 
-def _prefetched(batches, depth: int = 2):
+def _prefetched(batches, depth: int = 2, stage_fn=None):
     """Overlap host decode + H2D staging of the next batches with the
     current batch's device compute: the image batch of iteration n+1 is
     `jax.device_put` while iteration n's encoder runs.  On the slow
     host->device link of tunneled TPUs this hides most of the transfer
-    (the reference's torch DataLoader pin_memory analogue)."""
+    (the reference's torch DataLoader pin_memory analogue).  ``stage_fn``
+    overrides the plain device_put — a mesh encoder's ``.stage`` pads and
+    row-shards the batch so each chip receives only its slice."""
     import collections
 
     import jax
 
+    stage_fn = stage_fn or jax.device_put
     q = collections.deque()
 
     def stage(item):
         images, *rest = item
-        return (jax.device_put(images), *rest)
+        return (stage_fn(images), *rest)
 
     it = iter(batches)
     try:
@@ -60,17 +63,75 @@ def _prefetched(batches, depth: int = 2):
         yield out
 
 
+def make_sharded_image_encoder(forward: Callable, variables, mesh):
+    """Data-parallel image encoder over a mesh — the multi-chip path for
+    the pipeline's dominant stage, feature extraction (reference hot loop
+    #1, ``main_unsup.py:114-147``; two full encoder passes over every
+    image).
+
+    ``forward(variables, images) -> feats`` is any per-image encoder
+    forward.  The batch axis shards over the mesh's data axis
+    (``NamedSharding(mesh, P("data"))``), parameters replicate — the same
+    dp pattern the GCD train step uses (``train/gcd.py:194-206``); XLA
+    runs the ViT forward SPMD with zero collectives (per-image compute is
+    independent), so throughput scales ~linearly in chips.
+
+    Ragged tail batches are zero-padded to a shard multiple and the pad
+    rows sliced off after; padding to the batch's own next multiple (not a
+    fixed bucket) costs at most one extra XLA compile for the final batch,
+    identical to the unsharded path's behavior.
+
+    Returns ``encode(images) -> np.ndarray`` with two extra attributes:
+    ``encode.stage`` (pad + row-shard device_put, used by ``_prefetched``
+    to overlap H2D of batch n+1 with batch n's compute) and
+    ``encode.forward``/``encode.variables`` for callers that re-derive
+    jitted paths (mirrors ``build_encoders``'s encode_text contract).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    data_axis = mesh.axis_names[0]
+    n_shards = mesh.shape[data_axis]
+    rows = NamedSharding(mesh, P(data_axis))
+    repl = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, repl)
+    fwd = jax.jit(forward, in_shardings=(repl, rows), out_shardings=rows)
+
+    def stage(images):
+        images = np.asarray(images)
+        n = images.shape[0]
+        target = -(-n // n_shards) * n_shards
+        if target != n:
+            pad = [(0, target - n)] + [(0, 0)] * (images.ndim - 1)
+            images = np.pad(images, pad)
+        return jax.device_put(images, rows), n
+
+    def encode(images):
+        # accepts either a raw host batch or a (staged, n_valid) pair from
+        # ``stage`` (the _prefetched contract)
+        staged, n = images if isinstance(images, tuple) else stage(images)
+        return np.asarray(fwd(variables, staged))[:n]
+
+    encode.stage = stage
+    encode.forward = forward
+    encode.variables = variables
+    return encode
+
+
 def extract_features(encode_image: Callable[[np.ndarray], np.ndarray],
                      dataset, train_classes: Sequence[int],
                      batch_size: int = 256, num_workers: int = 8,
                      normalize: bool = True) -> Dict[str, np.ndarray]:
     """Batched feature extraction with the reference's output contract
     (``main_unsup.py:114-147``): all_feats (L2-normalized), mask_lab,
-    mask_cls, targets."""
+    mask_cls, targets.  When ``encode_image`` is a mesh encoder
+    (``make_sharded_image_encoder``), its ``.stage`` pads + row-shards each
+    batch during prefetch and every chip encodes only its slice."""
     feats, targets, mask_lab, mask_cls = [], [], [], []
     train_set = set(int(c) for c in train_classes)
     for images, labels, _uq, mlab in _prefetched(
-            iterate_batches(dataset, batch_size, num_workers=num_workers)):
+            iterate_batches(dataset, batch_size, num_workers=num_workers),
+            stage_fn=getattr(encode_image, "stage", None)):
         f = np.asarray(encode_image(images), np.float32)
         if normalize:
             f = f / np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)

@@ -162,7 +162,11 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
         tf = clip_preprocess(cfg.data.image_size, device_normalize=True)
     train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data, train_transform=tf, test_transform=tf)
 
-    feat_encode, clip_encode, encode_text = build_encoders(cfg, extras)
+    from scd_tpu.pipelines.common import _pipeline_mesh
+
+    mesh = _pipeline_mesh(cfg)
+    feat_encode, clip_encode, encode_text = build_encoders(cfg, extras,
+                                                           mesh=mesh)
 
     feats = cache.load_or_compute(
         "features", feature_cache_key(cfg, "feat"),
@@ -190,13 +194,11 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
             if cfg.data.zeroshot_weights.endswith(".npz") else \
             np.load(cfg.data.zeroshot_weights)
     else:
-        from scd_tpu.pipelines.common import _pipeline_mesh
-
         zw = cache.load_or_compute(
             "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
             lambda: {"weights": build_zeroshot_weights(
                 encode_text, nouns, IMAGENET_TEMPLATES,
-                mesh=_pipeline_mesh(cfg))})["weights"]
+                mesh=mesh)})["weights"]
 
     cidx_to_cname = resolve_class_names(
         cfg.data.dataset_name, extras, nouns, zw, encode_text,

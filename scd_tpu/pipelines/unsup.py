@@ -42,14 +42,25 @@ from scd_tpu.pipelines.common import (
 )
 
 
-def build_encoders(cfg: PipelineConfig, extras: Dict):
-    """Returns (feat_encode_image, clip_encode_image, encode_text)."""
+def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
+    """Returns (feat_encode_image, clip_encode_image, encode_text).
+
+    With ``mesh``, the image encoders are data-parallel over the mesh
+    (``make_sharded_image_encoder``): the batch axis shards over chips with
+    replicated parameters — the multi-chip path for the pipeline's dominant
+    stage (reference hot loop #1, ``main_unsup.py:114-147``)."""
     name = cfg.feature.feat_model
     if cfg.data.dataset_name == "synthetic" or name == "synthetic":
         from scd_tpu.models.synthetic import SyntheticCLIP
+        from scd_tpu.pipelines.common import make_sharded_image_encoder
 
         clip = SyntheticCLIP(extras["class_colors"])
-        return clip.encode_image, clip.encode_image, clip.encode_text
+        img_encode = clip.encode_image
+        if mesh is not None:
+            img_encode = make_sharded_image_encoder(
+                lambda vv, x: clip._encode_with(vv[0], vv[1], x),
+                (clip.w1, clip.w2), mesh)
+        return img_encode, img_encode, clip.encode_text
 
     import jax.numpy as jnp
 
@@ -83,9 +94,9 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
     # baked into the HLO as constants, which explodes compile time on the
     # remote-compile TPU path for 100M+ param models.
     from scd_tpu.data.transforms import device_normalize_clip
+    from scd_tpu.pipelines.common import make_sharded_image_encoder
 
-    @jax.jit
-    def _clip_img(v, x):
+    def _clip_img_fwd(v, x):
         # uint8 batches are normalized here on device (4x less H2D traffic)
         return clip_model.apply(v, device_normalize_clip(x),
                                 method=CLIPModel.encode_image)
@@ -94,8 +105,14 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
     def _clip_txt(v, toks):
         return clip_model.apply(v, toks, method=CLIPModel.encode_text)
 
-    def clip_encode_image(images: np.ndarray) -> np.ndarray:
-        return np.asarray(_clip_img(clip_vars, jnp.asarray(images)))
+    if mesh is not None:
+        clip_encode_image = make_sharded_image_encoder(
+            _clip_img_fwd, clip_vars, mesh)
+    else:
+        _clip_img = jax.jit(_clip_img_fwd)
+
+        def clip_encode_image(images: np.ndarray) -> np.ndarray:
+            return np.asarray(_clip_img(clip_vars, jnp.asarray(images)))
 
     def encode_text(texts) -> np.ndarray:
         from scd_tpu.naming.zeroshot import truncate_to_eot_bucket
@@ -123,12 +140,17 @@ def build_encoders(cfg: PipelineConfig, extras: Dict):
         dino_vars = load_dino_weights(sd, vit_cfg)
         dino = VisionTransformer(vit_cfg)
 
-        @jax.jit
-        def _dino(v, x):
+        def _dino_fwd(v, x):
             return dino.apply(v, device_normalize_clip(x))
 
-        def feat_encode(images: np.ndarray) -> np.ndarray:
-            return np.asarray(_dino(dino_vars, jnp.asarray(images)))
+        if mesh is not None:
+            feat_encode = make_sharded_image_encoder(_dino_fwd, dino_vars,
+                                                     mesh)
+        else:
+            _dino = jax.jit(_dino_fwd)
+
+            def feat_encode(images: np.ndarray) -> np.ndarray:
+                return np.asarray(_dino(dino_vars, jnp.asarray(images)))
     else:
         raise ValueError(f"unknown feat_model {name!r}")
 
@@ -188,7 +210,11 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
         tf = clip_preprocess(cfg.data.image_size, device_normalize=True)
     train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data, train_transform=tf, test_transform=tf)
 
-    feat_encode, clip_encode, encode_text = build_encoders(cfg, extras)
+    from scd_tpu.pipelines.common import _pipeline_mesh
+
+    mesh = _pipeline_mesh(cfg)
+    feat_encode, clip_encode, encode_text = build_encoders(cfg, extras,
+                                                           mesh=mesh)
 
     feats = cache.load_or_compute(
         "features", feature_cache_key(cfg, "feat"),
@@ -220,13 +246,11 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
             if cfg.data.zeroshot_weights.endswith(".npz") \
             else np.load(cfg.data.zeroshot_weights)
     else:
-        from scd_tpu.pipelines.common import _pipeline_mesh
-
         zw = cache.load_or_compute(
             "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
             lambda: {"weights": build_zeroshot_weights(
                 encode_text, nouns, IMAGENET_TEMPLATES,
-                mesh=_pipeline_mesh(cfg))})["weights"]
+                mesh=mesh)})["weights"]
 
     cidx_to_cname = resolve_class_names(
         cfg.data.dataset_name, extras, nouns, zw, encode_text,
