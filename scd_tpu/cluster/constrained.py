@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from scd_tpu.core.config import ClusterConfig
-from scd_tpu.cluster.kmeans import KMeansResult
+from scd_tpu.cluster.kmeans import KMeansResult, _device_f32
 from scd_tpu.ops.distance import pairwise_sqdist
 from scd_tpu.ops.kpp import kmeans_plus_plus, kmeans_plus_plus_local_trials
 from scd_tpu.ops.native import constrained_assign
@@ -252,7 +252,7 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     padded rows take a sentinel label and zero transport mass).
     """
     k = cfg.n_clusters
-    n_u = int(np.asarray(u_feats).shape[0])
+    n_u = int(u_feats.shape[0])  # no np.asarray: would FETCH a device array
     if mesh is not None and cfg.constrained_backend == "sinkhorn":
         # staging (pad + shard + upload) only pays off for the sinkhorn
         # loop; the MCF path below rebuilds unpadded anyway, and a ~300 MB
@@ -262,9 +262,9 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         u, _n = _stage_rows(u_feats, mesh)
         n_valid = jnp.asarray(n_u)
     else:
-        u = jnp.asarray(np.asarray(u_feats, np.float32))
+        u = _device_f32(u_feats)
         n_valid = None
-    l = jnp.asarray(np.asarray(l_feats, np.float32))
+    l = _device_f32(l_feats)
     l_targets = np.asarray(l_targets).astype(np.int64)
     classes, l_mapped = np.unique(l_targets, return_inverse=True)
     n_l_classes = len(classes)
@@ -295,7 +295,7 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     # would hand phantom zero-rows to the solver (wrong sizes/centroids
     # and labels misaligned with the dataset).
     if n_valid is not None:  # set only by the staged/padded branch
-        u = jnp.asarray(np.asarray(u_feats, np.float32))
+        u = _device_f32(u_feats)
     l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)
 
     labels, inertia, centers, n_iter = _run_mcf_restarts(
@@ -312,7 +312,7 @@ def fit_constrained_unsup(key: jax.Array, x: np.ndarray,
     """Fully-unsupervised constrained k-means (reference ``fit_once``,
     ``sskm_constrained.py:47-85``): same E-step, k-means++ from scratch."""
     k = cfg.n_clusters
-    x_j = jnp.asarray(np.asarray(x, np.float32))
+    x_j = _device_f32(x)
     n = x_j.shape[0]
     if cfg.size_min * k > n or cfg.size_max * k < n:
         raise ValueError("infeasible size constraints")

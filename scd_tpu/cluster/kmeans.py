@@ -43,6 +43,16 @@ from scd_tpu.ops.kpp import kmeans_plus_plus
 from scd_tpu.ops.segment import segment_mean, segment_sums
 
 
+def _device_f32(x) -> jnp.ndarray:
+    """To a device f32 array WITHOUT a host round-trip for inputs already on
+    device (``jnp.asarray(np.asarray(x))`` on a jax Array fetches hundreds
+    of MB to host and re-uploads — fatal through a ~50 MB/s tunnel when a
+    prior pipeline stage left the features device-resident)."""
+    if isinstance(x, jax.Array):
+        return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+    return jnp.asarray(np.asarray(x, dtype=np.float32))
+
+
 @dataclasses.dataclass
 class KMeansResult:
     labels: np.ndarray  # [N] int32 — for SSKM: concat(labelled, unlabelled) order
@@ -168,7 +178,7 @@ def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
         x_j, n = _stage_rows(x, mesh)
         n_valid = jnp.asarray(n)
     else:
-        x_j = jnp.asarray(np.asarray(x, dtype=np.float32))
+        x_j = _device_f32(x)
         n_valid = jnp.asarray(x_j.shape[0])
     labels, inertia, centers, n_iter = _fit_kmeans_device(
         key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
@@ -222,10 +232,10 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         u, n_u = _stage_rows(u_feats, mesh)
         n_valid = jnp.asarray(n_u)
     else:
-        u = jnp.asarray(np.asarray(u_feats, dtype=np.float32))
+        u = _device_f32(u_feats)
         n_u = u.shape[0]
         n_valid = jnp.asarray(n_u)
-    l = jnp.asarray(np.asarray(l_feats, dtype=np.float32))
+    l = _device_f32(l_feats)
     l_targets = np.asarray(l_targets).astype(np.int64)
     classes, l_mapped = np.unique(l_targets, return_inverse=True)
     n_l_classes = len(classes)
@@ -269,7 +279,7 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
                                else None)
         n_valid = jnp.asarray(n)
     else:
-        x_j = jnp.asarray(np.asarray(x, np.float32))
+        x_j = _device_f32(x)
         lab_j = jnp.asarray(np.asarray(init_labels, np.int32))
         n = x_j.shape[0]
         n_valid = jnp.asarray(n)

@@ -15,11 +15,15 @@ whole E-step stays in one jitted computation.
    (Sinkhorn-Knopp, reference ``gcd/methods/baselines/uno_v2.py:72``).
 
 2. **Integral rounding + repair.**  Take labels = argmin_j (C_ij - g_j)
-   (reduced cost under the learned column duals), then run a fixed number of
-   vectorized repair passes: overfull clusters evict their cheapest-to-move
-   members toward clusters with room; underfull clusters steal the
-   cheapest-to-move members from clusters with spare capacity.  Both passes
-   use a within-cluster ranking computed by one argsort — no Python loops.
+   (reduced cost under the learned column duals), then run vectorized
+   repair passes: overfull clusters evict their cheapest-to-move members
+   toward clusters with room; underfull clusters steal the cheapest-to-move
+   members from clusters with spare capacity.  Both passes use a
+   within-cluster ranking computed by one argsort — no Python loops.  The
+   pass loop exits the moment counts are feasible (an exact no-op skip:
+   feasible counts mean zero excess and zero deficit), which is the
+   measured difference between 50.7 and 0.5 ms/step at N=65k, K=100 on
+   v5e with realistic loose bounds (7.8 ms under forced rebalancing).
 
 Returns a feasibility flag; callers fall back to the exact native
 min-cost-flow solver (``scd_tpu.ops.native``) in the rare unconverged case.
@@ -185,14 +189,28 @@ def sinkhorn_constrained_assign(cost: jnp.ndarray, k: int,
     if row_mask is not None:
         labels = jnp.where(row_mask, labels, k)
 
-    def repair(_, lab):
+    def _feasible(lab):
+        counts = jnp.bincount(lab, length=k)
+        return jnp.all((counts >= size_min) & (counts <= size_max))
+
+    # Early-exit repair: once the counts are feasible, excess and deficit
+    # are both zero, so further evict/steal passes are exact no-ops —
+    # skipping them is equivalence, not approximation.  This is the
+    # dominant cost of the E-step (measured round 3 at N=65k, K=100: the
+    # 8 unconditional passes were 49.6 of 50.7 ms; with loose real-world
+    # bounds the reduced-cost argmin is usually already feasible and the
+    # whole repair collapses to one bincount check).
+    def cond(state):
+        _lab, it, done = state
+        return (it < repair_passes) & ~done
+
+    def body(state):
+        lab, it, _ = state
         lab = _evict_pass(cost_n, lab, g, size_min, size_max, k)
         lab = _steal_pass(cost_n, lab, g, size_min, size_max, k)
-        return lab
+        return lab, it + 1, _feasible(lab)
 
-    labels = jax.lax.fori_loop(0, repair_passes, repair, labels)
-
-    counts = jnp.bincount(labels, length=k)
-    feasible = jnp.all((counts >= size_min) & (counts <= size_max))
+    labels, _it, feasible = jax.lax.while_loop(
+        cond, body, (labels, jnp.zeros((), jnp.int32), _feasible(labels)))
     return ConstrainedAssignment(labels=labels, feasible=feasible,
                                  col_duals=g * c_std)
