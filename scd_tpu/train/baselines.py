@@ -254,6 +254,15 @@ def _batched(rng, n: int, batch_size: int):
         yield order[s:s + batch_size]
 
 
+def _epoch_mean(device_losses) -> float:
+    """Mean of per-step device scalars with ONE host fetch.  Fetching each
+    loss inside the batch loop costs a ~33 ms tunnel round-trip per step on
+    the remote TPU (see GCDTrainer.train_epoch)."""
+    if not device_losses:
+        return float("nan")
+    return float(jnp.stack(device_losses).mean())
+
+
 def train_uno(key: jax.Array, views: jnp.ndarray, labels: jnp.ndarray,
               mask_lab: jnp.ndarray, n_labeled: int, n_unlabeled: int,
               num_heads: int = 4, epochs: int = 10, batch_size: int = 256,
@@ -301,8 +310,10 @@ def train_uno(key: jax.Array, views: jnp.ndarray, labels: jnp.ndarray,
         for idx in _batched(rng, n, batch_size):
             params, opt_state, loss = step(
                 params, opt_state, views[:, idx], labels[idx], mask_lab[idx])
-            losses.append(float(loss))
-        history.append(sum(losses) / max(len(losses), 1))
+            losses.append(loss)  # device scalar — fetched once per epoch
+        # float(loss) per step would block ~33 ms/step through the TPU
+        # tunnel (the serialization GCDTrainer.train_epoch documents)
+        history.append(_epoch_mean(losses))
 
     @jax.jit
     def _predict(p, feats):
@@ -365,8 +376,8 @@ def train_autonovel(key: jax.Array, feats: jnp.ndarray,
             params, opt_state, loss = step(
                 params, opt_state, feats[idx], feats_bar[idx], labels[idx],
                 mask_lab[idx], w)
-            losses.append(float(loss))
-        history.append(sum(losses) / max(len(losses), 1))
+            losses.append(loss)  # device scalar — fetched once per epoch
+        history.append(_epoch_mean(losses))
 
     @jax.jit
     def _predict(p, x):
@@ -420,8 +431,8 @@ def train_supervised(key: jax.Array, feats: jnp.ndarray, labels: jnp.ndarray,
         for idx in _batched(rng, n, batch_size):
             params, opt_state, loss = step(params, opt_state, feats[idx],
                                            labels[idx])
-            losses.append(float(loss))
-        history.append(sum(losses) / max(len(losses), 1))
+            losses.append(loss)  # device scalar — fetched once per epoch
+        history.append(_epoch_mean(losses))
 
     @jax.jit
     def _logits(p, x):
