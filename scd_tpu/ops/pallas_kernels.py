@@ -408,7 +408,7 @@ def qkv_attention_pallas(qkv: jnp.ndarray, heads: int, scale: float,
 # ------------------------------------------------- fused E+M k-means step
 
 def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
-                     lab_ref, sums_ref, stats_ref):
+                     lab_ref, sums_ref, stats_ref, *, estep_passes: int = 3):
     """One row-block of a full k-means EM iteration: nearest-centroid
     assignment AND the one-hot M-step partial sums in a single pass over
     the block — ``x`` streams from HBM once per iteration instead of twice
@@ -433,15 +433,21 @@ def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
         lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return hi, lo
 
-    def _dot3(a, b, dims):
+    def _dotn(a, b, dims):
         ah, al = _split(a)
         bh, bl = _split(b)
         dot = functools.partial(
             jax.lax.dot_general, dimension_numbers=dims,
             preferred_element_type=jnp.float32)
-        return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+        out = dot(ah, bh) + dot(ah, bl)
+        if estep_passes >= 3:
+            out = out + dot(al, bh)
+        return out
 
-    cross = _dot3(xb, ct_ref[:].astype(jnp.float32),
+    # estep_passes=2 drops the (x_lo . c_hi) term: equivalent to rounding x
+    # to bf16 for the cross term while keeping centers at ~bf16x2 — a
+    # measured-parity option (see fused_em_step_pallas docstring)
+    cross = _dotn(xb, ct_ref[:].astype(jnp.float32),
                   (((1,), (0,)), ((), ())))  # [BN, Kp]
     d = csq_ref[:] - 2.0 * cross  # |x|^2 deferred: constant per row
     lab = jnp.argmin(d, axis=1)  # first-min tie-break, matches jnp.argmin
@@ -472,10 +478,12 @@ def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
     lab_ref[:] = lab[:, None].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret",
+                                             "estep_passes"))
 def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
                          row_mask: jnp.ndarray = None,
-                         block_n: int = 1024, interpret: bool = False
+                         block_n: int = 1024, interpret: bool = False,
+                         estep_passes: int = 3
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                     jnp.ndarray]:
     """Fused k-means EM iteration.  x [N, D] f32, c [K, D] ->
@@ -485,7 +493,15 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
     inertia sum, with K padded to the 128-lane width internally (padded
     centers get squared norm 1e30 and never win the argmin).  ``row_mask``
     [N] (0/1) drops rows from sums/counts/inertia — the caller's padded
-    sharding rows; labels for masked rows are still the plain argmin."""
+    sharding rows; labels for masked rows are still the plain argmin.
+
+    ``estep_passes``: 3 (default) = full bf16x3 cross-term (f32-class
+    accuracy); 2 drops the (x_lo . c_hi) MXU pass.  Measured on v5e at
+    N=65k, D=768, K=100: 2435 iters/s (3-pass) vs 2659 (2-pass, +9%) with
+    1.000000 label agreement on class-structured data — the M-step matmul
+    and VPU work bound the kernel more than the third cross-term pass, so
+    the accurate default stays 3; flip per-call when 9% matters and the
+    feature distribution has been parity-checked."""
     n, d_dim = x.shape
     k = c.shape[0]
     x32 = _pad_rows(x.astype(jnp.float32), block_n)
@@ -502,7 +518,7 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
     else:
         mask = _pad_rows(row_mask.astype(jnp.float32)[:, None], block_n)
     lab, sums, stats = pl.pallas_call(
-        _fused_em_kernel,
+        functools.partial(_fused_em_kernel, estep_passes=estep_passes),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block_n, d_dim), lambda i: (i, 0)),

@@ -191,3 +191,25 @@ def test_fused_lloyd_loop_matches_xla_path():
     # inertia: hand-rolled bf16x3 vs XLA HIGH accumulate in different
     # orders -> f32-class but not bitwise agreement
     np.testing.assert_allclose(float(a[1]), float(b[1]), rtol=1e-3)
+
+
+def test_fused_em_step_two_pass_label_parity():
+    """estep_passes=2 (drop the x_lo.c_hi term) must keep label parity with
+    the XLA f32 E-step on realistic cluster structure — the gate for
+    enabling the faster variant (see fused_em_step_pallas docstring)."""
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((12, 64)).astype(np.float32) * 2
+    x = (centers[rng.integers(0, 12, 2000)]
+         + 0.5 * rng.standard_normal((2000, 64))).astype(np.float32)
+    c = jnp.asarray(centers + 0.05 * rng.standard_normal(centers.shape),
+                    jnp.float32)
+    lab2, _s, _c, _i = fused_em_step_pallas(jnp.asarray(x), c, block_n=512,
+                                            interpret=True, estep_passes=2)
+    lab_ref, _ = estep_assign(jnp.asarray(x), c)
+    agree = (np.asarray(lab2) == np.asarray(lab_ref)).mean()
+    assert agree >= 0.999, agree

@@ -1,0 +1,89 @@
+"""On-chip Pallas-vs-XLA parity at non-tiny shapes.
+
+The regular Pallas suite runs ``interpret=True`` on the CPU mesh, which
+cannot see Mosaic lowering bugs (tiling, lane masking, bf16 packing on the
+real MXU).  This file runs the compiled kernels on the actual TPU and
+asserts against the XLA reference paths.  Gated:
+
+    SCD_TEST_PLATFORM=axon python -m pytest tests/test_pallas_on_tpu.py -q
+
+(the hardware platform is named ``axon`` in this environment; compile of
+the three kernels costs ~1-2 min cold through the tunnel, seconds when the
+persistent compilation cache is warm).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+_ON_TPU = os.environ.get("SCD_TEST_PLATFORM", "cpu") not in ("", "cpu")
+
+pytestmark = pytest.mark.skipif(
+    not _ON_TPU, reason="on-chip Mosaic parity needs SCD_TEST_PLATFORM=axon")
+
+if _ON_TPU:  # enable cache before any compile
+    from scd_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
+def test_estep_pallas_on_chip_matches_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import estep_assign_pallas
+
+    key = jax.random.PRNGKey(0)
+    kx, kc = jax.random.split(key)
+    x = jax.random.normal(kx, (8192, 768), jnp.float32)
+    c = jax.random.normal(kc, (128, 768), jnp.float32)
+    lab_p, min_p = estep_assign_pallas(x, c)
+    lab_x, min_x = estep_assign(x, c)
+    np.testing.assert_array_equal(np.asarray(lab_p), np.asarray(lab_x))
+    np.testing.assert_allclose(np.asarray(min_p), np.asarray(min_x),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_topk_softmax_pallas_on_chip_matches_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.pallas_kernels import topk_softmax_pallas
+    from scd_tpu.ops.topk import classify_topk
+
+    key = jax.random.PRNGKey(1)
+    kf, kw = jax.random.split(key)
+    feats = jax.random.normal(kf, (2048, 512), jnp.float32)
+    feats = feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
+    w = jax.random.normal(kw, (512, 9000), jnp.float32)
+    w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+    vals_p, idx_p = topk_softmax_pallas(feats, w, k=5)
+    vals_x, idx_x = classify_topk(feats, w, 5)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    np.testing.assert_allclose(np.asarray(vals_p), np.asarray(vals_x),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_em_step_on_chip_matches_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+    from scd_tpu.ops.segment import segment_sums
+
+    key = jax.random.PRNGKey(2)
+    kx, kc = jax.random.split(key)
+    x = jax.random.normal(kx, (16384, 768), jnp.float32)
+    c = jax.random.normal(kc, (128, 768), jnp.float32)
+    labels, sums, counts, inertia = fused_em_step_pallas(x, c)
+    lab_x, min_x = estep_assign(x, c)
+    sums_x, counts_x = segment_sums(x, lab_x, 128)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(lab_x))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(counts_x))
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(sums_x),
+                               rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(float(inertia), float(min_x.sum()),
+                               rtol=1e-3)
