@@ -201,8 +201,8 @@ def _topk_softmax_kernel(f_ref, w_ref, m_ref, s_ref, v_ref, i_ref, *,
                                              "block_v", "apply_softmax",
                                              "interpret"))
 def topk_softmax_pallas(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
-                        scale: float = 100.0, block_n: int = 1024,
-                        block_v: int = 2048, apply_softmax: bool = True,
+                        scale: float = 100.0, block_n: int = 512,
+                        block_v: int = 1024, apply_softmax: bool = True,
                         interpret: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused ``softmax(scale * feats @ weights)`` top-k without ever
@@ -211,6 +211,13 @@ def topk_softmax_pallas(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
 
     Values are softmax probabilities when ``apply_softmax`` (matching
     ``classify_topk``), else raw logits.
+
+    Block geometry: the kernel holds ~3 [block_n, block_v] f32 buffers
+    (logits, iota, masked work copy) plus the input blocks in VMEM; the
+    old (1024, 2048) default needed 27 MB against the 16 MB scoped-VMEM
+    limit and OOMed Mosaic on real hardware (caught by
+    ``tests/test_pallas_on_tpu.py`` — interpret-mode CPU runs cannot see
+    it).  (512, 1024) uses ~9 MB and compiles on v5e.
     """
     n, d_dim = feats.shape
     v = weights.shape[1]
