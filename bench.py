@@ -60,6 +60,7 @@ interpretable; the absolute number is the real signal.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -294,7 +295,16 @@ def bench_constrained_estep(n: int = 65536, k: int = 100,
     ``ops/sinkhorn.py``) at the k-means bench shape.  This is the step the
     reference solves with a HOST min-cost-flow per Lloyd iteration
     (``sskm_constrained.py:116``) — the exact native solver needs seconds
-    at this size where the on-device OT needs milliseconds."""
+    at this size where the on-device OT needs milliseconds.
+
+    Round-3 breakdown (measured on v5e): the 8 unconditional repair passes
+    were 49.6 of the 50.7 ms/step (each pass = 2 argsorts over N plus
+    [N, K] masked-min sweeps); the dual loop's tol early-exit already
+    converges in ~1-2 iterations at this shape (0.1 ms).  With the
+    feasibility early-exit (repair stops the moment counts are in-box —
+    an exact no-op skip) this measures 0.50 ms/step (2006 steps/s) at the
+    default loose bounds and 7.8 ms/step (128 steps/s) under forced
+    rebalancing (size 600-700 exactly)."""
     import jax
     import jax.numpy as jnp
 
@@ -370,6 +380,263 @@ def bench_gcd_train(batch: int = 64, n_views: int = 2):
     return n_img / dt
 
 
+def bench_uno_e2e_step(batch: int = 64, n_views: int = 2):
+    """UNO v2 end-to-end train step (ViT-B/16 backbone, 2 views, 4 heads,
+    Sinkhorn pseudo-labels, swapped CE, fwd+bwd+SGD in one program;
+    reference ``uno_v2.py:96-160`` trains the full backbone)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from scd_tpu.models import VisionTransformer, dino_vit_b16_config
+    from scd_tpu.train.baselines import MultiHeadPrototypes, uno_targets
+    from scd_tpu.train.baselines_e2e import _swapped_loss_per_head
+
+    n_labeled, n_unlab = 50, 50
+    vit_cfg = dino_vit_b16_config(compute_dtype=jnp.bfloat16)
+    backbone = VisionTransformer(vit_cfg)
+    heads = MultiHeadPrototypes(num_heads=4, num_prototypes=100)
+    feat_dim = vit_cfg.output_proj or vit_cfg.width
+    params = {
+        "backbone": jax.jit(backbone.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 224, 224, 3), jnp.float32))["params"],
+        "heads": jax.jit(heads.init)(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, feat_dim), jnp.float32))["params"],
+    }
+    tx = optax.sgd(0.1, momentum=0.9)
+    opt_state = tx.init(params)
+    labels = jnp.asarray(np.arange(batch) % n_labeled, jnp.int32)
+    mask = jnp.asarray(np.arange(batch) % 2 == 0)
+
+    def loss_fn(p, batch_views):
+        flat = batch_views.reshape((-1,) + batch_views.shape[2:])
+        feats = backbone.apply({"params": p["backbone"]}, flat)
+        feats = feats.reshape(n_views, batch, -1)
+        logits = jax.vmap(
+            lambda f: heads.apply({"params": p["heads"]}, f)[0])(feats)
+        targets = uno_targets(
+            jax.lax.stop_gradient(logits[..., n_labeled:]), labels, mask,
+            n_labeled)
+        return _swapped_loss_per_head(logits, targets, 0.1).mean()
+
+    def train_step(p, o, batch_views):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch_views)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    def make_run(k_iters):
+        @jax.jit
+        def run(p, o, key):
+            base = jax.random.normal(key, (n_views, batch, 224, 224, 3),
+                                     jnp.float32)
+
+            def body(carry, k):
+                p, o, acc = carry
+                p, o, loss = train_step(p, o, _fresh(base, k))
+                return (p, o, acc + loss), None
+
+            (p, o, acc), _ = jax.lax.scan(
+                body, (p, o, jnp.zeros((), jnp.float32)),
+                jax.random.split(key, k_iters))
+            return acc
+
+        return run
+
+    dt = _timed_slope(make_run, 2, 6, params, opt_state,
+                      jax.random.PRNGKey(7))
+    return n_views * batch / dt
+
+
+def bench_e2e():
+    """Measured end-to-end unsup naming pipeline at ImageNet-100 scale on
+    ONE chip (the BASELINE.md north-star check: >=10x the reference's
+    single-GPU loop on v5e-8).
+
+    What runs (the real pipeline functions, reference
+    ``main_unsup.py:297-641``):
+
+    1. feature extraction x2 — the full CLIP ViT-B/16 image tower (512-d)
+       AND the DINO ViT-B/16 tower (768-d) over 130,048 images
+       (= the ImageNet-100 GCD merged train set, 1016 batches of 128),
+       each pass one scan-chained program.  Images are generated on device
+       (CLAUDE.md rule 5: the tunneled host->device link is ~50 MB/s and
+       is an artifact of this environment, not the framework; production
+       TPU VMs feed from local storage at >GB/s).
+    2. SSKM clustering of the 97,536 unlabelled + 32,512 labelled 768-d
+       features (k=100, n_init=3, max_iter=20) via ``fit_sskm``.
+    3. fused vocabulary softmax->top-k over [130k, 512] x [512, 68k].
+    4. the iterative voting loop to fixpoint + ACC v2.
+    Stages 2-4 run on class-structured device-generated features (random
+    extraction outputs would change CONVERGENCE, not stage cost shape);
+    the zeroshot vocabulary build is excluded on both sides (both load it
+    from cache — reference ``main_unsup.py:387-395``; cold build is
+    benched separately: ~3.2 min/chip, names-sharded ~8x on a mesh).
+
+    Wall times INCLUDE residual jit/remote-compile time not covered by the
+    persistent cache — the conservative side of the comparison.
+
+    The reference model (documented, the reference publishes no timing):
+    extraction 2 passes x 130,048 imgs at the 400 imgs/s nominal
+    (REFERENCE_NOMINAL_IMGS_PER_SEC: fp16 CLIP + fp32 DINO torch on the
+    repo's cudatoolkit-10.2-era single GPU) = 650 s; SSKM fit_mix with 10
+    serialized joblib restarts x ~100 Lloyd iters of chunked [98k, 100]
+    torch distance + host argmin ~= 60 s; chunked top-k + softmax over
+    68k vocab + D2H ~= 5 s; 4 voting rounds of per-cluster Python
+    Counters over 650k top-5 entries + Hungarian + metrics ~= 25 s.
+    Total ~740 s => single-chip speedup = 740 / measured; v5e-8
+    projection shards extraction (x8 zero-collective dp,
+    ``make_sharded_image_encoder``), SSKM (instance axis), and top-k
+    (vocab axis) but not the host voting bookkeeping.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.cluster import fit_sskm
+    from scd_tpu.core.config import ClusterConfig, NamingConfig
+    from scd_tpu.metrics import split_cluster_acc_v2
+    from scd_tpu.models import (CLIPModel, VisionTransformer,
+                                clip_vit_b16_config, dino_vit_b16_config)
+    from scd_tpu.naming.loop import voting_loop
+    from scd_tpu.naming.vote import topk_names
+
+    n_batches, batch = 1016, 128
+    n_images = n_batches * batch          # 130,048
+    n_l = 32_512                          # 25% labelled (50 cls x 0.5)
+    n_u = n_images - n_l
+    k, v, d_feat, d_clip = 100, 68_000, 768, 512
+    stages = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        stages[name] = round(time.perf_counter() - t0, 2)
+        print(f"[bench.e2e] {name}: {stages[name]}s", file=sys.stderr,
+              flush=True)
+        return out
+
+    # ---- stage 1: extraction (both towers), scan-chained, on-device data
+    def run_tower(model, method, seed):
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 224, 224, 3), jnp.float32),
+            *(() if method is None else (jnp.zeros((1, 77), jnp.int32),)))
+
+        @jax.jit
+        def extract(vv, key):
+            base = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+
+            def body(acc, kk):
+                x = _fresh(base, kk)
+                f = (model.apply(vv, x) if method is None
+                     else model.apply(vv, x, method=method))
+                f = f.astype(jnp.float32)
+                f = f / jnp.maximum(
+                    jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+                # running stats, not the [130k, D] stack: the bench wants
+                # the encoder stream cost, not 400 MB of residency
+                return acc + f.sum(), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jax.random.split(key, n_batches))
+            return acc
+
+        def run():
+            return float(extract(variables, jax.random.PRNGKey(seed + 1)))
+
+        return run
+
+    clip_model = CLIPModel(clip_vit_b16_config(compute_dtype=jnp.bfloat16))
+    timed("extract_clip_130k", run_tower(
+        clip_model, CLIPModel.encode_image, 0))
+    dino = VisionTransformer(dino_vit_b16_config(compute_dtype=jnp.bfloat16))
+    timed("extract_dino_130k", run_tower(dino, None, 10))
+
+    # ---- fabricate class-structured features ON DEVICE for stages 2-4
+    @jax.jit
+    def make_features(key):
+        ks = jax.random.split(key, 7)
+        feat_c = jax.random.normal(ks[0], (k, d_feat)) * 3.0
+        clip_c = jax.random.normal(ks[1], (k, d_clip))
+        clip_c = clip_c / jnp.linalg.norm(clip_c, axis=1, keepdims=True)
+        u_true = jax.random.randint(ks[2], (n_u,), 0, k)
+        l_true = jax.random.randint(ks[3], (n_l,), 0, k // 2)
+        u_f = feat_c[u_true] + 0.5 * jax.random.normal(ks[4], (n_u, d_feat))
+        l_f = feat_c[l_true] + 0.5 * jax.random.normal(ks[5], (n_l, d_feat))
+        c_u = clip_c[u_true] + 0.1 * jax.random.normal(ks[6], (n_u, d_clip))
+        c_u = c_u / jnp.linalg.norm(c_u, axis=1, keepdims=True)
+        return u_f, l_f, u_true, l_true, c_u, clip_c
+
+    u_feats, l_feats, u_true_d, l_true_d, clip_u, clip_c = make_features(
+        jax.random.PRNGKey(42))
+    jax.block_until_ready(u_feats)
+    u_true = np.asarray(u_true_d)
+    l_true = np.asarray(l_true_d)
+
+    # vocabulary with GT columns carrying the class signatures
+    @jax.jit
+    def make_vocab(key, clip_c):
+        w = jax.random.normal(key, (d_clip, v), jnp.float32)
+        w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+        stride = v // k
+        cols = jnp.arange(k) * stride
+        return w.at[:, cols].set(clip_c.T)
+
+    zw = make_vocab(jax.random.PRNGKey(43), clip_c)
+    jax.block_until_ready(zw)
+    gt_cols = np.arange(k) * (v // k)
+    nouns = [f"name_{i}" for i in range(v)]
+
+    # ---- stage 2: SSKM (device-resident features: no host round-trip)
+    res = timed("sskm_130k", lambda: fit_sskm(
+        jax.random.PRNGKey(0), u_feats, l_feats, l_true,
+        ClusterConfig(algorithm="SSKM", n_clusters=k, n_init=3,
+                      max_iterations=20)))
+    u_preds0 = res.labels[n_l:]
+
+    # ---- stage 3: vocabulary top-k
+    name_idx, _vals = timed("vocab_topk_130k", lambda: topk_names(
+        clip_u, zw, k=5))
+
+    # ---- stage 4: voting loop + metrics
+    def run_vote():
+        ncfg = NamingConfig(topk=5, num_common_vote=20, num_common_linear=4)
+        vres = voting_loop(nouns, name_idx, clip_u, zw, u_preds0, k, ncfg)
+        accs = split_cluster_acc_v2(u_true, np.asarray(vres.u_preds),
+                                    u_true < k // 2)
+        return vres, accs
+
+    vres, accs = timed("voting_loop", run_vote)
+
+    total = sum(stages.values())
+    e2e_rate = n_images / total
+    ref_model_s = 740.0
+    # v5e-8 projection: extraction dp x8 (zero-collective), SSKM instance
+    # sharding (conservative x4 of the measured-working mesh path), top-k
+    # vocab sharding x8; voting loop host bookkeeping unsharded
+    proj8 = (stages["extract_clip_130k"] / 8 + stages["extract_dino_130k"] / 8
+             + stages["sskm_130k"] / 4 + stages["vocab_topk_130k"] / 8
+             + stages["voting_loop"])
+    out = {
+        "stages_s": stages,
+        "total_s": round(total, 1),
+        "imgs_per_sec_1chip": round(e2e_rate, 1),
+        "ref_model_s": ref_model_s,
+        "speedup_1chip": round(ref_model_s / total, 2),
+        "projected_v5e8_s": round(proj8, 1),
+        "speedup_v5e8": round(ref_model_s / proj8, 2),
+        "voting_iters": vres.n_iters,
+        "acc_all": round(float(accs[0]), 4),
+    }
+    print(f"[bench.e2e] total {out['total_s']}s "
+          f"({out['imgs_per_sec_1chip']} imgs/s e2e 1-chip), "
+          f"ref model {ref_model_s}s -> x{out['speedup_1chip']} single chip, "
+          f"x{out['speedup_v5e8']} projected v5e-8", file=sys.stderr,
+          flush=True)
+    return out
+
+
 def main():
     from scd_tpu.utils.runtime import enable_compilation_cache
 
@@ -408,8 +675,19 @@ def main():
         gt = bench_gcd_train()
         print(f"[bench] gcd train step (ViT-B/16 bf16, fwd+bwd@block11+SGD): "
               f"{gt:.0f} imgs/sec/chip", file=sys.stderr)
+        ue = bench_uno_e2e_step()
+        print(f"[bench] uno_v2 e2e train step (ViT-B/16 bf16 full-backbone "
+              f"fwd+bwd, 2 views, 4 heads, sinkhorn pseudo-labels): "
+              f"{ue:.0f} imgs/sec/chip", file=sys.stderr)
     except Exception as e:  # secondary benches must not kill the headline
         print(f"[bench] secondary failed: {e}", file=sys.stderr)
+
+    e2e = None
+    if not os.environ.get("SCD_BENCH_SKIP_E2E"):
+        try:
+            e2e = bench_e2e()
+        except Exception as e:  # e2e must not kill the headline either
+            print(f"[bench] e2e failed: {e}", file=sys.stderr)
 
     # null (not NaN) for unknown device kinds — NaN is not valid strict JSON
     known_peak = np.isfinite(peak)
@@ -422,6 +700,7 @@ def main():
         "tflops_per_sec": round(tflops, 1),
         "mfu": round(mfu, 4) if known_peak else None,
         "peak_tflops": peak if known_peak else None,
+        "e2e": e2e,
     }))
 
 

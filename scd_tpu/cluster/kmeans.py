@@ -162,10 +162,19 @@ def _stage_rows(x: np.ndarray, mesh):
     Returns (device array, n_valid).  With sharded inputs the same jitted
     E/M programs run SPMD — XLA inserts the psum/all-gather collectives for
     the segment sums and the restart argmin (SURVEY §2.10: the workload's
-    parallelism is data/feature-matrix sharding)."""
+    parallelism is data/feature-matrix sharding).  Device-resident inputs
+    pad on device (jnp.pad + resharding device_put) instead of fetching
+    hundreds of MB to host and back."""
     from scd_tpu.core.mesh import MeshContext, pad_rows
 
     ctx = MeshContext(mesh)
+    if isinstance(x, jax.Array):
+        x = _device_f32(x)
+        n = x.shape[0]
+        target = -(-max(n, 1) // ctx.n_data) * ctx.n_data
+        if target != n:
+            x = jnp.pad(x, [(0, target - n)] + [(0, 0)] * (x.ndim - 1))
+        return ctx.put_rows(x), n
     padded, n = pad_rows(np.asarray(x, np.float32), ctx.n_data)
     return ctx.put_rows(padded), n
 

@@ -93,14 +93,17 @@ def _run_epochs(epochs: int, epoch_fn, eval_fn, best_metric: str,
     return history, best
 
 
-def train_uno_e2e(key: jax.Array, views: np.ndarray, labels: np.ndarray,
-                  mask_lab: np.ndarray, n_labeled: int, n_unlabeled: int,
-                  vit_cfg: ViTConfig, num_heads: int = 4, epochs: int = 10,
+def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
+                  mask_lab: np.ndarray = None, n_labeled: int = 0,
+                  n_unlabeled: int = 0,
+                  vit_cfg: ViTConfig = None, num_heads: int = 4,
+                  epochs: int = 10,
                   batch_size: int = 64, lr: float = 0.4,
                   min_lr: float = 1e-3, warmup_epochs: int = 2,
                   momentum: float = 0.9, weight_decay: float = 1e-4,
                   sk_iters: int = 3, sk_epsilon: float = 0.05,
-                  temperature: float = 0.1, seed: int = 0,
+                  temperature: float = 0.1, overcluster_factor: int = 0,
+                  steps_per_epoch: int = None, seed: int = 0,
                   eval_fn: Optional[Callable] = None,
                   best_metric: str = "acc", log_fn=None):
     """UNO v2 trained through a ViT backbone (reference
@@ -109,27 +112,50 @@ def train_uno_e2e(key: jax.Array, views: np.ndarray, labels: np.ndarray,
     linear-warmup cosine LR, per-head loss tracking and best-head
     prediction.
 
-    ``views``: [V, N, H, W, C] float image views.  ``eval_fn(epoch) ->
-    dict`` runs every epoch (use ``predict`` exposed on the returned
-    state); the best epoch by ``best_metric`` is tracked like the
-    reference's best-checkpoint logic.
+    ``views``: [V, N, H, W, C] float image views held in memory, OR a
+    callable ``views(epoch, rng) -> iterator of (batch_views [V, B, ...],
+    labels [B], mask_lab [B])`` for datasets too large to materialize
+    (pass ``steps_per_epoch`` for the LR schedule; the reference streams
+    through a DataLoader the same way).  ``eval_fn(epoch) -> dict`` runs
+    every epoch (use ``predict`` exposed on the returned state); the best
+    epoch by ``best_metric`` is tracked like the reference's
+    best-checkpoint logic.
+
+    ``overcluster_factor`` > 0 adds the reference's overclustering heads
+    (``uno_v2_utils.py:142-146``: a second multi-head block with
+    ``n_unlabeled * factor`` prototypes; total loss = (cluster +
+    overcluster) / 2, ``uno_v2.py:127-130``; the best-head tracker uses
+    the cluster loss only, matching ``loss_per_head += loss_cluster``).
+    The reference default is 3; 0 disables (cheaper, same prediction
+    head).
 
     Returns ``(state, predict_fn, history)`` where ``state`` carries
     params + the best-head index and ``predict_fn(images) -> labels`` uses
     the best head.
     """
-    views = np.asarray(views, np.float32)
-    v, n = views.shape[0], views.shape[1]
-    batch_size = min(batch_size, n)
-    labels_j = jnp.asarray(np.asarray(labels))
-    mask_j = jnp.asarray(np.asarray(mask_lab))
+    if callable(views):
+        if not steps_per_epoch:
+            raise ValueError("streaming views need steps_per_epoch "
+                             "(drives the cosine LR schedule)")
+        batches = views
+    else:
+        views = np.asarray(views, np.float32)
+        n = views.shape[1]
+        batch_size = min(batch_size, n)
+        labels = np.asarray(labels)
+        mask_lab = np.asarray(mask_lab)
+        steps_per_epoch = steps_per_epoch or max(n // batch_size, 1)
+
+        def batches(_epoch, rng):
+            for idx in _epoch_iter(rng, n, batch_size):
+                yield views[:, idx], labels[idx], mask_lab[idx]
 
     backbone = VisionTransformer(vit_cfg)
     feat_dim = vit_cfg.output_proj or vit_cfg.width
     heads = MultiHeadPrototypes(num_heads=num_heads,
                                 num_prototypes=n_labeled + n_unlabeled)
 
-    kb, kh = jax.random.split(key)
+    kb, kh, ko = jax.random.split(key, 3)
     dummy = jnp.zeros((1, vit_cfg.image_size, vit_cfg.image_size, 3),
                       jnp.float32)
     params = {
@@ -137,29 +163,46 @@ def train_uno_e2e(key: jax.Array, views: np.ndarray, labels: np.ndarray,
         "heads": jax.jit(heads.init)(
             kh, jnp.zeros((1, feat_dim), jnp.float32))["params"],
     }
+    heads_over = None
+    if overcluster_factor > 0:
+        heads_over = MultiHeadPrototypes(
+            num_heads=num_heads,
+            num_prototypes=n_labeled + n_unlabeled * overcluster_factor)
+        params["heads_over"] = jax.jit(heads_over.init)(
+            ko, jnp.zeros((1, feat_dim), jnp.float32))["params"]
 
-    steps_per_epoch = max(n // batch_size, 1)
+    total_steps = epochs * steps_per_epoch
+    # short runs: warmup must leave >=1 decay step or the cosine schedule
+    # is degenerate (optax rejects decay_steps=0)
+    warmup_steps = min(warmup_epochs * steps_per_epoch, total_steps - 1)
     schedule = cosine_warmup_schedule(
-        lr, warmup_steps=warmup_epochs * steps_per_epoch,
-        total_steps=epochs * steps_per_epoch, final_lr=min_lr)
+        lr, warmup_steps=max(warmup_steps, 0), total_steps=total_steps,
+        final_lr=min_lr)
     tx = optax.chain(optax.add_decayed_weights(weight_decay),
                      optax.sgd(schedule, momentum=momentum))
     opt_state = tx.init(params)
 
     def loss_fn(p, batch_views, lab, m_lab):
         # one backbone pass over all views: [V*B, H, W, C] -> [V, B, D]
-        vb = batch_views.shape[1]
+        n_v, vb = batch_views.shape[0], batch_views.shape[1]
         flat = batch_views.reshape((-1,) + batch_views.shape[2:])
         feats = backbone.apply({"params": p["backbone"]}, flat)
-        feats = feats.reshape(v, vb, -1)
-        logits = jax.vmap(
-            lambda f: heads.apply({"params": p["heads"]}, f)[0])(feats)
-        # [V, H, B, nlc+P]
-        targets = uno_targets(
-            jax.lax.stop_gradient(logits[..., n_labeled:]), lab, m_lab,
-            n_labeled, sk_iters, sk_epsilon)
-        per_head = _swapped_loss_per_head(logits, targets, temperature)
-        return per_head.mean(), per_head
+        feats = feats.reshape(n_v, vb, -1)
+
+        def head_loss(module, pname):
+            logits = jax.vmap(lambda f: module.apply(
+                {"params": p[pname]}, f)[0])(feats)  # [V, H, B, nlc+P']
+            targets = uno_targets(
+                jax.lax.stop_gradient(logits[..., n_labeled:]), lab, m_lab,
+                n_labeled, sk_iters, sk_epsilon)
+            return _swapped_loss_per_head(logits, targets, temperature)
+
+        per_head = head_loss(heads, "heads")
+        loss = per_head.mean()
+        if heads_over is not None:
+            # reference: loss = (cluster + overcluster) / 2
+            loss = (loss + head_loss(heads_over, "heads_over").mean()) / 2
+        return loss, per_head
 
     @jax.jit
     def step(p, o, head_loss, batch_views, lab, m_lab):
@@ -184,14 +227,15 @@ def train_uno_e2e(key: jax.Array, views: np.ndarray, labels: np.ndarray,
             for s in range(0, len(images), batch)]
         return np.concatenate(out)
 
-    def epoch_fn(_epoch):
+    def epoch_fn(epoch):
         nonlocal opt_state
         head_loss = jnp.zeros((num_heads,), jnp.float32)
         losses = []
-        for idx in _epoch_iter(rng, n, batch_size):
+        for bv, lab, m in batches(epoch, rng):
             state["params"], opt_state, head_loss, loss = step(
                 state["params"], opt_state, head_loss,
-                jnp.asarray(views[:, idx]), labels_j[idx], mask_j[idx])
+                jnp.asarray(bv, jnp.float32), jnp.asarray(lab),
+                jnp.asarray(m))
             losses.append(loss)
         # ONE fetch for the epoch: per-head tracker + stacked losses
         head_loss_h = np.asarray(head_loss)
@@ -208,10 +252,11 @@ def train_uno_e2e(key: jax.Array, views: np.ndarray, labels: np.ndarray,
     return state, predict, history
 
 
-def train_autonovel_e2e(key: jax.Array, images: np.ndarray,
-                        images_bar: np.ndarray, labels: np.ndarray,
-                        mask_lab: np.ndarray, n_labeled: int,
-                        n_unlabeled: int, vit_cfg: ViTConfig,
+def train_autonovel_e2e(key: jax.Array, images,
+                        images_bar: np.ndarray = None,
+                        labels: np.ndarray = None,
+                        mask_lab: np.ndarray = None, n_labeled: int = 0,
+                        n_unlabeled: int = 0, vit_cfg: ViTConfig = None,
                         epochs: int = 10, batch_size: int = 64,
                         lr: float = 0.1, momentum: float = 0.9,
                         weight_decay: float = 1e-4, step_size: int = 170,
@@ -227,13 +272,24 @@ def train_autonovel_e2e(key: jax.Array, images: np.ndarray,
     Returns ``(state, predict_fn, history)``; ``predict_fn`` maps images
     to unlabelled-head argmax ids (offset by ``n_labeled`` for the global
     id space, as in ``run_baseline``).
+
+    ``images`` may instead be a callable ``images(epoch, rng) -> iterator
+    of (x [B, ...], x_bar [B, ...], labels [B], mask_lab [B])`` to stream
+    datasets too large to materialize.
     """
-    images = np.asarray(images, np.float32)
-    images_bar = np.asarray(images_bar, np.float32)
-    n = images.shape[0]
-    batch_size = min(batch_size, n)
-    labels_j = jnp.asarray(np.asarray(labels))
-    mask_j = jnp.asarray(np.asarray(mask_lab))
+    if callable(images):
+        batches = images
+    else:
+        images = np.asarray(images, np.float32)
+        images_bar = np.asarray(images_bar, np.float32)
+        n = images.shape[0]
+        batch_size = min(batch_size, n)
+        labels = np.asarray(labels)
+        mask_lab = np.asarray(mask_lab)
+
+        def batches(_epoch, rng):
+            for idx in _epoch_iter(rng, n, batch_size):
+                yield images[idx], images_bar[idx], labels[idx], mask_lab[idx]
 
     backbone = VisionTransformer(vit_cfg)
     feat_dim = vit_cfg.output_proj or vit_cfg.width
@@ -289,11 +345,11 @@ def train_autonovel_e2e(key: jax.Array, images: np.ndarray,
         nonlocal opt_state
         w = rampup_coeff * sigmoid_rampup(epoch, rampup_length)
         losses = []
-        for idx in _epoch_iter(rng, n, batch_size):
+        for x, x_bar, lab, m in batches(epoch, rng):
             state["params"], opt_state, loss = step(
-                state["params"], opt_state, jnp.asarray(images[idx]),
-                jnp.asarray(images_bar[idx]), labels_j[idx], mask_j[idx],
-                jnp.float32(w))
+                state["params"], opt_state,
+                jnp.asarray(x, jnp.float32), jnp.asarray(x_bar, jnp.float32),
+                jnp.asarray(lab), jnp.asarray(m), jnp.float32(w))
             losses.append(loss)
         mean_loss = (float(jnp.stack(losses).mean()) if losses
                      else float("nan"))

@@ -5,3 +5,5 @@ python -m scd_tpu.train.run_baseline --method autonovel \
     --features "${FEATURES:?set FEATURES}" \
     --n_labeled "${N_LABELED:?set N_LABELED}" \
     "$@"
+# End-to-end (trunk finetuning) variant, reference train loop parity:
+#   python -m scd_tpu.train.run_baseline_e2e --method autonovel --dataset_name <ds> ...

@@ -81,3 +81,18 @@ def test_autonovel_e2e_trains_with_eval(img_data):
     preds = predict(imgs)
     # unlabelled-head ids live after the labelled block
     assert preds.min() >= N_LAB and preds.max() < N_CLS + N_LAB
+
+
+def test_uno_e2e_overcluster(img_data):
+    """overcluster_factor adds the reference's second head block
+    (``uno_v2_utils.py:142-146``); loss averages cluster + overcluster and
+    prediction still uses the cluster heads."""
+    imgs, views, labels, mask_lab = img_data
+    state, predict, history = train_uno_e2e(
+        jax.random.PRNGKey(2), views, labels, mask_lab, N_LAB,
+        N_CLS - N_LAB, _tiny_cfg(), num_heads=2, epochs=2, batch_size=32,
+        lr=0.05, warmup_epochs=1, overcluster_factor=3)
+    assert "heads_over" in state["params"]
+    preds = predict(imgs)
+    assert preds.max() < N_CLS  # cluster heads predict, not the over block
+    assert np.isfinite(history[-1]["loss"])

@@ -135,3 +135,14 @@ def test_metric_learn_cli(tmp_path):
     # best checkpoint restorable
     step, _state = out["ckpt"].restore_best(out["trainer"].state)
     assert step == 0
+
+
+def test_baseline_e2e_cli_uno():
+    from scd_tpu.train.run_baseline_e2e import main as e2e_main
+
+    state, history = e2e_main(
+        ["--method", "uno", "--dataset_name", "synthetic", "--vit", "micro",
+         "--image_size", "32", "--epochs", "1", "--batch_size", "32",
+         "--num_heads", "2"])
+    assert len(history) == 1 and np.isfinite(history[0]["loss"])
+    assert "acc" in history[0] and 0 <= history[0]["acc"] <= 1
