@@ -26,4 +26,11 @@ python -m scd_tpu.train.metric_learn --dataset_name synthetic --epochs 1 \
     --vit micro --image_size 32 --batch_size 8 --steps_per_epoch 2 \
     --proj_dim 32 --grad_from_block 0 --max_kmeans_iter 10 \
     --exp_root "$TMP/runs"
+python -m scd_tpu.train.run_baseline_e2e --method uno \
+    --dataset_name synthetic --vit micro --image_size 32 --epochs 1 \
+    --batch_size 32 --num_heads 2
+if [ "$SCD_PLATFORM" != "cpu" ]; then
+    # on-chip Mosaic parity (compiled Pallas kernels vs XLA at real shapes)
+    SCD_TEST_PLATFORM=axon python -m pytest tests/test_pallas_on_tpu.py -q
+fi
 echo "ALL CLIS OK"
