@@ -147,6 +147,48 @@ class CLIPTokenizer:
             out[i, :len(toks)] = toks
         return out
 
+    def prompt_tokens(self, templates: Sequence[str], names: Sequence[str],
+                      context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+        """Tokenize ``template.format(name)`` for every (name, template)
+        pair WITHOUT running BPE per pair.
+
+        CLIP tokenization is compositional at the regex-word level: the
+        pattern splits the cleaned text into words/punctuation first and
+        BPE runs per word with no cross-word context, so
+        ``encode(t.format(n)) == encode(prefix) + encode(n) +
+        encode(suffix)`` whenever ``{}`` sits at word boundaries (true of
+        all 80 ImageNet templates — the name is always whitespace- or
+        punctuation-delimited).  Each template's prefix/suffix and each
+        name is encoded ONCE: the 68k-name x 80-template vocabulary build
+        drops from 5.4M BPE runs to 68k + 160
+        (the host-tokenization bottleneck of the pipelined builder).
+
+        Output layout matches ``self([t.format(n) for n in names for t in
+        templates])``: name-major, template-minor.
+        """
+        sot, eot = self.encoder[SOT], self.encoder[EOT]
+        pieces = []
+        for t in templates:
+            pre, sep, suf = t.partition("{}")
+            if not sep:  # template without a placeholder: name is ignored
+                pieces.append((self.encode(t), None))
+            else:
+                pieces.append((self.encode(pre), self.encode(suf)))
+        name_toks = [self.encode(n) for n in names]
+        out = np.zeros((len(names) * len(templates), context_length),
+                       np.int32)
+        row = 0
+        for ntoks in name_toks:
+            for pre, suf in pieces:
+                toks = ([sot] + pre + [eot] if suf is None
+                        else [sot] + pre + ntoks + suf + [eot])
+                if len(toks) > context_length:
+                    toks = toks[:context_length]
+                    toks[-1] = eot
+                out[row, :len(toks)] = toks
+                row += 1
+        return out
+
 
 class HashTokenizer:
     """Deterministic fallback with the CLIP tokenizer interface: words hash

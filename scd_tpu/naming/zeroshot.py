@@ -27,18 +27,25 @@ IMAGENET_TEMPLATE_COUNT = 80
 # earlier position can attend to).  Vocabulary prompts are short
 # ("a photo of a {name}." ~ 10-20 tokens), so nearly every batch runs at
 # 32 tokens — ~2.4x fewer FLOPs than the fixed 77-token context the
-# reference always pays (``clip_lang_util.py:96-108``).  Two buckets keep
-# the remote-compile count at two programs.
-TEXT_SEQ_BUCKETS = (32, 77)
+# reference always pays (``clip_lang_util.py:96-108``).  Throughput is
+# near-linear in sequence length on v5e (measured: 28.4k prompts/s at
+# seq=32, 35.3k at 24, 52.3k at 16 — the tower is layout/BW bound at these
+# tiny sequences, not MXU bound), so finer buckets pay directly; four
+# buckets bound the compile count at four programs.  The sharded builder
+# length-sorts names so batches actually land in the tight buckets.
+TEXT_SEQ_BUCKETS = (16, 24, 32, 77)
 
 
 def truncate_to_eot_bucket(tokens: np.ndarray,
-                           buckets: Sequence[int] = TEXT_SEQ_BUCKETS) -> np.ndarray:
+                           buckets: Sequence[int] = None) -> np.ndarray:
     """Slice [N, L] token rows to the smallest bucket covering every EOT.
 
     EOT is the per-row argmax token id (CLIP convention: EOT is the largest
-    id in the vocabulary).  Exact — see ``TEXT_SEQ_BUCKETS``.
+    id in the vocabulary).  Exact — see ``TEXT_SEQ_BUCKETS`` (read at call
+    time so the bucket list stays configurable/patchable).
     """
+    if buckets is None:
+        buckets = TEXT_SEQ_BUCKETS
     tokens = np.asarray(tokens)
     need = int(tokens.argmax(axis=1).max()) + 1
     for b in buckets:
@@ -163,14 +170,33 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
     # encodes batch i — host BPE tokenization is otherwise serialized with
     # the encoder and becomes the bottleneck once the names axis is
     # sharded over several chips.  A sliding block bounds in-flight work.
+    # Length-sorted batching: one long name forces its whole 64-name batch
+    # into a bigger seq bucket, so sort names by their own token length
+    # (prompt length = constant templates + name) and scatter the built
+    # columns back to the original order at the end.  Measured: the
+    # 16/24-token buckets run 1.8x/1.25x the 32-bucket throughput.
+    order = None
+    if len(classnames) > 4 * b:
+        name_tok = np.asarray(tokenize(list(classnames)), np.int32)
+        order = np.argsort(name_tok.argmax(axis=1), kind="stable")
+        classnames = [classnames[i] for i in order]
+
     cols, valids = [], []
     for i, start in enumerate(range(0, len(classnames), b)):
         batch = list(classnames[start:start + b])
         valid = len(batch)
         batch += [batch[-1]] * (b - valid)  # pad with a repeat, drop below
-        texts = [tmpl.format(name) for name in batch for tmpl in templates]
-        tokens = truncate_to_eot_bucket(
-            np.asarray(tokenize(texts), np.int32))  # [b*T, <=L]
+        if hasattr(tokenize, "prompt_tokens"):
+            # compositional fast path (CLIPTokenizer): each template piece
+            # and each name BPE-encoded once instead of per pair — host
+            # tokenization otherwise bounds the pipelined build
+            tokens = truncate_to_eot_bucket(
+                tokenize.prompt_tokens(templates, batch))
+        else:
+            texts = [tmpl.format(name) for name in batch
+                     for tmpl in templates]
+            tokens = truncate_to_eot_bucket(
+                np.asarray(tokenize(texts), np.int32))  # [b*T, <=L]
         tokens = put_tokens(jnp.asarray(tokens))
         cols.append(encode_reduce(variables, tokens))
         valids.append(valid)
@@ -178,4 +204,8 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
             jax.block_until_ready(cols[i - 32])  # backpressure
     weights = np.concatenate(
         [np.asarray(c)[:v] for c, v in zip(cols, valids)], axis=0)  # [V, D]
+    if order is not None:  # undo the length sort
+        unsorted = np.empty_like(weights)
+        unsorted[order] = weights
+        weights = unsorted
     return weights.T.astype(np.float32)  # [D, V]

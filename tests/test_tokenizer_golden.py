@@ -136,3 +136,18 @@ def test_real_clip_tokenize_goldens():
     toks = t(["a " * 100])[0]
     assert toks[0] == SOT_ID and toks[-1] == EOT_ID
     assert (toks[1:-1] == A_ID).all()
+
+
+def test_prompt_tokens_matches_full_tokenization(tiny_tokenizer):
+    """The compositional prompt fast path (template pieces + names encoded
+    once, spliced) must match per-pair tokenization exactly — the CLIP
+    regex splits words/punctuation before BPE, so splicing at the {}
+    boundary is lossless for every template that keeps the name
+    word-delimited (all 80 ImageNet templates do)."""
+    t = tiny_tokenizer
+    templates = ["a {}.", "the cat {}", "{}!", "no placeholder"]
+    names = ["cat", "dog", "cat dog"]
+    full = t([tmpl.format(n) for n in names for tmpl in templates],
+             context_length=12)
+    fast = t.prompt_tokens(templates, names, context_length=12)
+    np.testing.assert_array_equal(fast, full)
