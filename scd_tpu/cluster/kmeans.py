@@ -76,7 +76,8 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
                 extra_sums: Optional[jnp.ndarray] = None,
                 extra_counts: Optional[jnp.ndarray] = None,
                 extra_inertia_fn=None,
-                fused: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                fused: bool = False,
+                mesh=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Shared Lloyd iteration engine.
 
     ``row_w`` [N] weights (0 for padded rows).  ``extra_sums``/``extra_counts``
@@ -86,19 +87,24 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
 
     ``fused=True`` runs E-step + M-step as ONE Pallas pass over ``x``
     (halves the dominant HBM stream; ``fused_em_step_pallas``, which
-    honors ``row_w`` as its row mask).  Callers enable it only on the
-    unsharded single-device path: a Pallas call is opaque to GSPMD, so the
-    mesh path keeps the XLA ops (which partition automatically).
+    honors ``row_w`` as its row mask).  With ``mesh`` as well, the fused
+    kernel runs per data-shard under ``shard_map`` with a psum merge
+    (``em_iteration_sharded``) — a plain pallas_call is opaque to GSPMD,
+    which is why fused+mesh needs the explicit-collective path.
     """
     n = x.shape[0]
 
     def em_iter(centers):
         """(labels, inertia, new_centers) for one EM iteration."""
-        from scd_tpu.ops.em import em_iteration
+        from scd_tpu.ops.em import em_iteration, em_iteration_sharded
 
-        labels, sums, counts, inertia = em_iteration(x, centers, k,
-                                                     row_w=row_w,
-                                                     fused=fused)
+        if fused and mesh is not None:
+            labels, sums, counts, inertia = em_iteration_sharded(
+                x, centers, k, row_w, mesh)
+        else:
+            labels, sums, counts, inertia = em_iteration(x, centers, k,
+                                                         row_w=row_w,
+                                                         fused=fused)
         if extra_inertia_fn is not None:
             inertia = inertia + extra_inertia_fn(centers)
         if extra_sums is not None:
@@ -134,15 +140,17 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
     return final.best_labels, final.best_inertia, final.best_centers, final.it
 
 
-@partial(jax.jit, static_argnames=("k", "max_iter", "n_init", "fused"))
+@partial(jax.jit, static_argnames=("k", "max_iter", "n_init", "fused",
+                                   "mesh"))
 def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
                        k: int, max_iter: int, tol: float, n_init: int,
-                       fused: bool = False):
+                       fused: bool = False, mesh=None):
     row_w = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
 
     def one_restart(sub):
         centers0 = kmeans_plus_plus(sub, x, k, n_valid=n_valid)
-        return _lloyd_loop(x, centers0, k, max_iter, tol, row_w, fused=fused)
+        return _lloyd_loop(x, centers0, k, max_iter, tol, row_w, fused=fused,
+                           mesh=mesh)
 
     keys = jax.random.split(key, n_init)
     labels, inertias, centers, iters = jax.vmap(one_restart)(keys)
@@ -151,10 +159,16 @@ def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
 
 
 def _use_fused(mesh) -> bool:
-    """Fused Pallas E+M only on the unsharded TPU path: a pallas_call is
-    opaque to GSPMD (the mesh path needs the auto-partitioned XLA ops), and
-    on CPU the interpret-mode kernel is slower than XLA."""
-    return mesh is None and jax.default_backend() == "tpu"
+    """Fused Pallas E+M on any TPU path: single-device runs call the
+    kernel directly; mesh runs wrap it in shard_map + psum
+    (``em_iteration_sharded``).  On CPU the interpret-mode kernel is
+    slower than XLA, so only tests force it (SCD_FUSED_MESH=1 exercises
+    the shard_map path on the virtual mesh)."""
+    import os
+
+    if jax.default_backend() == "tpu":
+        return True
+    return mesh is not None and bool(os.environ.get("SCD_FUSED_MESH"))
 
 
 def _stage_rows(x: np.ndarray, mesh):
@@ -191,17 +205,17 @@ def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
         n_valid = jnp.asarray(x_j.shape[0])
     labels, inertia, centers, n_iter = _fit_kmeans_device(
         key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
-        cfg.tolerance, cfg.n_init, fused=_use_fused(mesh))
+        cfg.tolerance, cfg.n_init, fused=_use_fused(mesh), mesh=mesh)
     return KMeansResult(np.asarray(labels)[:int(n_valid)], np.asarray(centers),
                         float(inertia), int(n_iter))
 
 
 @partial(jax.jit, static_argnames=("k", "n_l_classes", "max_iter", "n_init",
-                                   "fused"))
+                                   "fused", "mesh"))
 def _fit_sskm_device(key: jax.Array, u: jnp.ndarray, l: jnp.ndarray,
                      l_labels: jnp.ndarray, n_valid: jnp.ndarray,
                      k: int, n_l_classes: int, max_iter: int, tol: float,
-                     n_init: int, fused: bool = False):
+                     n_init: int, fused: bool = False, mesh=None):
     row_w = (jnp.arange(u.shape[0]) < n_valid).astype(jnp.float32)
 
     # Labelled structure is constant across iterations and restarts.
@@ -217,7 +231,8 @@ def _fit_sskm_device(key: jax.Array, u: jnp.ndarray, l: jnp.ndarray,
                                     n_valid=n_valid)
         return _lloyd_loop(u, centers0, k, max_iter, tol, row_w,
                            extra_sums=l_sums, extra_counts=l_counts,
-                           extra_inertia_fn=l_inertia_fn, fused=fused)
+                           extra_inertia_fn=l_inertia_fn, fused=fused,
+                           mesh=mesh)
 
     keys = jax.random.split(key, n_init)
     labels, inertias, centers, iters = jax.vmap(one_restart)(keys)
@@ -255,7 +270,7 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         key, u, l, jnp.asarray(l_mapped.astype(np.int32)),
         n_valid, cfg.n_clusters, n_l_classes,
         cfg.max_iterations, cfg.tolerance, cfg.n_init,
-        fused=_use_fused(mesh))
+        fused=_use_fused(mesh), mesh=mesh)
 
     all_labels = np.concatenate([l_mapped.astype(np.int32),
                                  np.asarray(u_labels)[:n_u]])

@@ -46,3 +46,55 @@ def em_iteration(x: jnp.ndarray, centers: jnp.ndarray, k: int,
     inertia = jnp.sum(mindist if row_w is None else mindist * row_w)
     sums, counts = segment_sums(x, labels, k, weights=row_w)
     return labels, sums, counts, inertia
+
+
+def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray, k: int,
+                         row_w: jnp.ndarray, mesh,
+                         interpret: Optional[bool] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray]:
+    """Fused Pallas E+M over a mesh via ``shard_map``.
+
+    A ``pallas_call`` is opaque to GSPMD, so the auto-partitioned mesh
+    path had to fall back to separate XLA E/M ops (two streams over x).
+    ``shard_map`` restores the fused kernel per data-shard with explicit
+    collectives: each chip runs the one-pass kernel on its row slice and
+    the [K, D] partial sums / counts / inertia merge with one ``psum``
+    over the data axis — exactly the reduction GSPMD would have inserted
+    for the segment sums, but on the halved HBM traffic of the fused
+    kernel.  Labels stay row-sharded.
+
+    ``x`` [N, D] row-sharded (N divisible by the data-axis size),
+    ``centers`` [K, D] replicated, ``row_w`` [N] row-sharded.
+    """
+    from functools import partial as _partial
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    axis = mesh.axis_names[0]
+
+    # check_vma/check_rep off: the pallas_call inside has no replication
+    # rule, so the checker cannot see that the psum outputs are replicated
+    @_partial(shard_map, mesh=mesh,
+              in_specs=(P(axis, None), P(None, None), P(axis)),
+              out_specs=(P(axis), P(None, None), P(None), P()),
+              **{("check_vma" if hasattr(jax, "shard_map") else "check_rep"):
+                 False})
+    def _run(xs, cs, rw):
+        lab, sums, counts, inertia = fused_em_step_pallas(
+            xs, cs, row_mask=rw, interpret=interpret)
+        return (lab, jax.lax.psum(sums, axis), jax.lax.psum(counts, axis),
+                jax.lax.psum(inertia, axis))
+
+    if row_w is None:
+        row_w = jnp.ones((x.shape[0],), jnp.float32)
+    return _run(x, centers, row_w)

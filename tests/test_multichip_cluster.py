@@ -110,3 +110,28 @@ def test_fit_constrained_mcf_backend_ignores_mesh_padding(mesh):
     sizes = np.bincount(u, minlength=4)
     assert sizes.sum() == n_u
     assert sizes.min() >= n_u // 8
+
+
+def test_fused_shard_map_em_matches_xla(mesh, monkeypatch):
+    """The shard_map-wrapped fused Pallas E+M (interpret mode on CPU) must
+    reproduce the auto-partitioned XLA mesh path: same per-shard math, the
+    psum merge replaces GSPMD's inserted reduction."""
+    monkeypatch.setenv("SCD_FUSED_MESH", "1")
+    X, y = make_blobs(n_samples=512, n_features=32, centers=8, seed=7)
+    cfg = ClusterConfig(n_clusters=8, n_init=2, max_iterations=10)
+    fused = fit_kmeans(jax.random.PRNGKey(0), X, cfg, mesh=mesh)
+    monkeypatch.delenv("SCD_FUSED_MESH")
+    xla = fit_kmeans(jax.random.PRNGKey(0), X, cfg, mesh=mesh)
+    assert nmi(fused.labels, xla.labels) > 0.99
+    assert fused.inertia == pytest.approx(xla.inertia, rel=1e-4)
+
+    # SSKM variant (labelled sums folded in outside the shard_map)
+    mask = y < 4
+    monkeypatch.setenv("SCD_FUSED_MESH", "1")
+    f2 = fit_sskm(jax.random.PRNGKey(1), X[~mask], X[mask], y[mask], cfg,
+                  mesh=mesh)
+    monkeypatch.delenv("SCD_FUSED_MESH")
+    x2 = fit_sskm(jax.random.PRNGKey(1), X[~mask], X[mask], y[mask], cfg,
+                  mesh=mesh)
+    assert nmi(f2.labels, x2.labels) > 0.99
+    assert f2.inertia == pytest.approx(x2.inertia, rel=1e-4)
