@@ -277,14 +277,15 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     return KMeansResult(all_labels, np.asarray(centers), float(inertia), int(n_iter))
 
 
-@partial(jax.jit, static_argnames=("k", "max_iter", "fused"))
+@partial(jax.jit, static_argnames=("k", "max_iter", "fused", "mesh"))
 def _fit_from_labels_device(x: jnp.ndarray, init_labels: jnp.ndarray,
                             n_valid: jnp.ndarray, k: int, max_iter: int,
-                            tol: float, fused: bool = False):
+                            tol: float, fused: bool = False, mesh=None):
     row_w = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
     sums, counts = segment_sums(x, init_labels, k, weights=row_w)
     centers0 = sums / jnp.maximum(counts, 1.0)[:, None]
-    return _lloyd_loop(x, centers0, k, max_iter, tol, row_w, fused=fused)
+    return _lloyd_loop(x, centers0, k, max_iter, tol, row_w, fused=fused,
+                       mesh=mesh)
 
 
 def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
@@ -309,6 +310,6 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
         n_valid = jnp.asarray(n)
     labels, inertia, centers, n_iter = _fit_from_labels_device(
         x_j, lab_j, n_valid, cfg.n_clusters, cfg.max_iterations,
-        cfg.tolerance, fused=_use_fused(mesh))
+        cfg.tolerance, fused=_use_fused(mesh), mesh=mesh)
     return KMeansResult(np.asarray(labels)[:n], np.asarray(centers),
                         float(inertia), int(n_iter))

@@ -35,6 +35,7 @@ from scd_tpu.models.vit import ViTConfig, VisionTransformer
 from scd_tpu.train.baselines import (
     MultiHeadPrototypes,
     TwoHeadClassifier,
+    _epoch_mean,
     autonovel_loss,
     uno_targets,
 )
@@ -240,9 +241,8 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
         # ONE fetch for the epoch: per-head tracker + stacked losses
         head_loss_h = np.asarray(head_loss)
         state["best_head"] = int(head_loss_h.argmin())
-        mean_loss = (float(jnp.stack(losses).mean()) if losses
-                     else float("nan"))
-        return {"loss": mean_loss, "best_head": state["best_head"]}
+        return {"loss": _epoch_mean(losses),
+                "best_head": state["best_head"]}
 
     history, best = _run_epochs(
         epochs, epoch_fn,
@@ -351,9 +351,7 @@ def train_autonovel_e2e(key: jax.Array, images,
                 jnp.asarray(x, jnp.float32), jnp.asarray(x_bar, jnp.float32),
                 jnp.asarray(lab), jnp.asarray(m), jnp.float32(w))
             losses.append(loss)
-        mean_loss = (float(jnp.stack(losses).mean()) if losses
-                     else float("nan"))
-        return {"loss": mean_loss, "rampup_w": w}
+        return {"loss": _epoch_mean(losses), "rampup_w": w}
 
     history, best = _run_epochs(
         epochs, epoch_fn,

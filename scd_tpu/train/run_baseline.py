@@ -57,7 +57,17 @@ def _combine_cluster_preds(key, feats, targets, mask_lab, n_labeled: int,
         out = np.empty(len(feats), np.int64)
         out[mask_lab] = res.labels[:n_lab]
         out[~mask_lab] = res.labels[n_lab:]
-        return out
+        # fit_sskm compresses labelled targets through np.unique: cluster id
+        # i is the i-th PRESENT class, not class i.  Map pinned clusters
+        # back to their true class ids and shift the free clusters past the
+        # Old block so the combine's `< n_labeled` test stays meaningful
+        # even when some labelled class has no labelled instances.
+        classes = np.unique(targets[mask_lab])
+        n_present = len(classes)
+        remap = np.concatenate([
+            classes,
+            n_labeled + np.arange(k - n_present)]).astype(np.int64)
+        return remap[out]
     km = fit_kmeans(key, feats, cfg)
     return km.labels + n_labeled
 

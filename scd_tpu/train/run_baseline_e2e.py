@@ -28,7 +28,7 @@ from scd_tpu.train.baselines_e2e import train_autonovel_e2e, train_uno_e2e
 from scd_tpu.train.metric_learn import _VIT_SIZES
 
 
-def image_batches(merged, batch_size: int, n_views: int, seed: int,
+def image_batches(merged, batch_size: int, n_views: int,
                   steps: int, num_workers: int = 8):
     """Batch factory for the streaming e2e trainers: yields view-stacked
     ``([V, B, H, W, C], labels [B], mask_lab [B])`` per step (the
@@ -57,14 +57,30 @@ def image_batches(merged, batch_size: int, n_views: int, seed: int,
     return make
 
 
-def _eval_batches(ds, batch_size: int = 256):
-    imgs, labels, masks = [], [], []
+def _eval_meta(ds):
+    """Labels + labelled-mask for the eval split (small host arrays; the
+    IMAGES are never materialized whole — see ``_predict_indices``)."""
+    labels, masks = [], []
     for i in range(len(ds)):
-        x, y, _uq, m = ds[i]
-        imgs.append(np.asarray(x, np.float32))
+        _x, y, _uq, m = ds[i]
         labels.append(int(y))
         masks.append(bool(np.asarray(m).reshape(-1)[0]))
-    return np.stack(imgs), np.array(labels), np.array(masks)
+    return np.array(labels), np.array(masks)
+
+
+def _predict_indices(predict, ds, indices, batch_size: int = 256,
+                     num_workers: int = 8):
+    """Stream ``ds[idx]`` images through ``predict`` in batches — an
+    ImageNet-scale eval split is ~78 GB as one f32 stack, so the whole-array
+    shortcut only ever worked on toy datasets."""
+    preds = []
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        for s in range(0, len(indices), batch_size):
+            chunk = indices[s:s + batch_size]
+            imgs = np.stack(list(pool.map(
+                lambda i: np.asarray(ds[int(i)][0], np.float32), chunk)))
+            preds.append(predict(imgs))
+    return np.concatenate(preds)
 
 
 def main(argv=None):
@@ -106,20 +122,23 @@ def main(argv=None):
         data_cfg, train_transform=train_tf, test_transform=test_tf)
     merged_eval, _t2, _u2, _e2 = get_datasets(
         data_cfg, train_transform=test_tf, test_transform=test_tf)
-    eval_imgs, eval_labels, eval_mask_lab = _eval_batches(merged_eval)
+    eval_labels, eval_mask_lab = _eval_meta(merged_eval)
     eval_mask_cls = np.isin(eval_labels, list(train_classes))
+    eval_u_idx = np.flatnonzero(~eval_mask_lab)
 
     steps = args.steps_per_epoch or max(len(merged) // args.batch_size, 1)
     vit_cfg = ViTConfig(image_size=args.image_size,
                         patch_size=args.patch_size,
                         **_VIT_SIZES[args.vit])
-    batches = image_batches(merged, args.batch_size, 2, args.seed, steps,
+    # sampling is driven by the trainer's rng (seeded via its seed kwarg)
+    batches = image_batches(merged, args.batch_size, 2, steps,
                             args.num_workers)
     key = jax.random.PRNGKey(args.seed)
 
     def eval_fn(predict, epoch):
         u = ~eval_mask_lab
-        preds = predict(eval_imgs[u])
+        preds = _predict_indices(predict, merged_eval, eval_u_idx,
+                                 num_workers=args.num_workers)
         all_acc, old_acc, new_acc = log_accs_from_preds(
             y_true=eval_labels[u], y_pred=preds, mask=eval_mask_cls[u],
             eval_funcs=["v2"], T=epoch,

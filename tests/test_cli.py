@@ -146,3 +146,27 @@ def test_baseline_e2e_cli_uno():
          "--num_heads", "2"])
     assert len(history) == 1 and np.isfinite(history[0]["loss"])
     assert "acc" in history[0] and 0 <= history[0]["acc"] <= 1
+
+
+def test_combine_sskm_remaps_absent_labelled_class():
+    """fit_sskm compresses labelled targets through np.unique; the combine
+    helper must map cluster ids back to TRUE class ids even when a labelled
+    class has no labelled instances (non-contiguous present set), and free
+    clusters must stay outside the Old block."""
+    import jax
+
+    from scd_tpu.train.run_baseline import _combine_cluster_preds
+
+    rng = np.random.default_rng(0)
+    n_per, n_lab_cls, n_cls, d = 30, 4, 6, 16
+    centers = rng.standard_normal((n_cls, d)).astype(np.float32) * 6
+    feats = np.concatenate([centers[c] + 0.2 * rng.standard_normal(
+        (n_per, d)).astype(np.float32) for c in range(n_cls)])
+    targets = np.repeat(np.arange(n_cls), n_per)
+    # class 2 is a labelled class with NO labelled rows
+    mask = np.isin(targets, [0, 1, 3]) & (np.arange(len(targets)) % 2 == 0)
+    preds = _combine_cluster_preds(jax.random.PRNGKey(0), feats, targets,
+                                   mask, n_lab_cls, n_cls - n_lab_cls)
+    for c in (0, 1, 3):
+        assert (preds[targets == c] == c).mean() > 0.9
+    assert preds[targets >= n_lab_cls].min() >= n_lab_cls
