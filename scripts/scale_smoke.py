@@ -23,12 +23,14 @@ a previous process populated it; this script enables it) and the SSKM
 stage includes the one-time ~400 MB host->device feature upload at
 ~50 MB/s.  Steady-state per-iteration rates are what ``bench.py``
 measures; this script's job is true-shape viability:
-measured on v5e: SSKM 28s (the fused Pallas E+M kernel also shrinks the
-XLA program that previously took minutes of remote compile), ConSSKM
-13-40s, vocabulary top-k 12s, voting loop 10.5s (4 iterations to
-fixpoint; one bucket-padded compile + one feature upload for all
-rounds), zero-shot bounds 20-34s — all stages complete within HBM at
-full scale.
+measured on v5e (round 3): SSKM 9.2s steady-state in-process (the
+fused Pallas E+M kernel; a fresh process adds a remote-compile residual
+with HUGE variance — 90-590s observed for the same program across runs,
+CLAUDE.md rule 6), ConSSKM 34s incl. compile (the sinkhorn E-step's
+feasibility early-exit repair makes the steady-state step ~1 ms),
+vocabulary top-k 8s, voting loop 6.6s (4 iterations to fixpoint; one
+bucket-padded compile + one feature upload for all rounds), zero-shot
+bounds 12.8s — all stages complete within HBM at full scale.
 """
 
 from __future__ import annotations
