@@ -325,3 +325,41 @@ def test_eot_bucket_truncation_exact():
     toks[0, 5] = 1
     toks[0, 60] = 99
     assert truncate_to_eot_bucket(toks).shape == (5, 77)
+
+
+def test_voting_loop_herbarium_scale_k(rng):
+    """K=683 clusters (Herbarium-scale): the voting loop's host
+    bookkeeping must stay linear in K (the O(K^2) list.index pattern this
+    replaced would make each round quadratic) and converge on structured
+    signal."""
+    import time
+
+    from scd_tpu.core.config import NamingConfig
+    from scd_tpu.naming.loop import voting_loop
+    from scd_tpu.naming.vote import topk_names
+
+    k, v, d, per = 683, 8000, 64, 6
+    n = k * per
+    clip_c = rng.standard_normal((k, d)).astype(np.float32)
+    clip_c /= np.linalg.norm(clip_c, axis=1, keepdims=True)
+    truth = np.repeat(np.arange(k), per)
+    feats = clip_c[truth] + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    zw = rng.standard_normal((d, v)).astype(np.float32)
+    zw /= np.linalg.norm(zw, axis=0, keepdims=True)
+    gt_cols = np.arange(k) * (v // k)
+    zw[:, gt_cols] = clip_c.T
+    nouns = [f"n{i}" for i in range(v)]
+
+    name_idx, _ = topk_names(feats, zw, k=5)
+    t0 = time.perf_counter()
+    res = voting_loop(nouns, name_idx, feats, zw, truth.copy(), k,
+                      NamingConfig(topk=5, num_common_vote=20,
+                                   num_common_linear=4))
+    wall = time.perf_counter() - t0
+    assert res.n_iters <= 6
+    hit = np.mean([res.cand_names[p] == f"n{gt_cols[t]}"
+                   for p, t in zip(res.u_preds, truth)
+                   if p < len(res.cand_names)])
+    assert hit > 0.85
+    assert wall < 120, f"voting loop too slow at K=683: {wall:.1f}s"
