@@ -161,3 +161,40 @@ def test_soft_sacc_bounds_block(capsys):
     # the "new" subset is all-wolf: per-subset batch-max normalization (a
     # reference quirk we reproduce) rescales 0.1/0.1 -> 1.0
     np.testing.assert_allclose(out["soft_lb"][2], 1.0)
+
+
+def test_infer_serving_path():
+    """Serving entry point: NameClassifier + classifier_from_run slice the
+    converged candidate columns and classify new images to names."""
+    from scd_tpu.core.config import DataConfig
+    from scd_tpu.data import get_datasets
+    from scd_tpu.models.synthetic import SyntheticCLIP
+    from scd_tpu.naming.zeroshot import build_zeroshot_weights
+    from scd_tpu.pipelines.infer import NameClassifier, classifier_from_run
+
+    dcfg = DataConfig(dataset_name="synthetic")
+    _m, test_ds, _u, extras = get_datasets(dcfg)
+    clip = SyntheticCLIP(extras["class_colors"])
+    names = sorted(extras["class_colors"])
+    # full "vocabulary" = class names + distractors; serve a subset
+    nouns = names + [f"distractor_{i}" for i in range(7)]
+    zw = build_zeroshot_weights(clip.encode_text, nouns, ["{}"])
+    clf = classifier_from_run(clip.encode_image, zw, nouns,
+                              cand_names=names)
+    imgs = np.stack([np.asarray(test_ds[i][0]) for i in range(12)])
+    truth = [names[int(test_ds[i][1])] for i in range(12)]
+    named, probs = clf.classify(imgs, topk=1)
+    assert np.mean([t == row[0] for t, row in zip(truth, named)]) > 0.9
+    assert probs.shape == (12, 1) and (probs <= 1.0).all()
+
+    with np.testing.assert_raises(KeyError):
+        classifier_from_run(clip.encode_image, zw, nouns, ["not_a_name"])
+    with np.testing.assert_raises(ValueError):
+        NameClassifier(clip.encode_image, zw[:, :3], names)
+
+
+def test_infer_cli(capsys):
+    from scd_tpu.pipelines.infer import main as infer_main
+
+    acc = infer_main(["--dataset_name", "synthetic", "--topk", "1"])
+    assert acc == 1.0
