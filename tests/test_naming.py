@@ -363,3 +363,43 @@ def test_voting_loop_herbarium_scale_k(rng):
                    if p < len(res.cand_names)])
     assert hit > 0.85
     assert wall < 120, f"voting loop too slow at K=683: {wall:.1f}s"
+
+
+def test_assign_name_on_leftover_excludes_voted():
+    """Leftover variant (reference ``clip_lang_util.py:182-206``): names
+    already voted are dropped from the vote matrix, so a cluster whose top
+    name was consumed falls through to its next candidate."""
+    from scd_tpu.naming.vote import assign_name, assign_name_on_leftover
+
+    counters = {0: [(10, 9), (11, 4)], 1: [(10, 8), (12, 5)]}
+    uniq = [10, 11, 12]
+    ind, w = assign_name(uniq, counters, num_common=2)
+    # plain: cluster 0 takes 10 (9 votes), cluster 1 takes 12
+    got = {r: uniq[c] for r, c in ind if r < 2 and c < len(uniq)}
+    assert got == {0: 10, 1: 12}
+
+    ind2, w2 = assign_name_on_leftover(uniq, counters,
+                                       voted_unique_name_idx=[10],
+                                       num_common=2)
+    got2 = {r: uniq[c] for r, c in ind2 if r < 2 and c < len(uniq)}
+    # 10 excluded: cluster 0 -> 11, cluster 1 -> 12
+    assert got2 == {0: 11, 1: 12}
+    assert w2[:, 0].sum() == 0  # the excluded column carries no votes
+
+
+def test_assign_name_logits_weights_by_score():
+    """Logit-weighted variant (reference ``clip_lang_util.py:208-234``):
+    summed softmax mass decides, not raw counts — a name appearing fewer
+    times but with high confidence wins."""
+    from scd_tpu.naming.vote import assign_name_logits, cluster_logit_counters
+
+    # cluster 0: name 5 twice at 0.2 vs name 6 once at 0.9
+    name_idx = np.array([[5, 6], [5, 7], [6, 8]])
+    name_val = np.array([[0.2, 0.05], [0.2, 0.1], [0.9, 0.02]])
+    u_preds = np.array([0, 0, 0])
+    counters = cluster_logit_counters(name_idx, name_val, u_preds, top_k=2)
+    assert dict(counters[0])[5] == pytest.approx(0.4)
+    assert dict(counters[0])[6] == pytest.approx(0.95)
+    ind, w = assign_name_logits([5, 6, 7, 8], counters, num_common=2)
+    row0 = [c for r, c in ind if r == 0][0]
+    assert [5, 6, 7, 8][row0] == 6  # confidence outvotes count
