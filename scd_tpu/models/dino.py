@@ -17,12 +17,18 @@ import numpy as np
 from scd_tpu.models.vit import ViTConfig
 
 
-def dino_vit_b16_config(compute_dtype=None) -> ViTConfig:
+def dino_vit_b16_config(compute_dtype=None,
+                        gelu_tanh: bool = False) -> ViTConfig:
+    """DINO ViT-B/16 tower config.  ``gelu_tanh=True`` trades exact-erf
+    gelu for the tanh approximation: +21% throughput on v5e (2997 vs 2480
+    imgs/s at b128) with deviation below the bf16 rounding floor — flip it
+    for throughput-bound extraction once feature parity has been checked
+    for the downstream task."""
     import jax.numpy as jnp
 
     return ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
                      heads=12, quick_gelu=False, pre_post_norm=False,
-                     output_proj=None, patch_bias=True,
+                     output_proj=None, patch_bias=True, gelu_tanh=gelu_tanh,
                      compute_dtype=compute_dtype or jnp.float32)
 
 

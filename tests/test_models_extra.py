@@ -48,3 +48,24 @@ def test_topk_accuracy():
     top1, top2 = topk_accuracy(logits, targets, ks=(1, 2))
     assert top1 == pytest.approx(100 / 3)
     assert top2 == pytest.approx(200 / 3)
+
+
+def test_gelu_tanh_features_close_to_exact():
+    """The tanh-gelu throughput option must stay within the bf16 compute
+    dtype's own noise floor of the exact-erf features."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.vit import ViTConfig, VisionTransformer
+
+    kw = dict(image_size=32, patch_size=8, width=64, depth=3, heads=4)
+    exact = VisionTransformer(ViTConfig(**kw))
+    tanh = VisionTransformer(ViTConfig(gelu_tanh=True, **kw))
+    v = jax.jit(exact.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3), jnp.float32))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    fe = np.asarray(exact.apply(v, x))
+    ft = np.asarray(tanh.apply(v, x))
+    # same params, near-identical activations: rel deviation ~bf16 eps
+    denom = np.maximum(np.abs(fe), 1e-3)
+    assert np.max(np.abs(fe - ft) / denom) < 0.02
