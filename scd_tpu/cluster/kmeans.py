@@ -100,7 +100,7 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
 
         if fused and mesh is not None:
             labels, sums, counts, inertia = em_iteration_sharded(
-                x, centers, k, row_w, mesh)
+                x, centers, row_w, mesh)
         else:
             labels, sums, counts, inertia = em_iteration(x, centers, k,
                                                          row_w=row_w,

@@ -48,7 +48,7 @@ def em_iteration(x: jnp.ndarray, centers: jnp.ndarray, k: int,
     return labels, sums, counts, inertia
 
 
-def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray, k: int,
+def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray,
                          row_w: jnp.ndarray, mesh,
                          interpret: Optional[bool] = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
@@ -80,7 +80,11 @@ def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray, k: int,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    axis = mesh.axis_names[0]
+    # the repo convention names the instance axis "data" (core/mesh.py);
+    # fall back to the first axis only for custom single-purpose meshes —
+    # blindly taking axis_names[0] would psum over the wrong axis on a
+    # ("model", "data")-ordered mesh
+    axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
 
     # check_vma/check_rep off: the pallas_call inside has no replication
     # rule, so the checker cannot see that the psum outputs are replicated

@@ -40,6 +40,8 @@ class NameClassifier:
 
     def __init__(self, encode_image: Callable, weights: np.ndarray,
                  names: Sequence[str], logit_scale: float = 100.0):
+        from functools import partial
+
         import jax
         import jax.numpy as jnp
 
@@ -51,25 +53,45 @@ class NameClassifier:
         self.logit_scale = float(logit_scale)
         self._w = jnp.asarray(np.asarray(weights, np.float32))
 
-        @jax.jit
-        def _cls(w, feats, scale):
-            f = feats / jnp.maximum(
-                jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
-            logits = scale * (f @ w)
-            probs = jax.nn.softmax(logits, axis=-1)
-            k = min(5, w.shape[1])
-            vals, idx = jax.lax.top_k(probs, k)
-            return idx, vals
+        def _head(w, feats, scale, k):
+            f = feats.astype(jnp.float32)
+            f = f / jnp.maximum(
+                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            probs = jax.nn.softmax(scale * (f @ w), axis=-1)
+            return jax.lax.top_k(probs, k)  # (vals, idx)
 
-        self._cls = _cls
+        # Pipeline encoders (build_encoders, make_sharded_image_encoder)
+        # expose .forward/.variables: fuse encode+classify into ONE jitted
+        # program — no feature fetch/re-upload and a single dispatch per
+        # batch (each tunnel dispatch carries a ~33 ms round trip).
+        fwd = getattr(encode_image, "forward", None)
+        self._vars = getattr(encode_image, "variables", None)
+        if fwd is not None and self._vars is not None:
+            @partial(jax.jit, static_argnames=("k",))
+            def _fused(v, w, images, scale, k):
+                return _head(w, fwd(v, images), scale, k)
+
+            self._fused = _fused
+        else:
+            self._fused = None
+
+        self._cls = partial(jax.jit, static_argnames=("k",))(_head)
 
     def classify(self, images: np.ndarray, topk: int = 1):
         """[B, H, W, C] images -> (names [B][topk], probs [B, topk])."""
         import jax.numpy as jnp
 
-        feats = jnp.asarray(np.asarray(self.encode_image(images)))
-        idx, vals = self._cls(self._w, feats, self.logit_scale)
-        idx, vals = np.asarray(idx)[:, :topk], np.asarray(vals)[:, :topk]
+        topk = min(int(topk), len(self.names))
+        if self._fused is not None:
+            vals, idx = self._fused(self._vars, self._w,
+                                    jnp.asarray(np.asarray(images)),
+                                    self.logit_scale, k=topk)
+        else:
+            # generic encoder: accept whatever it returns (device arrays
+            # pass through without a host round trip)
+            feats = jnp.asarray(self.encode_image(images))
+            vals, idx = self._cls(self._w, feats, self.logit_scale, k=topk)
+        idx, vals = np.asarray(idx), np.asarray(vals)
         return [[self.names[j] for j in row] for row in idx], vals
 
 
@@ -105,7 +127,6 @@ def main(argv=None):
                    help="text file, one candidate name per line")
     p.add_argument("--images", type=str, default="",
                    help=".npy [B, H, W, C] batch to classify")
-    p.add_argument("--corpus_dir", type=str, default="")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=128)
     args = p.parse_args(argv)
@@ -132,6 +153,9 @@ def main(argv=None):
         return acc
 
     # real-asset path
+    from scd_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     import torch
 
@@ -161,13 +185,22 @@ def main(argv=None):
         return model.apply(v, device_normalize_clip(x),
                            method=CLIPModel.encode_image)
 
-    clf = NameClassifier(lambda x: _enc(variables, jnp.asarray(x)), zw,
-                         names)
+    enc = lambda x: _enc(variables, jnp.asarray(x))  # noqa: E731
+    enc.forward = lambda v, x: model.apply(
+        v, device_normalize_clip(x), method=CLIPModel.encode_image)
+    enc.variables = variables
+    clf = NameClassifier(enc, zw, names)
     images = np.load(args.images)
-    for s in range(0, len(images), args.batch_size):
-        named, probs = clf.classify(images[s:s + args.batch_size],
-                                    topk=args.topk)
-        for row, pr in zip(named, probs):
+    bsz = args.batch_size
+    for start in range(0, len(images), bsz):
+        batch = images[start:start + bsz]
+        n = len(batch)
+        if n < bsz:  # pad the ragged tail: a fresh shape would cost a
+            # full remote recompile of the ViT program for one batch
+            batch = np.concatenate(
+                [batch, np.zeros((bsz - n,) + batch.shape[1:], batch.dtype)])
+        named, probs = clf.classify(batch, topk=args.topk)
+        for row, pr in zip(named[:n], probs[:n]):
             print(f"{row}\t{np.round(pr, 4).tolist()}")
 
 

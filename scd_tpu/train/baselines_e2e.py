@@ -257,7 +257,8 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
         (lambda epoch: eval_fn(predict, epoch)) if eval_fn else None,
         best_metric, log_fn, ckpt=ckpt,
         get_state=lambda: {"params": state["params"],
-                           "best_head": state["best_head"]})
+                           "best_head": state["best_head"],
+                           "opt_state": opt_state})
     state["best"] = best
     return state, predict, history
 
@@ -367,6 +368,7 @@ def train_autonovel_e2e(key: jax.Array, images,
         epochs, epoch_fn,
         (lambda epoch: eval_fn(predict, epoch)) if eval_fn else None,
         best_metric, log_fn, ckpt=ckpt,
-        get_state=lambda: {"params": state["params"]})
+        get_state=lambda: {"params": state["params"],
+                           "opt_state": opt_state})
     state["best"] = best
     return state, predict, history

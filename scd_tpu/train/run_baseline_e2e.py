@@ -58,8 +58,13 @@ def image_batches(merged, batch_size: int, n_views: int,
 
 
 def _eval_meta(ds):
-    """Labels + labelled-mask for the eval split (small host arrays; the
-    IMAGES are never materialized whole — see ``_predict_indices``)."""
+    """Labels + labelled-mask for the eval split.  MergedDataset exposes
+    both as array properties (target_transform applied) — reading them
+    avoids decoding every image just for its label (hours on an
+    ImageNet-scale split); any other 4-tuple dataset falls back to the
+    item loop."""
+    if hasattr(ds, "targets") and hasattr(ds, "mask_lab"):
+        return np.asarray(ds.targets), np.asarray(ds.mask_lab, bool)
     labels, masks = [], []
     for i in range(len(ds)):
         _x, y, _uq, m = ds[i]
@@ -104,6 +109,8 @@ def main(argv=None):
     p.add_argument("--num_heads", type=int, default=4)
     p.add_argument("--overcluster_factor", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--ckpt_dir", type=str, default="",
+                   help="per-epoch checkpoints + best-by-acc tracking")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -134,6 +141,11 @@ def main(argv=None):
     batches = image_batches(merged, args.batch_size, 2, steps,
                             args.num_workers)
     key = jax.random.PRNGKey(args.seed)
+    ckpt = None
+    if args.ckpt_dir:
+        from scd_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.ckpt_dir, keep=2, best_metric="acc")
 
     def eval_fn(predict, epoch):
         u = ~eval_mask_lab
@@ -152,7 +164,7 @@ def main(argv=None):
             batch_size=args.batch_size, lr=args.lr,
             overcluster_factor=args.overcluster_factor,
             steps_per_epoch=steps, seed=args.seed, eval_fn=eval_fn,
-            log_fn=print)
+            log_fn=print, ckpt=ckpt)
     elif args.method == "autonovel":
         def an_batches(epoch, rng):
             for views, lab, m in batches(epoch, rng):
@@ -162,7 +174,7 @@ def main(argv=None):
             key, an_batches, n_labeled=n_lab, n_unlabeled=n_unlab,
             vit_cfg=vit_cfg, epochs=args.epochs,
             batch_size=args.batch_size, lr=args.lr, seed=args.seed,
-            eval_fn=eval_fn, log_fn=print)
+            eval_fn=eval_fn, log_fn=print, ckpt=ckpt)
     else:
         raise ValueError(f"unknown method {args.method!r}")
 

@@ -362,7 +362,9 @@ def test_voting_loop_herbarium_scale_k(rng):
                    for p, t in zip(res.u_preds, truth)
                    if p < len(res.cand_names)])
     assert hit > 0.85
-    assert wall < 120, f"voting loop too slow at K=683: {wall:.1f}s"
+    # generous bound: catches a quadratic-host-bookkeeping regression
+    # (which would be minutes) without flaking on a loaded CI machine
+    assert wall < 300, f"voting loop too slow at K=683: {wall:.1f}s"
 
 
 def test_assign_name_on_leftover_excludes_voted():
