@@ -202,3 +202,28 @@ def test_mcf_threaded_restarts_match_serial(blobs):
     np.testing.assert_array_equal(serial.labels, threaded.labels)
     assert serial.inertia == threaded.inertia
     np.testing.assert_array_equal(serial.centers, threaded.centers)
+
+
+@pytest.mark.parametrize("seed,n,k,size_min,size_max", [
+    (0, 150, 5, 10, 60),     # loose
+    (1, 200, 4, 50, 50),     # exact balance (every cluster pinned)
+    (2, 96, 8, 0, 15),       # tight upper bound only
+    (3, 300, 3, 90, 110),    # narrow window
+])
+def test_sinkhorn_vs_mcf_property_sweep(seed, n, k, size_min, size_max):
+    """Property sweep across constraint regimes: the entropic+repair
+    assignment must always be feasible and land within a few percent of
+    the exact MCF optimum (the contract that makes the sinkhorn track a
+    safe production default with MCF as fallback)."""
+    rng = np.random.default_rng(seed)
+    cost = rng.random((n, k)).astype(np.float32)
+    res = sinkhorn_constrained_assign(jnp.asarray(cost), k, size_min,
+                                      size_max, iters=400, repair_passes=12)
+    assert bool(res.feasible), (seed, n, k)
+    counts = np.bincount(np.asarray(res.labels), minlength=k)
+    assert counts.min() >= size_min and counts.max() <= size_max
+    sk_cost = cost[np.arange(n), np.asarray(res.labels)].sum()
+    exact = constrained_assign(np.around(cost * 100000).astype(np.int32),
+                               size_min, size_max)
+    mcf_cost = cost[np.arange(n), exact].sum()
+    assert sk_cost <= mcf_cost * 1.15 + 1e-6, (sk_cost, mcf_cost)
