@@ -325,11 +325,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--extract_feat", action="store_true")
     p.add_argument("--run_cluster", action="store_true", default=True)
     p.add_argument("--cache_dir", type=str, default="artifacts")
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-axis size (0 = all visible devices / model)")
+    p.add_argument("--mesh_model", type=int, default=1)
     return p
 
 
 def config_from_args(args, partially_supervised: bool = False) -> PipelineConfig:
+    from scd_tpu.core.config import MeshConfig
+
     return PipelineConfig(
+        mesh=MeshConfig(data=getattr(args, "mesh_data", 0),
+                        model=getattr(args, "mesh_model", 1)),
         data=DataConfig(dataset_name=args.dataset_name, root_dir=args.root_dir,
                         prop_train_labels=args.prop_train_labels,
                         batch_size=args.batch_size,
