@@ -648,6 +648,23 @@ def main():
 
     enable_compilation_cache()
 
+    # Soft deadline: remote compiles have huge variance (90-590 s observed
+    # for one program); if the harness timeboxes this script, dying
+    # mid-stage would lose the JSON line entirely.  Stages check the
+    # elapsed budget and skip rather than start something they might not
+    # finish — the headline metric always prints.
+    t_start = time.perf_counter()
+    deadline_s = float(os.environ.get("SCD_BENCH_DEADLINE_S", 2700))
+
+    def budget_left(stage: str, need_s: float) -> bool:
+        left = deadline_s - (time.perf_counter() - t_start)
+        if left < need_s:
+            print(f"[bench] skipping {stage}: {left:.0f}s of budget left "
+                  f"(needs ~{need_s:.0f}s worst-case compile+run; set "
+                  "SCD_BENCH_DEADLINE_S to raise)", file=sys.stderr)
+            return False
+        return True
+
     peak = device_peak_tflops()
     imgs_per_sec = bench_clip_embed()
     tflops = imgs_per_sec * CLIP_VIT_B16_FLOPS_PER_IMG / 1e12
@@ -678,18 +695,21 @@ def main():
               f"(N=65536,K=100): {ce:.1f} steps/sec "
               f"({1000.0 / ce:.0f} ms/step; the exact host MCF needs "
               "seconds at this shape)", file=sys.stderr)
-        gt = bench_gcd_train()
-        print(f"[bench] gcd train step (ViT-B/16 bf16, fwd+bwd@block11+SGD): "
-              f"{gt:.0f} imgs/sec/chip", file=sys.stderr)
-        ue = bench_uno_e2e_step()
-        print(f"[bench] uno_v2 e2e train step (ViT-B/16 bf16 full-backbone "
-              f"fwd+bwd, 2 views, 4 heads, sinkhorn pseudo-labels): "
-              f"{ue:.0f} imgs/sec/chip", file=sys.stderr)
+        if budget_left("gcd_train", 600):
+            gt = bench_gcd_train()
+            print(f"[bench] gcd train step (ViT-B/16 bf16, "
+                  f"fwd+bwd@block11+SGD): {gt:.0f} imgs/sec/chip",
+                  file=sys.stderr)
+        if budget_left("uno_e2e_step", 900):
+            ue = bench_uno_e2e_step()
+            print(f"[bench] uno_v2 e2e train step (ViT-B/16 bf16 "
+                  f"full-backbone fwd+bwd, 2 views, 4 heads, sinkhorn "
+                  f"pseudo-labels): {ue:.0f} imgs/sec/chip", file=sys.stderr)
     except Exception as e:  # secondary benches must not kill the headline
         print(f"[bench] secondary failed: {e}", file=sys.stderr)
 
     e2e = None
-    if not os.environ.get("SCD_BENCH_SKIP_E2E"):
+    if not os.environ.get("SCD_BENCH_SKIP_E2E") and budget_left("e2e", 600):
         try:
             e2e = bench_e2e()
         except Exception as e:  # e2e must not kill the headline either
