@@ -83,3 +83,34 @@ def test_plot_savers(tmp_path, rng):
                     path=p3)
     for p in (p1, p2, p3):
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_parse_run_log(tmp_path):
+    """Log scraper (reference ``slurm_out_parser.py`` capability over this
+    repo's printout formats): hparams from the Namespace echo, every
+    Accuracies line in order, voting metric blocks, epochs, IoU."""
+    from scd_tpu.utils.logparse import parse_run_log, summarize_runs
+
+    log = tmp_path / "run.log"
+    log.write_text(
+        "Namespace(dataset_name='cub', lr=0.1, n_cluster=100, te=False)\n"
+        "SSKM Accuracies: All 0.977 | Old 0.955 | New 1.0\n"
+        "iter: 1\n"
+        "Accuracies: All 0.98 | Old 0.96 | New 1.0\n"
+        "ACC/sACC_avg/sACC_all: All 98.0/54.0/52.0 \n"
+        "ACC/Soft sACC: All 98.0/77.5\n"
+        "Epoch 0: loss 1.5000 | acc 0.6000\n"
+        "Epoch 1: loss 1.2000 | acc 0.7000\n"
+        "IoU: 0.41\n")
+    p = parse_run_log(str(log))
+    assert p["hparams"]["dataset_name"] == "cub"
+    assert p["hparams"]["lr"] == 0.1 and p["hparams"]["n_cluster"] == 100
+    assert [a["tag"] for a in p["accs"]] == ["SSKM", ""]
+    assert p["accs"][-1]["all"] == 0.98
+    assert p["sacc"][0]["avg"] == 54.0
+    assert p["soft_sacc"][0]["soft"] == 77.5
+    assert p["epochs"][1] == {"epoch": 1, "loss": 1.2, "acc": 0.7}
+    assert p["iou"] == 0.41
+
+    rows = summarize_runs([str(log)])
+    assert rows[0]["all"] == 0.98 and rows[0]["iou"] == 0.41
