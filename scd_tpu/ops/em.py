@@ -73,8 +73,10 @@ def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray,
 
     try:
         from jax import shard_map  # jax >= 0.8
+        _check_off = {"check_vma": False}
     except ImportError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
+        _check_off = {"check_rep": False}
 
     from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
 
@@ -86,13 +88,12 @@ def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray,
     # ("model", "data")-ordered mesh
     axis = "data" if "data" in mesh.axis_names else mesh.axis_names[0]
 
-    # check_vma/check_rep off: the pallas_call inside has no replication
+    # replication checking off: the pallas_call inside has no replication
     # rule, so the checker cannot see that the psum outputs are replicated
     @_partial(shard_map, mesh=mesh,
               in_specs=(P(axis, None), P(None, None), P(axis)),
               out_specs=(P(axis), P(None, None), P(None), P()),
-              **{("check_vma" if hasattr(jax, "shard_map") else "check_rep"):
-                 False})
+              **_check_off)
     def _run(xs, cs, rw):
         lab, sums, counts, inertia = fused_em_step_pallas(
             xs, cs, row_mask=rw, interpret=interpret)

@@ -84,7 +84,7 @@ class NameClassifier:
         topk = min(int(topk), len(self.names))
         if self._fused is not None:
             vals, idx = self._fused(self._vars, self._w,
-                                    jnp.asarray(np.asarray(images)),
+                                    jnp.asarray(images),
                                     self.logit_scale, k=topk)
         else:
             # generic encoder: accept whatever it returns (device arrays
@@ -156,6 +156,7 @@ def main(argv=None):
     from scd_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
 
+    import jax
     import jax.numpy as jnp
     import torch
 
@@ -171,8 +172,6 @@ def main(argv=None):
     zw = (np.load(args.zeroshot_weights)["weights"]
           if args.zeroshot_weights.endswith(".npz")
           else np.load(args.zeroshot_weights))
-
-    import jax
 
     cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
     sd = torch.load(args.clip_weights, map_location="cpu")
