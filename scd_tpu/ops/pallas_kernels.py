@@ -508,7 +508,13 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
     1.000000 label agreement on class-structured data — the M-step matmul
     and VPU work bound the kernel more than the third cross-term pass, so
     the accurate default stays 3; flip per-call when 9% matters and the
-    feature distribution has been parity-checked."""
+    feature distribution has been parity-checked.
+
+    ``block_n``: 1024 is the measured v5e sweet spot AND near the VMEM
+    ceiling (round-3 sweep at D=768: 512 -> 2339 iters/s, 1024 -> 2371,
+    2048 -> Mosaic scoped-VMEM OOM at 22.8 of 16 MB — the [block_n, D]
+    f32 block plus its bf16 splits and the [block_n, Kp] distance
+    temporaries scale linearly in block_n)."""
     n, d_dim = x.shape
     k = c.shape[0]
     x32 = _pad_rows(x.astype(jnp.float32), block_n)
