@@ -12,3 +12,7 @@ from scd_tpu.train.schedulers import (  # noqa: F401
     sigmoid_rampup,
 )
 from scd_tpu.train.checkpoint import CheckpointManager, strip_key_prefix  # noqa: F401
+from scd_tpu.train.baselines_e2e import (  # noqa: F401
+    train_autonovel_e2e,
+    train_uno_e2e,
+)

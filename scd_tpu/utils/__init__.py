@@ -6,3 +6,4 @@ from scd_tpu.utils.experiment import (  # noqa: F401
     init_experiment,
     read_scalars,
 )
+from scd_tpu.utils.logparse import parse_run_log, summarize_runs  # noqa: F401
