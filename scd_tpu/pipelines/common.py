@@ -147,6 +147,54 @@ def extract_features(encode_image: Callable[[np.ndarray], np.ndarray],
     }
 
 
+def extract_features_multi(encoders: Dict[str, Callable], dataset,
+                           train_classes: Sequence[int],
+                           batch_size: int = 256, num_workers: int = 8,
+                           normalize: bool = True
+                           ) -> Dict[str, Dict[str, np.ndarray]]:
+    """ONE pass over the dataset feeding every encoder.
+
+    The reference iterates the dataset twice — once per encoder
+    (``main_unsup.py:297-311``: feature model, then CLIP) — paying image
+    decode + transform + H2D twice.  With real image datasets the host
+    side is the actual bottleneck, so a single shared pass halves the
+    dominant cost; the per-batch device work simply runs both towers
+    back-to-back (independent dispatches pipeline through the async
+    queue).
+
+    Returns ``{encoder_name: extract_features-style dict}``.  When every
+    encoder is a mesh encoder (``make_sharded_image_encoder``), one
+    pad+row-shard staging feeds all of them (identical geometry);
+    otherwise batches stage with a plain device_put.
+    """
+    stage_fns = [getattr(f, "stage", None) for f in encoders.values()]
+    common_stage = stage_fns[0] if all(
+        s is not None for s in stage_fns) else None
+
+    feats: Dict[str, list] = {k: [] for k in encoders}
+    targets, mask_lab, mask_cls = [], [], []
+    train_set = set(int(c) for c in train_classes)
+    for images, labels, _uq, mlab in _prefetched(
+            iterate_batches(dataset, batch_size, num_workers=num_workers),
+            stage_fn=common_stage):
+        for k, enc in encoders.items():
+            f = np.asarray(enc(images), np.float32)
+            if normalize:
+                f = f / np.maximum(
+                    np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            feats[k].append(f)
+        targets.append(labels)
+        mask_lab.append(mlab)
+        mask_cls.append(np.isin(labels, list(train_set)))
+    meta = {
+        "targets": np.concatenate(targets).astype(np.float64),
+        "mask_lab": np.concatenate(mask_lab),
+        "mask_cls": np.concatenate(mask_cls),
+    }
+    return {k: {"all_feats": np.concatenate(v), **meta}
+            for k, v in feats.items()}
+
+
 def _pipeline_mesh(cfg: PipelineConfig):
     """A data mesh when >1 device is visible (KM/SSKM shard the instance
     axis; single-device runs skip the sharding machinery)."""

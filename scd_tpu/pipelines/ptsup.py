@@ -30,6 +30,7 @@ from scd_tpu.ops.topk import classify_topk
 from scd_tpu.pipelines.common import (
     cluster_cache_key,
     extract_features,
+    extract_features_multi,
     feature_cache_key,
     print_acc_block,
     run_clustering,
@@ -168,16 +169,26 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     feat_encode, clip_encode, encode_text = build_encoders(cfg, extras,
                                                            mesh=mesh)
 
+    # single shared dataset pass for both encoders (see unsup.py)
+    _extracted = {}
+
+    def _extract_all():
+        if not _extracted:
+            encoders = {"feat": feat_encode}
+            if clip_encode is not feat_encode:
+                encoders["clip"] = clip_encode
+            _extracted.update(extract_features_multi(
+                encoders, train_merged, train_classes,
+                cfg.data.batch_size, cfg.data.num_workers))
+            _extracted.setdefault("clip", _extracted["feat"])
+        return _extracted
+
     feats = cache.load_or_compute(
         "features", feature_cache_key(cfg, "feat"),
-        lambda: extract_features(feat_encode, train_merged, train_classes,
-                                 cfg.data.batch_size, cfg.data.num_workers),
-        refresh=cfg.extract_feat)
+        lambda: _extract_all()["feat"], refresh=cfg.extract_feat)
     clip_feats = cache.load_or_compute(
         "features", feature_cache_key(cfg, "clip"),
-        lambda: extract_features(clip_encode, train_merged, train_classes,
-                                 cfg.data.batch_size, cfg.data.num_workers),
-        refresh=cfg.extract_feat)
+        lambda: _extract_all()["clip"], refresh=cfg.extract_feat)
 
     cluster_result = cache.load_or_compute(
         "cluster", cluster_cache_key(cfg),

@@ -35,6 +35,7 @@ from scd_tpu.naming.zeroshot import build_zeroshot_weights
 from scd_tpu.pipelines.common import (
     cluster_cache_key,
     extract_features,
+    extract_features_multi,
     feature_cache_key,
     print_acc_block,
     run_clustering,
@@ -216,16 +217,29 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
     feat_encode, clip_encode, encode_text = build_encoders(cfg, extras,
                                                            mesh=mesh)
 
+    # One dataset pass feeds BOTH encoders (the reference iterates twice,
+    # main_unsup.py:297-311 — decode/transform/H2D paid twice); each
+    # feature set still caches under its own key, so a run that has one
+    # cached set only recomputes on the other's miss.
+    _extracted: Dict[str, Dict] = {}
+
+    def _extract_all() -> Dict[str, Dict]:
+        if not _extracted:
+            encoders = {"feat": feat_encode}
+            if clip_encode is not feat_encode:
+                encoders["clip"] = clip_encode
+            _extracted.update(extract_features_multi(
+                encoders, train_merged, train_classes,
+                cfg.data.batch_size, cfg.data.num_workers))
+            _extracted.setdefault("clip", _extracted["feat"])
+        return _extracted
+
     feats = cache.load_or_compute(
         "features", feature_cache_key(cfg, "feat"),
-        lambda: extract_features(feat_encode, train_merged, train_classes,
-                                 cfg.data.batch_size, cfg.data.num_workers),
-        refresh=cfg.extract_feat)
+        lambda: _extract_all()["feat"], refresh=cfg.extract_feat)
     clip_feats = cache.load_or_compute(
         "features", feature_cache_key(cfg, "clip"),
-        lambda: extract_features(clip_encode, train_merged, train_classes,
-                                 cfg.data.batch_size, cfg.data.num_workers),
-        refresh=cfg.extract_feat)
+        lambda: _extract_all()["clip"], refresh=cfg.extract_feat)
 
     cluster_result = cache.load_or_compute(
         "cluster", cluster_cache_key(cfg),

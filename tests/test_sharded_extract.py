@@ -89,3 +89,41 @@ def test_extract_features_sharded_matches_single(mesh):
                                rtol=1e-5, atol=1e-5)
     for k in ("targets", "mask_lab", "mask_cls"):
         np.testing.assert_array_equal(sharded[k], single[k])
+
+
+def test_extract_features_multi_matches_separate_passes(mesh):
+    """One shared dataset pass feeding both encoders must reproduce the
+    two-pass per-encoder extraction exactly (the reference pays decode +
+    transform + H2D twice, main_unsup.py:297-311)."""
+    from scd_tpu.core.config import DataConfig
+    from scd_tpu.data import get_class_splits, get_datasets
+    from scd_tpu.models.synthetic import SyntheticCLIP
+    from scd_tpu.pipelines.common import extract_features_multi
+
+    dcfg = DataConfig(dataset_name="synthetic", prop_train_labels=0.5)
+    train_classes, _ = get_class_splits(dcfg)
+    train_merged, _t, _u, extras = get_datasets(dcfg)
+    clip = SyntheticCLIP(extras["class_colors"])
+
+    # heterogeneous pair: one sharded encoder + one plain closure
+    sharded = make_sharded_image_encoder(
+        lambda vv, x: clip._encode_with(vv[0], vv[1], x),
+        (clip.w1, clip.w2), mesh)
+
+    multi = extract_features_multi(
+        {"feat": clip.encode_image, "clip": clip.encode_image},
+        train_merged, train_classes, batch_size=64, num_workers=1)
+    single = extract_features(clip.encode_image, train_merged, train_classes,
+                              batch_size=64, num_workers=1)
+    for k in ("feat", "clip"):
+        np.testing.assert_allclose(multi[k]["all_feats"],
+                                   single["all_feats"], rtol=0, atol=1e-6)
+        for m in ("targets", "mask_lab", "mask_cls"):
+            np.testing.assert_array_equal(multi[k][m], single[m])
+
+    # all-sharded pair shares ONE staging and still matches
+    multi_sh = extract_features_multi(
+        {"a": sharded, "b": sharded}, train_merged, train_classes,
+        batch_size=64, num_workers=1)
+    np.testing.assert_allclose(multi_sh["a"]["all_feats"],
+                               single["all_feats"], rtol=1e-5, atol=1e-5)
