@@ -82,6 +82,36 @@ def _encode_reduce_fn(forward, b: int, t: int, row_sharding):
     return encode_reduce
 
 
+@lru_cache(maxsize=32)
+def _encode_fn(forward, b: int, t: int, row_sharding):
+    """Encode-only jit (no reduce): [b*t, L] tokens -> [b, t, D] raw
+    embeddings.  Used by the template-length-grouped build, where each
+    group encodes at its own (tighter) seq bucket and the ensemble reduce
+    runs once over the concatenated groups."""
+    jit_kwargs = {} if row_sharding is None else {"out_shardings": row_sharding}
+
+    @partial(jax.jit, **jit_kwargs)
+    def encode(v, tokens):
+        emb = forward(v, tokens)  # [b*t, D]
+        return emb.reshape(b, t, -1)
+
+    return encode
+
+
+@lru_cache(maxsize=8)
+def _group_reduce_fn(n_groups: int, row_sharding):
+    """Concatenate per-group [b, Tg, D] embeddings along the template axis
+    and ensemble-reduce (the mean over templates is permutation-invariant,
+    so group order never matters)."""
+    jit_kwargs = {} if row_sharding is None else {"out_shardings": row_sharding}
+
+    @partial(jax.jit, **jit_kwargs)
+    def reduce(parts):
+        return _ensemble_reduce.__wrapped__(jnp.concatenate(parts, axis=1))
+
+    return reduce
+
+
 @jax.jit
 def _ensemble_reduce(emb: jnp.ndarray) -> jnp.ndarray:
     """[B, T, D] raw text embeddings -> [B, D] prompt-ensembled weights."""
@@ -181,24 +211,49 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
         order = np.argsort(name_tok.argmax(axis=1), kind="stable")
         classnames = [classnames[i] for i in order]
 
+    # Template-length grouping: the per-batch seq bucket is set by the
+    # LONGEST (template + name) prompt, so one long template pins every
+    # batch to a bigger bucket.  Encoding length-sorted template groups
+    # separately lets the short majority run at the tight bucket
+    # (throughput is near-linear in seq — see TEXT_SEQ_BUCKETS); the
+    # ensemble mean is permutation-invariant over templates, so the
+    # grouped reduce is exactly the ungrouped one.
+    groups = [list(range(t))]
+    if hasattr(tokenize, "prompt_tokens") and t >= 8 and len(
+            classnames) > 4 * b:
+        tmpl_len = tokenize.prompt_tokens(templates, [""]).argmax(axis=1)
+        t_order = np.argsort(tmpl_len, kind="stable")
+        groups = [g.tolist() for g in np.array_split(t_order, 3)
+                  if len(g)]
+
     cols, valids = [], []
     for i, start in enumerate(range(0, len(classnames), b)):
         batch = list(classnames[start:start + b])
         valid = len(batch)
         batch += [batch[-1]] * (b - valid)  # pad with a repeat, drop below
-        if hasattr(tokenize, "prompt_tokens"):
-            # compositional fast path (CLIPTokenizer): each template piece
-            # and each name BPE-encoded once instead of per pair — host
-            # tokenization otherwise bounds the pipelined build
-            tokens = truncate_to_eot_bucket(
-                tokenize.prompt_tokens(templates, batch))
+        if len(groups) > 1:
+            parts = []
+            for g in groups:
+                tmpl_g = [templates[j] for j in g]
+                toks = truncate_to_eot_bucket(
+                    tokenize.prompt_tokens(tmpl_g, batch))
+                toks = put_tokens(jnp.asarray(toks))
+                parts.append(_encode_fn(forward, b, len(g), row)(
+                    variables, toks))
+            cols.append(_group_reduce_fn(len(groups), row)(parts))
         else:
-            texts = [tmpl.format(name) for name in batch
-                     for tmpl in templates]
-            tokens = truncate_to_eot_bucket(
-                np.asarray(tokenize(texts), np.int32))  # [b*T, <=L]
-        tokens = put_tokens(jnp.asarray(tokens))
-        cols.append(encode_reduce(variables, tokens))
+            if hasattr(tokenize, "prompt_tokens"):
+                # compositional fast path (CLIPTokenizer): each template
+                # piece and each name BPE-encoded once instead of per pair
+                tokens = truncate_to_eot_bucket(
+                    tokenize.prompt_tokens(templates, batch))
+            else:
+                texts = [tmpl.format(name) for name in batch
+                         for tmpl in templates]
+                tokens = truncate_to_eot_bucket(
+                    np.asarray(tokenize(texts), np.int32))  # [b*T, <=L]
+            tokens = put_tokens(jnp.asarray(tokens))
+            cols.append(encode_reduce(variables, tokens))
         valids.append(valid)
         if i >= 32:
             jax.block_until_ready(cols[i - 32])  # backpressure

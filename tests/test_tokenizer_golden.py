@@ -151,3 +151,39 @@ def test_prompt_tokens_matches_full_tokenization(tiny_tokenizer):
              context_length=12)
     fast = t.prompt_tokens(templates, names, context_length=12)
     np.testing.assert_array_equal(fast, full)
+
+
+def test_grouped_vocab_build_matches_ungrouped(tiny_tokenizer):
+    """Template-length grouping (short templates encode at tighter seq
+    buckets) must produce exactly the ungrouped weights — the ensemble
+    mean is permutation-invariant over templates."""
+    import jax.numpy as jnp
+
+    from scd_tpu.naming.zeroshot import build_zeroshot_weights_sharded
+
+    t = tiny_tokenizer
+    rng = np.random.default_rng(0)
+    names = ["".join(rng.choice(list("catdog "), size=rng.integers(2, 9))).strip() or "cat"
+             for _ in range(40)]
+    templates = (["a {}."] * 3 + ["the big {}"] * 3
+                 + ["one very long template about a {} indeed"] * 2)
+    table = jnp.asarray(rng.standard_normal((600, 12)), jnp.float32)
+
+    def fwd(v, toks):
+        # length-invariant like the real tower (which gathers at EOT):
+        # pads (id 0) contribute nothing, so the per-group seq bucket
+        # cannot change the embedding
+        ids = jnp.clip(toks, 0, 599)
+        emb = jnp.take(v["t"], ids, axis=0)
+        return jnp.where((toks != 0)[..., None], emb, 0.0).sum(axis=1)
+
+    v = {"t": table}
+    grouped = build_zeroshot_weights_sharded(fwd, v, t, names, templates,
+                                             names_per_batch=8)
+
+    class NoGroup:  # plain callable: no prompt_tokens -> single group
+        def __call__(self, texts):
+            return t(texts)
+    plain = build_zeroshot_weights_sharded(fwd, v, NoGroup(), names,
+                                           templates, names_per_batch=8)
+    np.testing.assert_allclose(grouped, plain, atol=1e-5)
