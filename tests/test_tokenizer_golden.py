@@ -178,8 +178,23 @@ def test_grouped_vocab_build_matches_ungrouped(tiny_tokenizer):
         return jnp.where((toks != 0)[..., None], emb, 0.0).sum(axis=1)
 
     v = {"t": table}
-    grouped = build_zeroshot_weights_sharded(fwd, v, t, names, templates,
-                                             names_per_batch=8)
+    from scd_tpu.naming import zeroshot as zs
+    calls = []
+    orig = zs._group_reduce_fn
+
+    def counting(n_groups, row):
+        calls.append(n_groups)
+        return orig(n_groups, row)
+
+    zs._group_reduce_fn = counting
+    try:
+        grouped = build_zeroshot_weights_sharded(
+            fwd, v, t, names, templates, names_per_batch=8)
+    finally:
+        zs._group_reduce_fn = orig
+    # the adaptive gate must have taken the split path (the long template
+    # straddles a bucket) — otherwise this parity test is vacuous
+    assert calls, "grouped path never triggered"
 
     class NoGroup:  # plain callable: no prompt_tokens -> single group
         def __call__(self, texts):
