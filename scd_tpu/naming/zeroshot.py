@@ -187,6 +187,12 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
     build (weights are replicated, and each name's 80-template block stays
     on one shard).  With ``mesh=None`` the same pipelined loop runs
     unsharded on the default device.
+
+    Note: the ``template_groups`` split path reorders the templates inside
+    the ensemble mean (length-sorted group concatenation), so grouped
+    output differs from ``template_groups=1`` at float-reassociation
+    level (~1e-7) — mesh vs no-mesh stays bitwise equal either way, but
+    don't ``assert_array_equal`` grouped output against ungrouped goldens.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

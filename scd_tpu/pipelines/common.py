@@ -98,6 +98,20 @@ def make_sharded_image_encoder(forward: Callable, variables, mesh):
     fwd = jax.jit(forward, in_shardings=(repl, rows), out_shardings=rows)
 
     def stage(images):
+        if isinstance(images, jax.Array):
+            # already device-resident (e.g. a mixed sharded+plain encoder
+            # set whose shared pass staged with a plain device_put):
+            # pad + reshard ON DEVICE — never np.asarray a device array
+            # just to re-upload it (CLAUDE.md rule 3: the tunneled host
+            # link is ~50 MB/s, a per-batch D2H+H2D would dominate)
+            import jax.numpy as jnp
+
+            n = images.shape[0]
+            target = -(-n // n_shards) * n_shards
+            if target != n:
+                pad = [(0, target - n)] + [(0, 0)] * (images.ndim - 1)
+                images = jnp.pad(images, pad)
+            return jax.device_put(images, rows), n
         images = np.asarray(images)
         n = images.shape[0]
         target = -(-n // n_shards) * n_shards
@@ -193,6 +207,39 @@ def extract_features_multi(encoders: Dict[str, Callable], dataset,
     }
     return {k: {"all_feats": np.concatenate(v), **meta}
             for k, v in feats.items()}
+
+
+def make_shared_extractor(feat_encode, clip_encode, dataset,
+                          train_classes: Sequence[int], batch_size: int,
+                          num_workers: int,
+                          needed: Sequence[str] = ("feat", "clip")):
+    """Memoized single-pass extraction for the pipelines' feat+CLIP
+    encoder pair (the reference iterates the dataset once per encoder,
+    ``main_unsup.py:297-311``, paying decode/transform/H2D twice).
+
+    ``needed``: the feature sets whose cache lookups MISSED.  Only those
+    towers run — a run with one set already cached doesn't pay the other
+    tower's full encoder pass — and when both are needed they share one
+    dataset pass.  Returns ``extract(key) -> extract_features-style
+    dict``, memoized so the two cache-miss lambdas trigger at most one
+    pass.
+    """
+    memo: Dict[str, Dict] = {}
+    by_key = {"feat": feat_encode, "clip": clip_encode}
+
+    def extract(key: str) -> Dict[str, np.ndarray]:
+        if key not in memo:
+            want = set(needed) | {key}
+            encoders = {k: by_key[k] for k in sorted(want)}
+            if encoders.get("clip") is encoders.get("feat"):
+                encoders.pop("clip")  # same tower: run once, alias below
+            memo.update(extract_features_multi(
+                encoders, dataset, train_classes, batch_size, num_workers))
+            if "clip" in want and "clip" not in memo:
+                memo["clip"] = memo["feat"]
+        return memo[key]
+
+    return extract
 
 
 def _pipeline_mesh(cfg: PipelineConfig):

@@ -32,6 +32,7 @@ from scd_tpu.pipelines.common import (
     extract_features,
     extract_features_multi,
     feature_cache_key,
+    make_shared_extractor,
     print_acc_block,
     run_clustering,
     stage_cache,
@@ -169,26 +170,22 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     feat_encode, clip_encode, encode_text = build_encoders(cfg, extras,
                                                            mesh=mesh)
 
-    # single shared dataset pass for both encoders (see unsup.py)
-    _extracted = {}
-
-    def _extract_all():
-        if not _extracted:
-            encoders = {"feat": feat_encode}
-            if clip_encode is not feat_encode:
-                encoders["clip"] = clip_encode
-            _extracted.update(extract_features_multi(
-                encoders, train_merged, train_classes,
-                cfg.data.batch_size, cfg.data.num_workers))
-            _extracted.setdefault("clip", _extracted["feat"])
-        return _extracted
+    # single shared dataset pass for both encoders, cache-miss-aware
+    # (see unsup.py / pipelines.common.make_shared_extractor)
+    feat_key = feature_cache_key(cfg, "feat")
+    clip_key = feature_cache_key(cfg, "clip")
+    needed = tuple(k for k, ck in (("feat", feat_key), ("clip", clip_key))
+                   if cfg.extract_feat or not cache.has("features", ck))
+    extract = make_shared_extractor(
+        feat_encode, clip_encode, train_merged, train_classes,
+        cfg.data.batch_size, cfg.data.num_workers, needed=needed)
 
     feats = cache.load_or_compute(
-        "features", feature_cache_key(cfg, "feat"),
-        lambda: _extract_all()["feat"], refresh=cfg.extract_feat)
+        "features", feat_key,
+        lambda: extract("feat"), refresh=cfg.extract_feat)
     clip_feats = cache.load_or_compute(
-        "features", feature_cache_key(cfg, "clip"),
-        lambda: _extract_all()["clip"], refresh=cfg.extract_feat)
+        "features", clip_key,
+        lambda: extract("clip"), refresh=cfg.extract_feat)
 
     cluster_result = cache.load_or_compute(
         "cluster", cluster_cache_key(cfg),

@@ -37,6 +37,7 @@ from scd_tpu.pipelines.common import (
     extract_features,
     extract_features_multi,
     feature_cache_key,
+    make_shared_extractor,
     print_acc_block,
     run_clustering,
     stage_cache,
@@ -219,27 +220,22 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
 
     # One dataset pass feeds BOTH encoders (the reference iterates twice,
     # main_unsup.py:297-311 — decode/transform/H2D paid twice); each
-    # feature set still caches under its own key, so a run that has one
-    # cached set only recomputes on the other's miss.
-    _extracted: Dict[str, Dict] = {}
-
-    def _extract_all() -> Dict[str, Dict]:
-        if not _extracted:
-            encoders = {"feat": feat_encode}
-            if clip_encode is not feat_encode:
-                encoders["clip"] = clip_encode
-            _extracted.update(extract_features_multi(
-                encoders, train_merged, train_classes,
-                cfg.data.batch_size, cfg.data.num_workers))
-            _extracted.setdefault("clip", _extracted["feat"])
-        return _extracted
+    # feature set still caches under its own key, and only the keys whose
+    # cache lookups will miss get their tower run.
+    feat_key = feature_cache_key(cfg, "feat")
+    clip_key = feature_cache_key(cfg, "clip")
+    needed = tuple(k for k, ck in (("feat", feat_key), ("clip", clip_key))
+                   if cfg.extract_feat or not cache.has("features", ck))
+    extract = make_shared_extractor(
+        feat_encode, clip_encode, train_merged, train_classes,
+        cfg.data.batch_size, cfg.data.num_workers, needed=needed)
 
     feats = cache.load_or_compute(
-        "features", feature_cache_key(cfg, "feat"),
-        lambda: _extract_all()["feat"], refresh=cfg.extract_feat)
+        "features", feat_key,
+        lambda: extract("feat"), refresh=cfg.extract_feat)
     clip_feats = cache.load_or_compute(
-        "features", feature_cache_key(cfg, "clip"),
-        lambda: _extract_all()["clip"], refresh=cfg.extract_feat)
+        "features", clip_key,
+        lambda: extract("clip"), refresh=cfg.extract_feat)
 
     cluster_result = cache.load_or_compute(
         "cluster", cluster_cache_key(cfg),

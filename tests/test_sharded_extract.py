@@ -111,7 +111,7 @@ def test_extract_features_multi_matches_separate_passes(mesh):
         (clip.w1, clip.w2), mesh)
 
     multi = extract_features_multi(
-        {"feat": clip.encode_image, "clip": clip.encode_image},
+        {"feat": sharded, "clip": clip.encode_image},
         train_merged, train_classes, batch_size=64, num_workers=1)
     single = extract_features(clip.encode_image, train_merged, train_classes,
                               batch_size=64, num_workers=1)
@@ -127,3 +127,55 @@ def test_extract_features_multi_matches_separate_passes(mesh):
         batch_size=64, num_workers=1)
     np.testing.assert_allclose(multi_sh["a"]["all_feats"],
                                single["all_feats"], rtol=1e-5, atol=1e-5)
+
+
+def test_shared_extractor_runs_only_missing_towers():
+    """Partial-cache state: when only one feature set's cache missed, the
+    other tower must NOT run (a full wasted ViT pass otherwise —
+    ``make_shared_extractor(needed=...)``); when both missed, one shared
+    dataset pass feeds both."""
+    from scd_tpu.core.config import DataConfig
+    from scd_tpu.data import get_class_splits, get_datasets
+    from scd_tpu.models.synthetic import SyntheticCLIP
+    from scd_tpu.pipelines.common import make_shared_extractor
+
+    dcfg = DataConfig(dataset_name="synthetic", prop_train_labels=0.5)
+    train_classes, _ = get_class_splits(dcfg)
+    train_merged, _t, _u, extras = get_datasets(dcfg)
+    clip = SyntheticCLIP(extras["class_colors"])
+
+    def counting(name, calls):
+        def enc(images):
+            calls.append(name)
+            return clip.encode_image(images)
+        return enc
+
+    # only "clip" missed: feat tower must not run
+    calls = []
+    ext = make_shared_extractor(
+        counting("feat", calls), counting("clip", calls), train_merged,
+        train_classes, batch_size=64, num_workers=1, needed=("clip",))
+    out = ext("clip")
+    assert set(calls) == {"clip"}
+    assert "all_feats" in out
+
+    # both missed: one pass runs both towers, memoized across calls
+    calls2 = []
+    ext2 = make_shared_extractor(
+        counting("feat", calls2), counting("clip", calls2), train_merged,
+        train_classes, batch_size=64, num_workers=1,
+        needed=("feat", "clip"))
+    a, b = ext2("feat"), ext2("clip")
+    n_batches = calls2.count("feat")
+    assert calls2.count("clip") == n_batches > 0
+    np.testing.assert_array_equal(a["targets"], b["targets"])
+
+    # identical towers: encoder runs once per batch, result aliased
+    calls3 = []
+    shared_enc = counting("both", calls3)
+    ext3 = make_shared_extractor(
+        shared_enc, shared_enc, train_merged, train_classes,
+        batch_size=64, num_workers=1, needed=("feat", "clip"))
+    f, c = ext3("feat"), ext3("clip")
+    assert calls3.count("both") == n_batches
+    np.testing.assert_array_equal(f["all_feats"], c["all_feats"])
