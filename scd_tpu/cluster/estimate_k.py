@@ -103,7 +103,12 @@ def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
     import jax.numpy as jnp
 
     if fused is None:
-        fused = jax.default_backend() == "tpu"
+        from scd_tpu.ops.pallas_kernels import fused_em_block_n
+
+        # the kernel pads to max_k lanes regardless of k_active, so the
+        # VMEM ceiling is governed by max_k (see fused_em_block_n)
+        fused = (jax.default_backend() == "tpu"
+                 and fused_em_block_n(x.shape[1], max_k) is not None)
     labels, inertia = _dynk_run(key, jnp.asarray(np.asarray(x, np.float32)),
                                 jnp.asarray(int(k_active)), max_k,
                                 max_iterations, n_init, fused=fused)

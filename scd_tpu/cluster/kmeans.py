@@ -158,15 +158,22 @@ def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
     return labels[best], inertias[best], centers[best], iters[best]
 
 
-def _use_fused(mesh) -> bool:
+def _use_fused(mesh, d: int = None, k: int = None) -> bool:
     """Fused Pallas E+M on any TPU path: single-device runs call the
     kernel directly; mesh runs wrap it in shard_map + psum
-    (``em_iteration_sharded``).  On CPU the interpret-mode kernel is
-    slower than XLA, so only tests force it (SCD_FUSED_MESH=1 exercises
-    the shard_map path on the virtual mesh)."""
+    (``em_iteration_sharded``).  With (d, k) given, huge K*D problems
+    that cannot fit the kernel's scoped-VMEM budget at any row block
+    (``fused_em_block_n`` -> None) fall back to the freely-tiling XLA
+    ops instead of failing to compile.  On CPU the interpret-mode kernel
+    is slower than XLA, so only tests force it (SCD_FUSED_MESH=1
+    exercises the shard_map path on the virtual mesh)."""
     import os
 
     if jax.default_backend() == "tpu":
+        if d is not None and k is not None:
+            from scd_tpu.ops.pallas_kernels import fused_em_block_n
+
+            return fused_em_block_n(d, k) is not None
         return True
     return mesh is not None and bool(os.environ.get("SCD_FUSED_MESH"))
 
@@ -205,7 +212,8 @@ def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
         n_valid = jnp.asarray(x_j.shape[0])
     labels, inertia, centers, n_iter = _fit_kmeans_device(
         key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
-        cfg.tolerance, cfg.n_init, fused=_use_fused(mesh), mesh=mesh)
+        cfg.tolerance, cfg.n_init,
+        fused=_use_fused(mesh, x_j.shape[1], cfg.n_clusters), mesh=mesh)
     return KMeansResult(np.asarray(labels)[:int(n_valid)], np.asarray(centers),
                         float(inertia), int(n_iter))
 
@@ -270,7 +278,7 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         key, u, l, jnp.asarray(l_mapped.astype(np.int32)),
         n_valid, cfg.n_clusters, n_l_classes,
         cfg.max_iterations, cfg.tolerance, cfg.n_init,
-        fused=_use_fused(mesh), mesh=mesh)
+        fused=_use_fused(mesh, u.shape[1], cfg.n_clusters), mesh=mesh)
 
     all_labels = np.concatenate([l_mapped.astype(np.int32),
                                  np.asarray(u_labels)[:n_u]])
@@ -310,6 +318,7 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
         n_valid = jnp.asarray(n)
     labels, inertia, centers, n_iter = _fit_from_labels_device(
         x_j, lab_j, n_valid, cfg.n_clusters, cfg.max_iterations,
-        cfg.tolerance, fused=_use_fused(mesh), mesh=mesh)
+        cfg.tolerance,
+        fused=_use_fused(mesh, x_j.shape[1], cfg.n_clusters), mesh=mesh)
     return KMeansResult(np.asarray(labels)[:n], np.asarray(centers),
                         float(inertia), int(n_iter))

@@ -31,7 +31,13 @@ def em_iteration(x: jnp.ndarray, centers: jnp.ndarray, k: int,
     pass ``fused=False``: a pallas_call is opaque to GSPMD.
     """
     if fused is None:
-        fused = jax.default_backend() == "tpu"
+        from scd_tpu.ops.pallas_kernels import fused_em_block_n
+
+        # the kernel has a VMEM ceiling in K*D (measured, see
+        # fused_em_block_n) — beyond it the freely-tiling XLA path wins
+        # by actually compiling
+        fused = (jax.default_backend() == "tpu"
+                 and fused_em_block_n(x.shape[1], k) is not None)
     if fused:
         from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
 

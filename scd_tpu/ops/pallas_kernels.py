@@ -414,6 +414,33 @@ def qkv_attention_pallas(qkv: jnp.ndarray, heads: int, scale: float,
 
 # ------------------------------------------------- fused E+M k-means step
 
+_EM_VMEM_BUDGET = 14_500_000  # bytes; see fused_em_block_n
+
+
+def fused_em_block_n(d: int, k: int):
+    """Largest safe row-block for ``fused_em_step_pallas`` at (D, K).
+
+    The kernel's scoped-VMEM footprint grows with ``block_n*(d + kp)``
+    (the x block + its bf16 splits, the [block_n, kp] distance/one-hot
+    temporaries) plus a fixed ``kp*d`` term (centers + splits + the sums
+    output block).  Budget fitted to the measured v5e OK/OOM boundary —
+    OOM'd on hardware: (block_n=1024, kp=768) at 16.63 of 16 MB scoped
+    VMEM, (512, 1536), (2048, 128) at 22.8 MB; OK: (1024, 128),
+    (512, 768), (256, 1536) — all six respected by
+    ``8*block_n*(d+kp) + 8*kp*d <= 14.5 MB``.
+
+    Returns None when even block_n=128 busts the budget (huge K*D — the
+    fixed centers term alone): callers fall back to the XLA two-pass
+    path, which tiles freely.
+    """
+    kp = -(-max(k, 1) // 128) * 128
+    fixed = 8 * kp * d
+    for bn in (1024, 512, 256, 128):
+        if fixed + 8 * bn * (d + kp) <= _EM_VMEM_BUDGET:
+            return bn
+    return None
+
+
 def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
                      lab_ref, sums_ref, stats_ref, *, estep_passes: int = 3):
     """One row-block of a full k-means EM iteration: nearest-centroid
@@ -489,7 +516,7 @@ def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
                                              "estep_passes"))
 def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
                          row_mask: jnp.ndarray = None,
-                         block_n: int = 1024, interpret: bool = False,
+                         block_n: int = None, interpret: bool = False,
                          estep_passes: int = 3
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                     jnp.ndarray]:
@@ -510,13 +537,23 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
     the accurate default stays 3; flip per-call when 9% matters and the
     feature distribution has been parity-checked.
 
-    ``block_n``: 1024 is the measured v5e sweet spot AND near the VMEM
-    ceiling (round-3 sweep at D=768: 512 -> 2339 iters/s, 1024 -> 2371,
-    2048 -> Mosaic scoped-VMEM OOM at 22.8 of 16 MB — the [block_n, D]
-    f32 block plus its bf16 splits and the [block_n, Kp] distance
-    temporaries scale linearly in block_n)."""
+    ``block_n``: None (default) picks the largest VMEM-safe block via
+    ``fused_em_block_n`` — at D=768 that is 1024 up to K=512 (the
+    measured v5e sweet spot: 512 -> 2339 iters/s, 1024 -> 2371), 512 at
+    Herbarium-scale K<=1024, 256 beyond (the [block_n, D] f32 block, its
+    bf16 splits, and the [block_n, Kp] distance temporaries all scale in
+    block_n; K=683 at block_n=1024 OOMs scoped VMEM on hardware).
+    Raises when no block fits — prefer the XLA path there (callers that
+    auto-select via ``ops.em`` already do)."""
     n, d_dim = x.shape
     k = c.shape[0]
+    if block_n is None:
+        block_n = fused_em_block_n(d_dim, k)
+        if block_n is None:
+            raise ValueError(
+                f"fused EM kernel cannot fit D={d_dim}, K={k} in scoped "
+                "VMEM at any block size; use the XLA path (ops.em with "
+                "fused=False)")
     x32 = _pad_rows(x.astype(jnp.float32), block_n)
     npad = x32.shape[0]
     nb = npad // block_n

@@ -213,3 +213,43 @@ def test_fused_em_step_two_pass_label_parity():
     lab_ref, _ = estep_assign(jnp.asarray(x), c)
     agree = (np.asarray(lab2) == np.asarray(lab_ref)).mean()
     assert agree >= 0.999, agree
+
+
+def test_fused_em_step_multi_lane_block_k():
+    """K > 128 pads to multiple 128-lane blocks (Kp=256 here) — the
+    padded-center masking and stats slab must stay exact across lane
+    blocks."""
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+    from scd_tpu.ops.segment import segment_sums
+
+    rng = np.random.default_rng(7)
+    k, d = 200, 64
+    centers = rng.standard_normal((k, d)) * 4.0
+    assign = rng.integers(0, k, 3000)
+    x = jnp.asarray(centers[assign] + 0.3 * rng.standard_normal((3000, d)),
+                    jnp.float32)
+    c = jnp.asarray(centers, jnp.float32)
+    lab, sums, cnt, ine = fused_em_step_pallas(x, c, block_n=512,
+                                               interpret=True)
+    lab_ref, mind = estep_assign(x, c)
+    s_ref, c_ref = segment_sums(x, lab_ref, k)
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(lab_ref))
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(c_ref))
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(s_ref),
+                               atol=1e-3)
+    # bf16x3 distance accumulation: ~1e-5 relative on the summed inertia
+    np.testing.assert_allclose(float(ine), float(mind.sum()), rtol=1e-4)
+
+
+def test_fused_em_block_n_vmem_model():
+    """The adaptive block chooser must reproduce the measured v5e OK/OOM
+    boundary (see fused_em_block_n docstring) and fall back to None when
+    the fixed centers term alone busts the budget."""
+    from scd_tpu.ops.pallas_kernels import fused_em_block_n
+
+    assert fused_em_block_n(768, 100) == 1024   # bench shape, unchanged
+    assert fused_em_block_n(768, 683) == 512    # Herbarium (1024 OOM'd)
+    assert fused_em_block_n(768, 1500) == 256   # (512 OOM'd)
+    assert fused_em_block_n(48, 10) == 1024     # tiny test shapes
+    assert fused_em_block_n(768, 20000) is None  # XLA fallback regime

@@ -87,3 +87,40 @@ def test_fused_em_step_on_chip_matches_xla():
                                rtol=1e-3, atol=2e-2)
     np.testing.assert_allclose(float(inertia), float(min_x.sum()),
                                rtol=1e-3)
+
+
+def test_fused_em_large_k_in_scan_compiles_on_chip():
+    """Herbarium-scale K (683 -> 768 lanes) inside a Lloyd scan: the
+    adaptive block_n must stay under the scoped-VMEM ceiling — the fixed
+    block_n=1024 default OOM'd Mosaic at 16.63 of 16 MB ONLY on hardware
+    and only inside the scan (round-3 probe; interpret-mode CPU tests
+    cannot see it)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_block_n, fused_em_step_pallas
+
+    n, d, k = 16384, 768, 683
+    assert fused_em_block_n(d, k) == 512
+    key = jax.random.PRNGKey(2)
+    kc, ka, kn = jax.random.split(key, 3)
+    centers = jax.random.normal(kc, (k, d)) * 3.0
+    assign = jax.random.randint(ka, (n,), 0, k)
+    x = centers[assign] + 0.5 * jax.random.normal(kn, (n, d))
+
+    @jax.jit
+    def two_iters(x, c):
+        def body(cc, _):
+            lab, sums, cnt, ine = fused_em_step_pallas(x, cc)
+            return sums / jnp.maximum(cnt, 1.0)[:, None], (lab, ine)
+        cc, (labs, ines) = jax.lax.scan(body, c, None, length=2)
+        return cc, labs[0], ines
+
+    _cc, lab0, ines = two_iters(x, centers)
+    lab_ref, mind = estep_assign(x, centers)
+    agree = float((np.asarray(lab0) == np.asarray(lab_ref)).mean())
+    assert agree > 0.999, agree  # bf16x3 vs f32 argmin at close distances
+    assert float(ines[1]) <= float(ines[0])  # Lloyd monotonicity
