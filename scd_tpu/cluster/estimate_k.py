@@ -109,7 +109,9 @@ def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
         # VMEM ceiling is governed by max_k (see fused_em_block_n)
         fused = (jax.default_backend() == "tpu"
                  and fused_em_block_n(x.shape[1], max_k) is not None)
-    labels, inertia = _dynk_run(key, jnp.asarray(np.asarray(x, np.float32)),
+    from scd_tpu.cluster.kmeans import _device_f32
+
+    labels, inertia = _dynk_run(key, _device_f32(x),
                                 jnp.asarray(int(k_active)), max_k,
                                 max_iterations, n_init, fused=fused)
     return np.asarray(labels), float(inertia)

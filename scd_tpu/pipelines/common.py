@@ -242,6 +242,32 @@ def make_shared_extractor(feat_encode, clip_encode, dataset,
     return extract
 
 
+def load_shared_features(cfg: PipelineConfig, cache: ArtifactCache,
+                         feat_encode, clip_encode, dataset,
+                         train_classes: Sequence[int]) -> Tuple[Dict, Dict]:
+    """Cache-aware feat+CLIP extraction for the pipelines: derives the two
+    feature cache keys, determines which sets will actually miss, and wires
+    a :func:`make_shared_extractor` through ``cache.load_or_compute`` so at
+    most ONE dataset pass runs (the reference pays one full pass per
+    encoder, ``main_unsup.py:297-311``).  Returns ``(feats, clip_feats)``.
+    The miss predicate must mirror ``load_or_compute``'s refresh semantics
+    — keeping it here (not in each pipeline) keeps the two in sync."""
+    feat_key = feature_cache_key(cfg, "feat")
+    clip_key = feature_cache_key(cfg, "clip")
+    needed = tuple(k for k, ck in (("feat", feat_key), ("clip", clip_key))
+                   if cfg.extract_feat or not cache.has("features", ck))
+    extract = make_shared_extractor(
+        feat_encode, clip_encode, dataset, train_classes,
+        cfg.data.batch_size, cfg.data.num_workers, needed=needed)
+    feats = cache.load_or_compute(
+        "features", feat_key,
+        lambda: extract("feat"), refresh=cfg.extract_feat)
+    clip_feats = cache.load_or_compute(
+        "features", clip_key,
+        lambda: extract("clip"), refresh=cfg.extract_feat)
+    return feats, clip_feats
+
+
 def _pipeline_mesh(cfg: PipelineConfig):
     """A data mesh when >1 device is visible (KM/SSKM shard the instance
     axis; single-device runs skip the sharding machinery)."""

@@ -29,10 +29,8 @@ from scd_tpu.naming.zeroshot import build_zeroshot_weights
 from scd_tpu.ops.topk import classify_topk
 from scd_tpu.pipelines.common import (
     cluster_cache_key,
-    extract_features,
-    extract_features_multi,
     feature_cache_key,
-    make_shared_extractor,
+    load_shared_features,
     print_acc_block,
     run_clustering,
     stage_cache,
@@ -171,21 +169,9 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
                                                            mesh=mesh)
 
     # single shared dataset pass for both encoders, cache-miss-aware
-    # (see unsup.py / pipelines.common.make_shared_extractor)
-    feat_key = feature_cache_key(cfg, "feat")
-    clip_key = feature_cache_key(cfg, "clip")
-    needed = tuple(k for k, ck in (("feat", feat_key), ("clip", clip_key))
-                   if cfg.extract_feat or not cache.has("features", ck))
-    extract = make_shared_extractor(
-        feat_encode, clip_encode, train_merged, train_classes,
-        cfg.data.batch_size, cfg.data.num_workers, needed=needed)
-
-    feats = cache.load_or_compute(
-        "features", feat_key,
-        lambda: extract("feat"), refresh=cfg.extract_feat)
-    clip_feats = cache.load_or_compute(
-        "features", clip_key,
-        lambda: extract("clip"), refresh=cfg.extract_feat)
+    # (pipelines.common.load_shared_features)
+    feats, clip_feats = load_shared_features(
+        cfg, cache, feat_encode, clip_encode, train_merged, train_classes)
 
     cluster_result = cache.load_or_compute(
         "cluster", cluster_cache_key(cfg),

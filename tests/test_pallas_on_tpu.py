@@ -95,8 +95,6 @@ def test_fused_em_large_k_in_scan_compiles_on_chip():
     block_n=1024 default OOM'd Mosaic at 16.63 of 16 MB ONLY on hardware
     and only inside the scan (round-3 probe; interpret-mode CPU tests
     cannot see it)."""
-    from functools import partial
-
     import jax
     import jax.numpy as jnp
 
