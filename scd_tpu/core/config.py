@@ -123,7 +123,9 @@ class FeatureConfig:
     """Which frozen encoder produces clustering features
     (reference ``main_unsup.py:211,240-264``)."""
 
-    feat_model: str = "dino_vit"  # clip | dino_vit | gcd
+    # clip | dino_vit | dino_vit_s | dino_vit_t | vit_supervised |
+    # resnet50 | gcd (reference extract_features.py:95-187 backbone set)
+    feat_model: str = "dino_vit"
     feature_dim: int = 768
     normalize: bool = True
 

@@ -10,5 +10,15 @@ from scd_tpu.models.clip import (  # noqa: F401
     clip_vit_b16_config,
     load_openai_clip_weights,
 )
-from scd_tpu.models.dino import dino_vit_b16_config, load_dino_weights  # noqa: F401
+from scd_tpu.models.dino import (  # noqa: F401
+    dino_vit_b16_config,
+    dino_vit_s16_config,
+    dino_vit_t16_config,
+    load_dino_weights,
+)
+from scd_tpu.models.resnet50 import (  # noqa: F401
+    ResNet50,
+    ResNet50Config,
+    load_resnet50_weights,
+)
 from scd_tpu.models.tokenizer import CLIPTokenizer, HashTokenizer  # noqa: F401

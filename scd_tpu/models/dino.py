@@ -32,6 +32,34 @@ def dino_vit_b16_config(compute_dtype=None,
                      compute_dtype=compute_dtype or jnp.float32)
 
 
+def dino_vit_s16_config(compute_dtype=None,
+                        gelu_tanh: bool = False) -> ViTConfig:
+    """ViT-S/16 (384-d, 6 heads): the PASS backbone of the reference's
+    ``vit_s_dino_pass`` extraction branch (``extract_features.py:109-127``;
+    arch factory ``gcd/models/vision_transformer.py:249-254``).  The same
+    ``load_dino_weights`` mapping applies — DINO/PASS checkpoints share the
+    ``blocks.N.attn.qkv.weight`` layout at every width."""
+    import jax.numpy as jnp
+
+    return ViTConfig(image_size=224, patch_size=16, width=384, depth=12,
+                     heads=6, quick_gelu=False, pre_post_norm=False,
+                     output_proj=None, patch_bias=True, gelu_tanh=gelu_tanh,
+                     compute_dtype=compute_dtype or jnp.float32)
+
+
+def dino_vit_t16_config(compute_dtype=None,
+                        gelu_tanh: bool = False) -> ViTConfig:
+    """ViT-Tiny/16 (192-d, 3 heads): reference arch factory
+    ``gcd/models/vision_transformer.py:243-248`` (used for cheap training
+    smokes; the e2e baseline trainers default to it)."""
+    import jax.numpy as jnp
+
+    return ViTConfig(image_size=224, patch_size=16, width=192, depth=12,
+                     heads=3, quick_gelu=False, pre_post_norm=False,
+                     output_proj=None, patch_bias=True, gelu_tanh=gelu_tanh,
+                     compute_dtype=compute_dtype or jnp.float32)
+
+
 def _t(x) -> np.ndarray:
     return np.asarray(x.cpu().numpy() if hasattr(x, "cpu") else x,
                       dtype=np.float32)

@@ -70,6 +70,8 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
         VisionTransformer,
         clip_vit_b16_config,
         dino_vit_b16_config,
+        dino_vit_s16_config,
+        dino_vit_t16_config,
         load_dino_weights,
         load_openai_clip_weights,
     )
@@ -130,12 +132,24 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
     encode_text.variables = clip_vars
     encode_text.tokenize = tokenizer
 
+    # ViT variants share one loader (DINO/GCD/PASS/timm checkpoints all use
+    # the blocks.N.* layout); resnet50 covers the reference's
+    # dino_resnet50 / timm-resnet50 extraction branches
+    # (extract_features.py:95-187) with BN folded into the convs at load.
+    vit_feat_cfgs = {
+        "dino_vit": dino_vit_b16_config,
+        "gcd": dino_vit_b16_config,
+        "vit_supervised": dino_vit_b16_config,
+        "dino_vit_s": dino_vit_s16_config,
+        "dino_vit_t": dino_vit_t16_config,
+    }
     if name == "clip":
         feat_encode = clip_encode_image
-    elif name in ("dino_vit", "gcd"):
-        path = cfg.data.dino_weights if name == "dino_vit" else (
-            f"{cfg.data.gcd_weights_dir}/{cfg.data.dataset_name}_model_best.pt")
-        vit_cfg = dino_vit_b16_config(compute_dtype=jnp.bfloat16)
+    elif name in vit_feat_cfgs:
+        path = (f"{cfg.data.gcd_weights_dir}/"
+                f"{cfg.data.dataset_name}_model_best.pt"
+                if name == "gcd" else cfg.data.dino_weights)
+        vit_cfg = vit_feat_cfgs[name](compute_dtype=jnp.bfloat16)
         sd = torch.load(path, map_location="cpu")
         dino_vars = load_dino_weights(sd, vit_cfg)
         dino = VisionTransformer(vit_cfg)
@@ -151,6 +165,29 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
 
             def feat_encode(images: np.ndarray) -> np.ndarray:
                 return np.asarray(_dino(dino_vars, jnp.asarray(images)))
+    elif name == "resnet50":
+        from scd_tpu.models import (
+            ResNet50,
+            ResNet50Config,
+            load_resnet50_weights,
+        )
+
+        r50_cfg = ResNet50Config(compute_dtype=jnp.bfloat16)
+        sd = torch.load(cfg.data.dino_weights, map_location="cpu")
+        r50_vars = load_resnet50_weights(sd, r50_cfg)
+        r50 = ResNet50(r50_cfg)
+
+        def _r50_fwd(v, x):
+            return r50.apply(v, device_normalize_clip(x))
+
+        if mesh is not None:
+            feat_encode = make_sharded_image_encoder(_r50_fwd, r50_vars,
+                                                     mesh)
+        else:
+            _r50 = jax.jit(_r50_fwd)
+
+            def feat_encode(images: np.ndarray) -> np.ndarray:
+                return np.asarray(_r50(r50_vars, jnp.asarray(images)))
     else:
         raise ValueError(f"unknown feat_model {name!r}")
 
