@@ -41,26 +41,31 @@ class VotingResult:
     lab_class_index: Optional[List[int]] = None  # ptsup: candidate cols of labelled names
 
 
-def _reclassify_device(feats, w_sel, n_valid, scale):
+def _reclassify_device(feats, zw, cols, n_valid, scale):
     """Module-level jitted body (defining jitted fns per call would retrace
-    every invocation — jax.jit caches per function object).  ``w_sel`` is
-    column-padded to a bucket; ``n_valid`` masks the padding out of the
-    argmax."""
+    every invocation — jax.jit caches per function object).  The candidate
+    columns are GATHERED ON DEVICE from the full [D, V] weight matrix —
+    slicing on host would first fetch the whole matrix through the tunnel
+    (~139 MB at V=68k, ~3 s/round; the gather moves a [C]-int vector
+    instead).  ``cols`` is padded to a bucket; ``n_valid`` masks the
+    padding out of the argmax."""
     import jax
     import jax.numpy as jnp
 
+    w_sel = jnp.take(zw, cols, axis=1)  # [D, C_pad] device gather
     logits = scale * jax.lax.dot_general(
         feats, w_sel, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGH)
-    col = jnp.arange(w_sel.shape[1])[None, :]
+    col = jnp.arange(cols.shape[0])[None, :]
     logits = jnp.where(col < n_valid, logits, -jnp.inf)
     return jnp.argmax(logits, axis=-1)
 
 
-def _te_mix_device(f, w_sel, preds, alpha):
+def _te_mix_device(f, zw, cols, preds, alpha):
     import jax.numpy as jnp
 
+    w_sel = jnp.take(zw, cols, axis=1)  # device gather (see _reclassify)
     t = w_sel.T[preds]  # [N, D] text embedding of the assigned name
     mixed = f + alpha * t
     return mixed / jnp.maximum(
@@ -77,30 +82,36 @@ _reclassify_jit = None
 _te_mix_jit = None
 
 
-def _reclassify(clip_u_feats: np.ndarray, zeroshot_weights: np.ndarray,
+def _pad_cols(name_cols: Sequence[int], bucket: int = 64):
+    """Column-index vector padded to a bucket (padding repeats col 0; the
+    device masks it out via n_valid).  Bucketing keeps one compiled program
+    per bucket size instead of one per round: the candidate count changes
+    every voting round, and an exact-shape jit would pay a remote recompile
+    (tens of seconds through the tunnel) each time."""
+    cols = np.asarray(list(name_cols), np.int32)
+    n_cand = cols.shape[0]
+    pad = (-n_cand) % bucket
+    if pad:
+        cols = np.pad(cols, (0, pad))
+    return cols, n_cand
+
+
+def _reclassify(clip_u_feats, zeroshot_weights,
                 name_cols: Sequence[int], scale: float) -> np.ndarray:
     """argmax over the selected name columns (reference ``main_unsup.py:601-614``).
 
-    The candidate axis is padded to a 64-wide bucket: the voting loop's
-    candidate count changes every round, and an exact-shape jit would
-    recompile the [N, D] x [D, K] program each iteration (tens of seconds
-    per round through the remote-compile tunnel); with the bucket every
-    round reuses one compiled program, the padded columns masked out of
-    the argmax."""
+    Ships only the [C]-int column vector per round; the weight matrix stays
+    resident on device (callers stage it once — see voting_loop)."""
     import jax.numpy as jnp
 
     global _reclassify_jit
     if _reclassify_jit is None:
         _reclassify_jit = _jitted(_reclassify_device)
-    w = np.asarray(zeroshot_weights)[:, list(name_cols)]
-    n_cand = w.shape[1]
-    pad = (-n_cand) % 64
-    if pad:
-        w = np.pad(w, ((0, 0), (0, pad)))
+    cols, n_cand = _pad_cols(name_cols)
     feats = jnp.asarray(clip_u_feats, dtype=jnp.float32)  # no-op if on device
     return np.asarray(_reclassify_jit(
-        feats, jnp.asarray(w, jnp.float32), jnp.int32(n_cand),
-        jnp.float32(scale)))
+        feats, jnp.asarray(zeroshot_weights, jnp.float32),
+        jnp.asarray(cols), jnp.int32(n_cand), jnp.float32(scale)))
 
 
 def voting_loop(nouns: Sequence[str],
@@ -121,9 +132,11 @@ def voting_loop(nouns: Sequence[str],
     import jax.numpy as jnp
 
     noun_to_col = {n: i for i, n in enumerate(nouns)}
-    # stage the features once: re-uploading [N, D] through the tunnel every
-    # round would dominate the loop (~200 MB/round at ImageNet-100 scale)
+    # stage features AND the [D, V] zeroshot weights once: re-moving either
+    # through the tunnel every round would dominate the loop (~200 MB and
+    # ~139 MB/round respectively at ImageNet-100 scale / V=68k)
     clip_u_feats = jnp.asarray(clip_u_feats, jnp.float32)
+    zeroshot_weights = jnp.asarray(zeroshot_weights, jnp.float32)
     u_preds = np.asarray(u_preds_init).copy()
     cur_voted = [0]
     prev_voted = [1]
@@ -182,9 +195,12 @@ def textual_enhancement(clip_u_feats: np.ndarray,
     global _te_mix_jit
     if _te_mix_jit is None:
         _te_mix_jit = _jitted(_te_mix_device)
-    w_sel = jnp.asarray(
-        np.asarray(zeroshot_weights)[:, list(name_cols)], jnp.float32)
-    out = _te_mix_jit(jnp.asarray(clip_u_feats, jnp.float32), w_sel,
+    cols, _n_cand = _pad_cols(name_cols)
+    # padded cols repeat col 0, but preds only index the valid range, so no
+    # mask is needed for the [N, D] gather
+    out = _te_mix_jit(jnp.asarray(clip_u_feats, jnp.float32),
+                      jnp.asarray(zeroshot_weights, jnp.float32),
+                      jnp.asarray(cols),
                       jnp.asarray(np.asarray(u_preds), jnp.int32),
                       jnp.float32(alpha))
     return np.asarray(out)
@@ -202,8 +218,11 @@ def voting_loop_te(nouns: Sequence[str],
     """One textual-enhancement round: enhance features with the converged
     assignment's name embeddings, then re-run the voting loop from the
     enhanced re-classification ('w/TE' rows of the reference tables)."""
+    import jax.numpy as jnp
+
     noun_to_col = {n: i for i, n in enumerate(nouns)}
     cols = [noun_to_col[n] for n in result.cand_names]
+    zeroshot_weights = jnp.asarray(zeroshot_weights, jnp.float32)  # stage once
     enhanced = textual_enhancement(clip_u_feats, zeroshot_weights,
                                    result.u_preds, cols, alpha=alpha)
     return voting_loop(nouns, name_idx_topk, enhanced, zeroshot_weights,
@@ -225,8 +244,11 @@ def voting_loop_ptsup_te(nouns: Sequence[str],
     the visual features with the converged assignment's name embeddings and
     re-run ``voting_loop_ptsup`` from that assignment (labelled names stay
     pinned).  Gives the ptsup 'w/TE' rows of the reference tables."""
+    import jax.numpy as jnp
+
     noun_to_col = {n: i for i, n in enumerate(nouns)}
     cols = [noun_to_col[n] for n in result.cand_names]
+    zeroshot_weights = jnp.asarray(zeroshot_weights, jnp.float32)  # stage once
     enhanced = textual_enhancement(clip_u_feats, zeroshot_weights,
                                    result.u_preds, cols, alpha=alpha)
     lab_set = set(lab_names)
@@ -262,8 +284,9 @@ def voting_loop_ptsup(nouns: Sequence[str],
     lab_names = list(lab_names)
     num_unlab_classes = n_clusters - len(lab_names)
 
-    # stage once (see voting_loop): avoids a [N, D] re-upload every round
+    # stage once (see voting_loop): avoids [N, D] / [D, V] re-moves per round
     clip_u_feats = jnp.asarray(clip_u_feats, jnp.float32)
+    zeroshot_weights = jnp.asarray(zeroshot_weights, jnp.float32)
     u_preds = np.asarray(u_preds_init).copy()
     known_name_idx = {noun_to_col[n] for n in lab_names}
     unlab_cluster_idx = list(unlab_cluster_idx_init)  # clusters not owned by labelled classes

@@ -51,7 +51,11 @@ class NameClassifier:
         self.encode_image = encode_image
         self.names = list(names)
         self.logit_scale = float(logit_scale)
-        self._w = jnp.asarray(np.asarray(weights, np.float32))
+        # device-resident weights stay put (CLAUDE.md rule 3: np.asarray on
+        # a jax Array would round-trip them through the host)
+        self._w = (weights.astype(jnp.float32)
+                   if isinstance(weights, jax.Array)
+                   else jnp.asarray(np.asarray(weights, np.float32)))
 
         def _head(w, feats, scale, k):
             f = feats.astype(jnp.float32)
@@ -106,7 +110,12 @@ def classifier_from_run(encode_image: Callable, zeroshot_weights: np.ndarray,
     missing = [n for n in cand_names if n not in col]
     if missing:
         raise KeyError(f"candidate names not in vocabulary: {missing[:5]}")
-    w = np.asarray(zeroshot_weights)[:, [col[n] for n in cand_names]]
+    import jax.numpy as jnp
+
+    # gather on device: a device-resident [D, V] from the pipeline would
+    # otherwise be fetched whole through the tunnel just to slice K columns
+    w = jnp.asarray(zeroshot_weights, jnp.float32)[
+        :, np.asarray([col[n] for n in cand_names], np.int32)]
     return NameClassifier(encode_image, w, cand_names,
                           logit_scale=logit_scale)
 
