@@ -46,12 +46,35 @@ def _most_common(values: np.ndarray) -> List[Tuple[int, int]]:
 def cluster_name_counters(name_idx_topk: np.ndarray, u_preds: np.ndarray,
                           top_k: int) -> Dict[int, List[Tuple[int, int]]]:
     """Per-cluster ordered (name_idx, count) lists from each member's top-k
-    names (reference ``main_unsup.py:575-577``)."""
+    names (reference ``main_unsup.py:575-577``).
+
+    One global group-by over (cluster, name) keys instead of a boolean mask
+    per cluster: the per-cluster masks are O(K*N*top_k) host work per
+    voting round (~2-3 s/round at Herbarium's K=683, N=130k) where the
+    flat unique is O(N*top_k log) once (~0.1 s).  Ordering is
+    ``Counter.most_common``-exact: count desc, ties by first occurrence in
+    the cluster's flattened member sequence — the global row-major flatten
+    restricted to one cluster's rows preserves that cluster's own member
+    order, so global first-occurrence position ranks ties identically."""
     u_preds = np.asarray(u_preds)
+    names = np.ascontiguousarray(name_idx_topk[:, :top_k])
+    flat = names.ravel().astype(np.int64)
+    if flat.size == 0:
+        return {int(c): [] for c in np.unique(u_preds)}
+    v_max = int(flat.max()) + 1
+    keys = np.repeat(u_preds.astype(np.int64), names.shape[1]) * v_max + flat
+    uniq, first_pos, counts = np.unique(keys, return_index=True,
+                                        return_counts=True)
+    cl = uniq // v_max
+    nm = uniq % v_max
     out: Dict[int, List[Tuple[int, int]]] = {}
-    for c in np.unique(u_preds):
-        members = name_idx_topk[u_preds == c, :top_k].ravel()
-        out[int(c)] = _most_common(members)
+    # uniq is sorted, so each cluster's entries are one contiguous segment
+    bounds = np.searchsorted(cl, np.unique(cl), side="left").tolist()
+    bounds.append(len(cl))
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        order = np.lexsort((first_pos[s:e], -counts[s:e]))
+        out[int(cl[s])] = [(int(nm[s + i]), int(counts[s + i]))
+                           for i in order]
     return out
 
 

@@ -88,6 +88,20 @@ def test_cluster_name_counters():
     assert counters[1][0] == (5, 2)
 
 
+def test_cluster_name_counters_matches_counter_reference(rng):
+    """The global group-by must reproduce the per-cluster Counter exactly,
+    including most_common's first-occurrence tie ordering (many ties by
+    construction: small name vocabulary, many members per cluster)."""
+    n, k_top, n_clusters, vocab = 500, 3, 7, 12
+    name_idx = rng.integers(0, vocab, size=(n, 5))
+    u_preds = rng.integers(0, n_clusters, size=n)
+    got = cluster_name_counters(name_idx, u_preds, top_k=k_top)
+    for c in np.unique(u_preds):
+        members = name_idx[u_preds == c, :k_top].ravel()
+        ref = Counter(int(x) for x in members).most_common()
+        assert got[int(c)] == ref, f"cluster {c}"
+
+
 def test_assign_name_diagonal():
     counters = {
         0: [(10, 5), (11, 1)],
