@@ -92,6 +92,29 @@ def device_normalize_clip(x):
     return x
 
 
+def device_normalize_imagenet(x):
+    """On-device torchvision-ImageNet normalization (the stats the
+    reference's dino_resnet50 / timm resnet50 extraction branches use,
+    ``extract_features.py:129-141,166-187``); identity for float inputs."""
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.uint8:
+        return ((x.astype(jnp.float32) / 255.0 - IMAGENET_MEAN)
+                / IMAGENET_STD)
+    return x
+
+
+def device_normalize_unit(x):
+    """On-device [0, 1] scaling with NO mean/std shift — timm's
+    vit_base_patch16_224_miil ships default_cfg mean/std = 0/1
+    (reference ``extract_features.py:143-163``); identity for floats."""
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 def _rand_resized_crop(img: Image.Image, size: int, rng: np.random.Generator,
                        scale=(0.3, 1.0)) -> Image.Image:
     w, h = img.size

@@ -65,12 +65,42 @@ def _t(x) -> np.ndarray:
                       dtype=np.float32)
 
 
+def _flatten_vit_sd(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Normalize the wrapper conventions the published ViT checkpoints
+    ship with, so one loader serves them all (the reference strips these
+    by hand before load, ``extract_features.py:100-127``):
+
+    - DINO/PASS full checkpoints nest the weights under ``teacher`` (or
+      ``student``/``state_dict``/``model``);
+    - DataParallel training leaves a ``module.`` prefix, PASS a
+      ``backbone.`` prefix;
+    - projection-head keys (``head.*``) are training-time only.
+    """
+    for wrapper in ("teacher", "student", "state_dict", "model"):
+        inner = state_dict.get(wrapper)
+        if isinstance(inner, dict) and any("patch_embed" in k
+                                           for k in inner):
+            state_dict = inner
+            break
+    out = {}
+    for k, v in state_dict.items():
+        for prefix in ("module.", "backbone."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        if k.startswith("head."):
+            continue
+        out[k] = v
+    return out
+
+
 def load_dino_weights(state_dict: Dict[str, Any],
                       cfg: Optional[ViTConfig] = None) -> Dict:
-    """Convert a DINO/GCD ViT state dict (``blocks.N.attn.qkv.weight`` naming)
-    into the Flax param tree for ``VisionTransformer``."""
+    """Convert a DINO/GCD/PASS/timm ViT state dict
+    (``blocks.N.attn.qkv.weight`` naming, possibly wrapped — see
+    ``_flatten_vit_sd``) into the Flax param tree for
+    ``VisionTransformer``."""
     cfg = cfg or dino_vit_b16_config()
-    sd = {k: _t(v) for k, v in state_dict.items()}
+    sd = {k: _t(v) for k, v in _flatten_vit_sd(state_dict).items()}
 
     params: Dict[str, Any] = {
         "patch_embed": {

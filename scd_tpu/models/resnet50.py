@@ -93,9 +93,7 @@ class ResNet50(nn.Module):
         return x.astype(jnp.float32)
 
 
-def _np(x) -> np.ndarray:
-    return np.asarray(x.cpu().numpy() if hasattr(x, "cpu") else x,
-                      dtype=np.float32)
+from scd_tpu.models.dino import _t as _np  # torch tensor -> f32 numpy
 
 
 def _fold(sd: Dict[str, np.ndarray], conv: str, bn: str,

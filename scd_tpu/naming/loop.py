@@ -179,7 +179,7 @@ def textual_enhancement(clip_u_feats: np.ndarray,
                         zeroshot_weights: np.ndarray,
                         u_preds: np.ndarray,
                         name_cols: Sequence[int],
-                        alpha: float = 0.5) -> np.ndarray:
+                        alpha: float = 0.5):
     """Text-enhanced image features ('TE' in the reference's result tables,
     ``README.md:23,32`` — the technique has no code in the reference repo;
     this implements the natural reading): mix each image's visual embedding
@@ -188,7 +188,9 @@ def textual_enhancement(clip_u_feats: np.ndarray,
     re-running the voting loop on them gives the 'w/TE' rows.
 
     clip_u_feats [N, D] L2-normalized; zeroshot_weights [D, V];
-    u_preds [N] indices into ``name_cols`` (candidate columns).
+    u_preds [N] indices into ``name_cols`` (candidate columns).  Returns a
+    DEVICE-resident [N, D] array (the TE wrappers feed it straight back
+    into ``voting_loop``; ``np.asarray`` it if host residency is needed).
     """
     import jax.numpy as jnp
 
@@ -197,13 +199,15 @@ def textual_enhancement(clip_u_feats: np.ndarray,
         _te_mix_jit = _jitted(_te_mix_device)
     cols, _n_cand = _pad_cols(name_cols)
     # padded cols repeat col 0, but preds only index the valid range, so no
-    # mask is needed for the [N, D] gather
-    out = _te_mix_jit(jnp.asarray(clip_u_feats, jnp.float32),
-                      jnp.asarray(zeroshot_weights, jnp.float32),
-                      jnp.asarray(cols),
-                      jnp.asarray(np.asarray(u_preds), jnp.int32),
-                      jnp.float32(alpha))
-    return np.asarray(out)
+    # mask is needed for the [N, D] gather.  The result stays a DEVICE
+    # array: the TE wrappers feed it straight back into voting_loop, and a
+    # host round-trip of [N, D] here costs ~10 s at ImageNet-100 scale
+    # through the tunnel.
+    return _te_mix_jit(jnp.asarray(clip_u_feats, jnp.float32),
+                       jnp.asarray(zeroshot_weights, jnp.float32),
+                       jnp.asarray(cols),
+                       jnp.asarray(np.asarray(u_preds), jnp.int32),
+                       jnp.float32(alpha))
 
 
 def voting_loop_te(nouns: Sequence[str],

@@ -133,15 +133,24 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
     encode_text.tokenize = tokenizer
 
     # ViT variants share one loader (DINO/GCD/PASS/timm checkpoints all use
-    # the blocks.N.* layout); resnet50 covers the reference's
-    # dino_resnet50 / timm-resnet50 extraction branches
-    # (extract_features.py:95-187) with BN folded into the convs at load.
+    # the blocks.N.* layout — PASS/timm wrappers are unwrapped by the
+    # loader); resnet50 covers the reference's dino_resnet50 /
+    # timm-resnet50 extraction branches (extract_features.py:95-187) with
+    # BN folded into the convs at load.  Each backbone keeps its own input
+    # normalization: dino/gcd follow the mains' CLIP-preprocess convention
+    # (main_unsup.py:271), vit_supervised's miil default_cfg is mean/std
+    # 0/1, resnet50 uses torchvision ImageNet stats.
+    from scd_tpu.data.transforms import (
+        device_normalize_imagenet,
+        device_normalize_unit,
+    )
+
     vit_feat_cfgs = {
-        "dino_vit": dino_vit_b16_config,
-        "gcd": dino_vit_b16_config,
-        "vit_supervised": dino_vit_b16_config,
-        "dino_vit_s": dino_vit_s16_config,
-        "dino_vit_t": dino_vit_t16_config,
+        "dino_vit": (dino_vit_b16_config, device_normalize_clip),
+        "gcd": (dino_vit_b16_config, device_normalize_clip),
+        "vit_supervised": (dino_vit_b16_config, device_normalize_unit),
+        "dino_vit_s": (dino_vit_s16_config, device_normalize_clip),
+        "dino_vit_t": (dino_vit_t16_config, device_normalize_clip),
     }
     if name == "clip":
         feat_encode = clip_encode_image
@@ -149,13 +158,14 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
         path = (f"{cfg.data.gcd_weights_dir}/"
                 f"{cfg.data.dataset_name}_model_best.pt"
                 if name == "gcd" else cfg.data.dino_weights)
-        vit_cfg = vit_feat_cfgs[name](compute_dtype=jnp.bfloat16)
+        cfg_fn, normalize = vit_feat_cfgs[name]
+        vit_cfg = cfg_fn(compute_dtype=jnp.bfloat16)
         sd = torch.load(path, map_location="cpu")
         dino_vars = load_dino_weights(sd, vit_cfg)
         dino = VisionTransformer(vit_cfg)
 
         def _dino_fwd(v, x):
-            return dino.apply(v, device_normalize_clip(x))
+            return dino.apply(v, normalize(x))
 
         if mesh is not None:
             feat_encode = make_sharded_image_encoder(_dino_fwd, dino_vars,
@@ -178,7 +188,7 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
         r50 = ResNet50(r50_cfg)
 
         def _r50_fwd(v, x):
-            return r50.apply(v, device_normalize_clip(x))
+            return r50.apply(v, device_normalize_imagenet(x))
 
         if mesh is not None:
             feat_encode = make_sharded_image_encoder(_r50_fwd, r50_vars,
@@ -341,7 +351,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--root_dir", type=str, default="/data")
     p.add_argument("--dataset_name", type=str, default="synthetic")
     p.add_argument("--feat_model", type=str, default="synthetic",
-                   help="synthetic | clip | dino_vit | gcd")
+                   help="synthetic | clip | dino_vit | dino_vit_s | "
+                        "dino_vit_t | vit_supervised | resnet50 | gcd")
     p.add_argument("--prop_train_labels", type=float, default=0.5)
     p.add_argument("--cluster", type=str, default="SSKM",
                    help="KM | SSKM | ConSSKM | FINCH")

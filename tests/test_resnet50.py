@@ -170,3 +170,16 @@ def test_vit_s_loader_roundtrip_tiny():
         variables, np.zeros((2, 32, 32, 3), np.float32)))
     assert feats.shape == (2, 384)
     assert np.isfinite(feats).all()
+
+    # the PASS checkpoint convention (reference extract_features.py:109-127):
+    # weights nested under 'teacher' with module./backbone. prefixes and
+    # training-only head.* keys — must load to the identical tree
+    import jax
+
+    wrapped = {"teacher": {f"module.backbone.{k}": v for k, v in sd.items()}}
+    wrapped["teacher"]["module.head.mlp.weight"] = np.zeros((4, 384),
+                                                            np.float32)
+    wrapped["optimizer"] = {"lr": 0.1}
+    v2 = load_dino_weights(wrapped, cfg)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(a, b), variables, v2))
