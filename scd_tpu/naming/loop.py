@@ -62,10 +62,26 @@ def _reclassify_device(feats, zw, cols, n_valid, scale):
     return jnp.argmax(logits, axis=-1)
 
 
-def _te_mix_device(f, zw, cols, preds, alpha):
+def _reclassify_hostsel(feats, w_sel, n_valid, scale):
+    """Host-sliced variant: ``w_sel`` [D, C_pad] was cut from a HOST numpy
+    weight matrix (cheap) and only the tiny slice crosses the tunnel —
+    uploading the full [D, V] just to gather C columns would cost a ~139 MB
+    transfer at V=68k."""
+    import jax
     import jax.numpy as jnp
 
-    w_sel = jnp.take(zw, cols, axis=1)  # device gather (see _reclassify)
+    logits = scale * jax.lax.dot_general(
+        feats, w_sel, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGH)
+    col = jnp.arange(w_sel.shape[1])[None, :]
+    logits = jnp.where(col < n_valid, logits, -jnp.inf)
+    return jnp.argmax(logits, axis=-1)
+
+
+def _te_mix_device(f, w_sel, preds, alpha):
+    import jax.numpy as jnp
+
     t = w_sel.T[preds]  # [N, D] text embedding of the assigned name
     mixed = f + alpha * t
     return mixed / jnp.maximum(
@@ -79,7 +95,24 @@ def _jitted(fn):
 
 
 _reclassify_jit = None
+_reclassify_hostsel_jit = None
 _te_mix_jit = None
+
+
+def _select_cols(zeroshot_weights, name_cols: Sequence[int]):
+    """Residency-aware candidate-column selection: device arrays gather on
+    device (ship a [C]-int vector, never fetch [D, V]); host numpy slices
+    on host (ship the tiny [D, C_pad] slice, never upload [D, V]).  Either
+    way at most ~C*D floats cross the tunnel per voting round.  Returns
+    ``(w_sel_or_None, cols_or_None, n_cand)`` — exactly one of the first
+    two is set."""
+    import jax
+
+    cols, n_cand = _pad_cols(name_cols)
+    if isinstance(zeroshot_weights, jax.Array):
+        return None, cols, n_cand
+    w_sel = np.asarray(zeroshot_weights, np.float32)[:, cols]
+    return w_sel, None, n_cand
 
 
 def _pad_cols(name_cols: Sequence[int], bucket: int = 64):
@@ -98,20 +131,23 @@ def _pad_cols(name_cols: Sequence[int], bucket: int = 64):
 
 def _reclassify(clip_u_feats, zeroshot_weights,
                 name_cols: Sequence[int], scale: float) -> np.ndarray:
-    """argmax over the selected name columns (reference ``main_unsup.py:601-614``).
-
-    Ships only the [C]-int column vector per round; the weight matrix stays
-    resident on device (callers stage it once — see voting_loop)."""
+    """argmax over the selected name columns (reference ``main_unsup.py:601-614``),
+    residency-aware (see ``_select_cols``)."""
     import jax.numpy as jnp
 
-    global _reclassify_jit
-    if _reclassify_jit is None:
-        _reclassify_jit = _jitted(_reclassify_device)
-    cols, n_cand = _pad_cols(name_cols)
+    global _reclassify_jit, _reclassify_hostsel_jit
+    w_sel, cols, n_cand = _select_cols(zeroshot_weights, name_cols)
     feats = jnp.asarray(clip_u_feats, dtype=jnp.float32)  # no-op if on device
-    return np.asarray(_reclassify_jit(
-        feats, jnp.asarray(zeroshot_weights, jnp.float32),
-        jnp.asarray(cols), jnp.int32(n_cand), jnp.float32(scale)))
+    if cols is not None:
+        if _reclassify_jit is None:
+            _reclassify_jit = _jitted(_reclassify_device)
+        return np.asarray(_reclassify_jit(
+            feats, zeroshot_weights.astype(jnp.float32), jnp.asarray(cols),
+            jnp.int32(n_cand), jnp.float32(scale)))
+    if _reclassify_hostsel_jit is None:
+        _reclassify_hostsel_jit = _jitted(_reclassify_hostsel)
+    return np.asarray(_reclassify_hostsel_jit(
+        feats, jnp.asarray(w_sel), jnp.int32(n_cand), jnp.float32(scale)))
 
 
 def voting_loop(nouns: Sequence[str],
@@ -132,11 +168,11 @@ def voting_loop(nouns: Sequence[str],
     import jax.numpy as jnp
 
     noun_to_col = {n: i for i, n in enumerate(nouns)}
-    # stage features AND the [D, V] zeroshot weights once: re-moving either
-    # through the tunnel every round would dominate the loop (~200 MB and
-    # ~139 MB/round respectively at ImageNet-100 scale / V=68k)
+    # stage the features once: re-uploading [N, D] through the tunnel every
+    # round would dominate the loop (~200 MB/round at ImageNet-100 scale).
+    # The [D, V] weights keep their residency — _reclassify gathers
+    # candidate columns on whichever side the matrix already lives.
     clip_u_feats = jnp.asarray(clip_u_feats, jnp.float32)
-    zeroshot_weights = jnp.asarray(zeroshot_weights, jnp.float32)
     u_preds = np.asarray(u_preds_init).copy()
     cur_voted = [0]
     prev_voted = [1]
@@ -197,15 +233,18 @@ def textual_enhancement(clip_u_feats: np.ndarray,
     global _te_mix_jit
     if _te_mix_jit is None:
         _te_mix_jit = _jitted(_te_mix_device)
-    cols, _n_cand = _pad_cols(name_cols)
-    # padded cols repeat col 0, but preds only index the valid range, so no
-    # mask is needed for the [N, D] gather.  The result stays a DEVICE
-    # array: the TE wrappers feed it straight back into voting_loop, and a
-    # host round-trip of [N, D] here costs ~10 s at ImageNet-100 scale
-    # through the tunnel.
+    # residency-aware column selection (see _select_cols); padded cols
+    # repeat col 0, but preds only index the valid range, so no mask is
+    # needed for the [N, D] gather.  The result stays a DEVICE array: the
+    # TE wrappers feed it straight back into voting_loop, and a host
+    # round-trip of [N, D] here costs ~10 s at ImageNet-100 scale through
+    # the tunnel.
+    w_sel, cols, _n_cand = _select_cols(zeroshot_weights, name_cols)
+    if cols is not None:
+        w_sel = jnp.take(zeroshot_weights.astype(jnp.float32),
+                         jnp.asarray(cols), axis=1)
     return _te_mix_jit(jnp.asarray(clip_u_feats, jnp.float32),
-                       jnp.asarray(zeroshot_weights, jnp.float32),
-                       jnp.asarray(cols),
+                       jnp.asarray(w_sel),
                        jnp.asarray(np.asarray(u_preds), jnp.int32),
                        jnp.float32(alpha))
 
@@ -222,11 +261,8 @@ def voting_loop_te(nouns: Sequence[str],
     """One textual-enhancement round: enhance features with the converged
     assignment's name embeddings, then re-run the voting loop from the
     enhanced re-classification ('w/TE' rows of the reference tables)."""
-    import jax.numpy as jnp
-
     noun_to_col = {n: i for i, n in enumerate(nouns)}
     cols = [noun_to_col[n] for n in result.cand_names]
-    zeroshot_weights = jnp.asarray(zeroshot_weights, jnp.float32)  # stage once
     enhanced = textual_enhancement(clip_u_feats, zeroshot_weights,
                                    result.u_preds, cols, alpha=alpha)
     return voting_loop(nouns, name_idx_topk, enhanced, zeroshot_weights,
@@ -248,11 +284,8 @@ def voting_loop_ptsup_te(nouns: Sequence[str],
     the visual features with the converged assignment's name embeddings and
     re-run ``voting_loop_ptsup`` from that assignment (labelled names stay
     pinned).  Gives the ptsup 'w/TE' rows of the reference tables."""
-    import jax.numpy as jnp
-
     noun_to_col = {n: i for i, n in enumerate(nouns)}
     cols = [noun_to_col[n] for n in result.cand_names]
-    zeroshot_weights = jnp.asarray(zeroshot_weights, jnp.float32)  # stage once
     enhanced = textual_enhancement(clip_u_feats, zeroshot_weights,
                                    result.u_preds, cols, alpha=alpha)
     lab_set = set(lab_names)
@@ -288,9 +321,9 @@ def voting_loop_ptsup(nouns: Sequence[str],
     lab_names = list(lab_names)
     num_unlab_classes = n_clusters - len(lab_names)
 
-    # stage once (see voting_loop): avoids [N, D] / [D, V] re-moves per round
+    # stage once (see voting_loop): avoids a [N, D] re-upload every round;
+    # the [D, V] weights keep their residency (_reclassify gathers in place)
     clip_u_feats = jnp.asarray(clip_u_feats, jnp.float32)
-    zeroshot_weights = jnp.asarray(zeroshot_weights, jnp.float32)
     u_preds = np.asarray(u_preds_init).copy()
     known_name_idx = {noun_to_col[n] for n in lab_names}
     unlab_cluster_idx = list(unlab_cluster_idx_init)  # clusters not owned by labelled classes

@@ -110,12 +110,14 @@ def classifier_from_run(encode_image: Callable, zeroshot_weights: np.ndarray,
     missing = [n for n in cand_names if n not in col]
     if missing:
         raise KeyError(f"candidate names not in vocabulary: {missing[:5]}")
-    import jax.numpy as jnp
+    import jax
 
-    # gather on device: a device-resident [D, V] from the pipeline would
-    # otherwise be fetched whole through the tunnel just to slice K columns
-    w = jnp.asarray(zeroshot_weights, jnp.float32)[
-        :, np.asarray([col[n] for n in cand_names], np.int32)]
+    # residency-aware slice: device arrays gather on device (never fetch
+    # the whole [D, V]); host numpy slices on host (never upload it)
+    sel = np.asarray([col[n] for n in cand_names], np.int32)
+    w = (zeroshot_weights[:, sel]
+         if isinstance(zeroshot_weights, jax.Array)
+         else np.asarray(zeroshot_weights, np.float32)[:, sel])
     return NameClassifier(encode_image, w, cand_names,
                           logit_scale=logit_scale)
 
