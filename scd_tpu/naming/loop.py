@@ -99,20 +99,35 @@ _reclassify_hostsel_jit = None
 _te_mix_jit = None
 
 
+def gather_weight_columns(weights, cols_idx):
+    """[D, C] candidate columns cut from a [D, V] weight matrix,
+    residency-aware: device arrays gather ON DEVICE (only the [C]-int
+    vector crosses the link — fetching [D, V] costs ~139 MB at V=68k);
+    host numpy slices ON HOST (only the tiny [D, C] slice is ever
+    uploaded).  The result lives on the same side as ``weights``.  Shared
+    by the voting loops, the serving classifier, and the ptsup bound
+    evaluators — keep every column-selection call site on this helper."""
+    import jax
+    import jax.numpy as jnp
+
+    cols_idx = np.asarray(cols_idx, np.int32)
+    if isinstance(weights, jax.Array):
+        return jnp.take(weights.astype(jnp.float32),
+                        jnp.asarray(cols_idx), axis=1)
+    return np.asarray(weights, np.float32)[:, cols_idx]
+
+
 def _select_cols(zeroshot_weights, name_cols: Sequence[int]):
-    """Residency-aware candidate-column selection: device arrays gather on
-    device (ship a [C]-int vector, never fetch [D, V]); host numpy slices
-    on host (ship the tiny [D, C_pad] slice, never upload [D, V]).  Either
-    way at most ~C*D floats cross the tunnel per voting round.  Returns
-    ``(w_sel_or_None, cols_or_None, n_cand)`` — exactly one of the first
-    two is set."""
+    """Bucket-padded variant for the per-round reclassify jit: returns
+    ``(w_sel_or_None, cols_or_None, n_cand)`` — device arrays defer the
+    gather INTO the jitted program (fused with the matmul), host arrays
+    slice eagerly via :func:`gather_weight_columns`."""
     import jax
 
     cols, n_cand = _pad_cols(name_cols)
     if isinstance(zeroshot_weights, jax.Array):
         return None, cols, n_cand
-    w_sel = np.asarray(zeroshot_weights, np.float32)[:, cols]
-    return w_sel, None, n_cand
+    return gather_weight_columns(zeroshot_weights, cols), None, n_cand
 
 
 def _pad_cols(name_cols: Sequence[int], bucket: int = 64):
@@ -239,10 +254,8 @@ def textual_enhancement(clip_u_feats: np.ndarray,
     # TE wrappers feed it straight back into voting_loop, and a host
     # round-trip of [N, D] here costs ~10 s at ImageNet-100 scale through
     # the tunnel.
-    w_sel, cols, _n_cand = _select_cols(zeroshot_weights, name_cols)
-    if cols is not None:
-        w_sel = jnp.take(zeroshot_weights.astype(jnp.float32),
-                         jnp.asarray(cols), axis=1)
+    cols, _n_cand = _pad_cols(name_cols)
+    w_sel = gather_weight_columns(zeroshot_weights, cols)
     return _te_mix_jit(jnp.asarray(clip_u_feats, jnp.float32),
                        jnp.asarray(w_sel),
                        jnp.asarray(np.asarray(u_preds), jnp.int32),

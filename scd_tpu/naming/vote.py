@@ -61,12 +61,17 @@ def cluster_name_counters(name_idx_topk: np.ndarray, u_preds: np.ndarray,
     flat = names.ravel().astype(np.int64)
     if flat.size == 0:
         return {int(c): [] for c in np.unique(u_preds)}
+    # shift negative name indices (e.g. -1 pad sentinels) into the radix
+    # range — without it a negative entry would floor-divide into the
+    # NEIGHBORING cluster's key block and be counted there silently
+    off = min(int(flat.min()), 0)
+    flat -= off
     v_max = int(flat.max()) + 1
     keys = np.repeat(u_preds.astype(np.int64), names.shape[1]) * v_max + flat
     uniq, first_pos, counts = np.unique(keys, return_index=True,
                                         return_counts=True)
     cl = uniq // v_max
-    nm = uniq % v_max
+    nm = uniq % v_max + off
     out: Dict[int, List[Tuple[int, int]]] = {}
     # uniq is sorted, so each cluster's entries are one contiguous segment
     bounds = np.searchsorted(cl, np.unique(cl), side="left").tolist()

@@ -110,14 +110,12 @@ def classifier_from_run(encode_image: Callable, zeroshot_weights: np.ndarray,
     missing = [n for n in cand_names if n not in col]
     if missing:
         raise KeyError(f"candidate names not in vocabulary: {missing[:5]}")
-    import jax
+    from scd_tpu.naming.loop import gather_weight_columns
 
     # residency-aware slice: device arrays gather on device (never fetch
     # the whole [D, V]); host numpy slices on host (never upload it)
-    sel = np.asarray([col[n] for n in cand_names], np.int32)
-    w = (zeroshot_weights[:, sel]
-         if isinstance(zeroshot_weights, jax.Array)
-         else np.asarray(zeroshot_weights, np.float32)[:, sel])
+    w = gather_weight_columns(zeroshot_weights,
+                              [col[n] for n in cand_names])
     return NameClassifier(encode_image, w, cand_names,
                           logit_scale=logit_scale)
 

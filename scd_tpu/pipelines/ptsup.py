@@ -133,11 +133,13 @@ def soft_sacc_bounds(clip_u: np.ndarray, u_targets: np.ndarray,
     print("=====Soft sACC upper bound=====")
     cand = [n.lower().replace("-", "_") for n in cidx_to_cname.values()]
     if ub_preds is None:
+        from scd_tpu.naming.loop import gather_weight_columns
+
         noun_cols = {n: i for i, n in enumerate(nouns)}
-        # device gather: host-slicing would fetch the whole [D, V] matrix
-        # when a prior stage left the weights device-resident
-        zw_sel = jnp.asarray(weights, jnp.float32)[
-            :, np.asarray([noun_cols[n] for n in cand], np.int32)]
+        # residency-aware: host weights slice on host, device weights
+        # gather on device — the full [D, V] never crosses the link
+        zw_sel = gather_weight_columns(weights,
+                                       [noun_cols[n] for n in cand])
         ub_preds = zero_shot_preds(clip_u, zw_sel, scale=scale)
     print(len(set(ub_preds.tolist())))
     all_acc, old_acc, new_acc = split_cluster_acc_v2(u_targets, ub_preds, mask)

@@ -42,6 +42,37 @@ from scd_tpu.pipelines.common import (
 )
 
 
+def vit_feature_backbones() -> Dict:
+    """feat_model -> (ViT config factory, device-normalization fn) for the
+    ViT extraction backbones.  One loader serves every checkpoint
+    (DINO/GCD/PASS/timm all use the blocks.N.* layout; wrappers are
+    unwrapped by ``load_dino_weights``).  Normalization follows what each
+    reference branch actually feeds its model: dino_vit/gcd use the mains'
+    CLIP-preprocess convention (``main_unsup.py:271``); dino_vit_s (the
+    PASS branch) and dino_vit_t use torchvision ImageNet stats
+    (``extract_features.py:109-127`` builds ``get_transform('imagenet')``);
+    vit_supervised's timm-miil default_cfg is mean/std 0/1
+    (``extract_features.py:143-163``)."""
+    from scd_tpu.data.transforms import (
+        device_normalize_imagenet,
+        device_normalize_unit,
+    )
+    from scd_tpu.data.transforms import device_normalize_clip
+    from scd_tpu.models import (
+        dino_vit_b16_config,
+        dino_vit_s16_config,
+        dino_vit_t16_config,
+    )
+
+    return {
+        "dino_vit": (dino_vit_b16_config, device_normalize_clip),
+        "gcd": (dino_vit_b16_config, device_normalize_clip),
+        "vit_supervised": (dino_vit_b16_config, device_normalize_unit),
+        "dino_vit_s": (dino_vit_s16_config, device_normalize_imagenet),
+        "dino_vit_t": (dino_vit_t16_config, device_normalize_imagenet),
+    }
+
+
 def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
     """Returns (feat_encode_image, clip_encode_image, encode_text).
 
@@ -69,9 +100,6 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
         CLIPTokenizer,
         VisionTransformer,
         clip_vit_b16_config,
-        dino_vit_b16_config,
-        dino_vit_s16_config,
-        dino_vit_t16_config,
         load_dino_weights,
         load_openai_clip_weights,
     )
@@ -132,26 +160,7 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
     encode_text.variables = clip_vars
     encode_text.tokenize = tokenizer
 
-    # ViT variants share one loader (DINO/GCD/PASS/timm checkpoints all use
-    # the blocks.N.* layout — PASS/timm wrappers are unwrapped by the
-    # loader); resnet50 covers the reference's dino_resnet50 /
-    # timm-resnet50 extraction branches (extract_features.py:95-187) with
-    # BN folded into the convs at load.  Each backbone keeps its own input
-    # normalization: dino/gcd follow the mains' CLIP-preprocess convention
-    # (main_unsup.py:271), vit_supervised's miil default_cfg is mean/std
-    # 0/1, resnet50 uses torchvision ImageNet stats.
-    from scd_tpu.data.transforms import (
-        device_normalize_imagenet,
-        device_normalize_unit,
-    )
-
-    vit_feat_cfgs = {
-        "dino_vit": (dino_vit_b16_config, device_normalize_clip),
-        "gcd": (dino_vit_b16_config, device_normalize_clip),
-        "vit_supervised": (dino_vit_b16_config, device_normalize_unit),
-        "dino_vit_s": (dino_vit_s16_config, device_normalize_clip),
-        "dino_vit_t": (dino_vit_t16_config, device_normalize_clip),
-    }
+    vit_feat_cfgs = vit_feature_backbones()
     if name == "clip":
         feat_encode = clip_encode_image
     elif name in vit_feat_cfgs:
@@ -176,6 +185,7 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
             def feat_encode(images: np.ndarray) -> np.ndarray:
                 return np.asarray(_dino(dino_vars, jnp.asarray(images)))
     elif name == "resnet50":
+        from scd_tpu.data.transforms import device_normalize_imagenet
         from scd_tpu.models import (
             ResNet50,
             ResNet50Config,

@@ -102,6 +102,45 @@ def test_cluster_name_counters_matches_counter_reference(rng):
         assert got[int(c)] == ref, f"cluster {c}"
 
 
+def test_cluster_name_counters_negative_sentinels(rng):
+    """-1 pad sentinels must count inside their OWN cluster (a naive
+    mixed-radix key would floor-divide them into the neighboring one)."""
+    name_idx = rng.integers(-1, 6, size=(300, 4))
+    u_preds = rng.integers(0, 5, size=300)
+    got = cluster_name_counters(name_idx, u_preds, top_k=4)
+    for c in np.unique(u_preds):
+        ref = Counter(int(x) for x in name_idx[u_preds == c].ravel())
+        assert got[int(c)] == ref.most_common(), f"cluster {c}"
+
+
+def test_vit_backbone_normalization_table():
+    """Each extraction backbone normalizes like its reference branch:
+    dino/gcd = CLIP preprocess (main_unsup.py:271), PASS ViT-S / ViT-T =
+    torchvision ImageNet (extract_features.py:109-127), vit_supervised =
+    timm-miil 0/1 (extract_features.py:143-163)."""
+    import jax.numpy as jnp
+
+    from scd_tpu.data.transforms import (CLIP_MEAN, CLIP_STD, IMAGENET_MEAN,
+                                         IMAGENET_STD)
+    from scd_tpu.pipelines.unsup import vit_feature_backbones
+
+    table = vit_feature_backbones()
+    x = jnp.asarray(np.full((1, 2, 2, 3), 128, np.uint8))
+    expect = {
+        "dino_vit": (128 / 255.0 - CLIP_MEAN) / CLIP_STD,
+        "gcd": (128 / 255.0 - CLIP_MEAN) / CLIP_STD,
+        "dino_vit_s": (128 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD,
+        "dino_vit_t": (128 / 255.0 - IMAGENET_MEAN) / IMAGENET_STD,
+        "vit_supervised": np.full(3, 128 / 255.0, np.float32),
+    }
+    widths = {"dino_vit": 768, "gcd": 768, "vit_supervised": 768,
+              "dino_vit_s": 384, "dino_vit_t": 192}
+    for name, (cfg_fn, normalize) in table.items():
+        np.testing.assert_allclose(np.asarray(normalize(x))[0, 0, 0],
+                                   expect[name], rtol=1e-6, err_msg=name)
+        assert cfg_fn().width == widths[name], name
+
+
 def test_assign_name_diagonal():
     counters = {
         0: [(10, 5), (11, 1)],
