@@ -41,6 +41,15 @@ def em_iteration(x: jnp.ndarray, centers: jnp.ndarray, k: int,
     if fused:
         from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
 
+        if k != centers.shape[0]:
+            # the kernel sizes its outputs from centers.shape[0]; pad with
+            # far sentinels (never win the argmin, zero sums/counts) so
+            # fused and XLA paths return identical [k]-shaped results
+            if k < centers.shape[0]:
+                raise ValueError(
+                    f"k={k} < centers rows {centers.shape[0]}")
+            centers = jnp.pad(centers, ((0, k - centers.shape[0]), (0, 0)),
+                              constant_values=1e15)
         return fused_em_step_pallas(
             x, centers, row_mask=row_w,
             interpret=jax.default_backend() != "tpu")

@@ -217,10 +217,17 @@ def topk_softmax_pallas(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
     old (1024, 2048) default needed 27 MB against the 16 MB scoped-VMEM
     limit and OOMed Mosaic on real hardware (caught by
     ``tests/test_pallas_on_tpu.py`` — interpret-mode CPU runs cannot see
-    it).  (512, 1024) uses ~9 MB and compiles on v5e.
+    it).  (512, 1024) uses ~9 MB and compiles on v5e.  ``topk_block_v``
+    picks a block_v from the same budget model for other (D, block_n).
     """
     n, d_dim = feats.shape
     v = weights.shape[1]
+    if v < k:
+        # the per-tile knockout would re-extract column 0 with fabricated
+        # values once real columns run out — fail loudly instead (the XLA
+        # path handles tiny vocabularies; classify_topk routes there)
+        raise ValueError(f"topk_softmax_pallas requires V >= k (V={v}, "
+                         f"k={k}); use the XLA path for tiny vocabularies")
     f32 = _pad_rows(feats, block_n)
     w32 = weights
     v_pad = _cdiv(v, block_v) * block_v
@@ -433,11 +440,27 @@ def fused_em_block_n(d: int, k: int):
     fixed centers term alone): callers fall back to the XLA two-pass
     path, which tiles freely.
     """
-    kp = -(-max(k, 1) // 128) * 128
+    kp = _cdiv(max(k, 1), 128) * 128
     fixed = 8 * kp * d
     for bn in (1024, 512, 256, 128):
         if fixed + 8 * bn * (d + kp) <= _EM_VMEM_BUDGET:
             return bn
+    return None
+
+
+def topk_block_v(d: int, block_n: int = 256):
+    """Largest safe vocabulary block for ``topk_softmax_pallas`` at
+    (D, block_n), from the kernel's documented VMEM model: ~3
+    [block_n, block_v] f32 working buffers + the [d, block_v] weight
+    block + the [block_n, d] feats block, under the same 14.5 MB budget
+    the EM kernel's measured boundary fitted (both kernels scope the
+    whole footprint in VMEM).  (256, 2048) at D=512 -> 8.9 MB, matching
+    the shipped geometry; D=1024 drops to block_v=1024.  Returns None if
+    even block_v=512 busts the budget — callers use the XLA path."""
+    fixed = 4 * block_n * d
+    for bv in (2048, 1024, 512):
+        if fixed + 4 * bv * (3 * block_n + d) <= _EM_VMEM_BUDGET:
+            return bv
     return None
 
 

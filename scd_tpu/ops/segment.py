@@ -74,14 +74,16 @@ def mstep_update(x: jnp.ndarray, labels: jnp.ndarray, k: int,
     if empty_policy == "farthest":
         if mindist is None:
             raise ValueError("empty_policy='farthest' requires mindist")
-        n_empty_slots = k  # static upper bound
-        # Rank points by distance to their centroid, descending; the i-th empty
-        # cluster steals the i-th farthest point.
-        order = jnp.argsort(-mindist)
+        # Rank points by distance to their centroid, descending; the i-th
+        # empty cluster steals the i-th farthest point.  Zero-weight rows
+        # (a sharded caller's padding) must never donate — their mindist
+        # can be huge precisely because they are garbage coordinates.
+        rank_key = mindist if weights is None else jnp.where(
+            weights > 0, mindist, -jnp.inf)
+        order = jnp.argsort(-rank_key)
         empty_rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # rank among empties
         donor_idx = order[jnp.clip(empty_rank, 0, x.shape[0] - 1)]
         donors = x[donor_idx].astype(jnp.float32)  # [K, D]
-        del n_empty_slots
         return jnp.where(empty[:, None], donors, means)
 
     raise ValueError(f"unknown empty_policy {empty_policy!r}")

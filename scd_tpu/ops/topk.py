@@ -39,11 +39,16 @@ def classify_topk(feats: jnp.ndarray, weights: jnp.ndarray, k: int,
     v = weights.shape[1]
     if (jax.default_backend() == "tpu" and v >= 8192
             and feats.shape[0] >= 256 and k <= 16):
-        from scd_tpu.ops.pallas_kernels import topk_softmax_pallas
+        from scd_tpu.ops.pallas_kernels import (
+            topk_block_v,
+            topk_softmax_pallas,
+        )
 
-        return topk_softmax_pallas(feats, weights, k, scale=scale,
-                                   block_n=256, block_v=2048,
-                                   apply_softmax=apply_softmax)
+        block_v = topk_block_v(feats.shape[1], block_n=256)
+        if block_v is not None:
+            return topk_softmax_pallas(feats, weights, k, scale=scale,
+                                       block_n=256, block_v=block_v,
+                                       apply_softmax=apply_softmax)
     return _classify_topk_xla(feats, weights, k, scale, apply_softmax)
 
 
@@ -101,7 +106,12 @@ def _sharded_topk_fn(mesh: Mesh, k: int, scale: float, apply_softmax: bool,
                      model_axis: str):
     """Cached shard_map+jit construction — rebuilding it per call would
     retrace and recompile the full multi-chip program every time."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+        _check_off = {"check_vma": False}
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
+        _check_off = {"check_rep": False}
 
     def shard_fn(f, w_local):
         return _sharded_topk_body.__wrapped__(f, w_local, k, scale,
@@ -111,7 +121,7 @@ def _sharded_topk_fn(mesh: Mesh, k: int, scale: float, apply_softmax: bool,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(None, model_axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        **_check_off,
     ))
 
 

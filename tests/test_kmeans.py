@@ -136,3 +136,24 @@ def test_fit_kmeans_from_labels_warm_start(blobs):
     assert nmi(y, res.labels) > nmi(y, noisy)
     assert nmi(y, res.labels) > 0.85
     assert res.inertia < np.inf
+
+
+def test_mstep_farthest_never_donates_padded_rows():
+    """Zero-weight (padded) rows have garbage coordinates and huge
+    mindist; the 'farthest' empty-cluster policy must not reseed empty
+    clusters from them."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.array([[10.0, 10.0], [10.1, 10.0], [10.0, 10.1],
+                              [9.9, 10.0], [0.0, 0.0], [0.0, 0.0]],
+                             np.float32))
+    labels = jnp.asarray(np.array([0, 0, 0, 0, 0, 0], np.int32))
+    weights = jnp.asarray(np.array([1, 1, 1, 1, 0, 0], np.float32))
+    prev = jnp.asarray(np.array([[10.0, 10.0], [50.0, 50.0], [60.0, 60.0]],
+                                np.float32))
+    mindist = jnp.sum((x - prev[labels]) ** 2, axis=1)
+    new = np.asarray(mstep_update(x, labels, 3, prev, mindist=mindist,
+                                  empty_policy="farthest", weights=weights))
+    # clusters 1 and 2 are empty; donors must come from the 4 real points
+    for row in new[1:]:
+        assert np.linalg.norm(row - np.array([10.0, 10.0])) < 1.0, row

@@ -253,3 +253,45 @@ def test_fused_em_block_n_vmem_model():
     assert fused_em_block_n(768, 1500) == 256   # (512 OOM'd)
     assert fused_em_block_n(48, 10) == 1024     # tiny test shapes
     assert fused_em_block_n(768, 20000) is None  # XLA fallback regime
+
+
+def test_topk_block_v_vmem_model():
+    """topk geometry chooser: shipped (256, 2048) at D=512 stays; wider
+    towers shrink block_v instead of OOMing scoped VMEM on hardware."""
+    from scd_tpu.ops.pallas_kernels import topk_block_v
+
+    assert topk_block_v(512) == 2048   # the measured-good shipped geometry
+    assert topk_block_v(768) == 2048
+    assert topk_block_v(1024) >= 1024  # ViT-L-class width still compiles
+    assert topk_block_v(4096, block_n=1024) is None  # XLA fallback
+
+
+def test_topk_pallas_rejects_vocab_smaller_than_k():
+    from scd_tpu.ops.pallas_kernels import topk_softmax_pallas
+
+    feats = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)),
+                        jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal((8, 3)),
+                    jnp.float32)
+    with pytest.raises(ValueError, match="V >= k"):
+        topk_softmax_pallas(feats, w, k=5, interpret=True)
+
+
+def test_em_iteration_fused_pads_k_like_xla():
+    """em_iteration(k > centers rows): the fused path must return the same
+    [k]-shaped sums/counts the XLA path does (it pads centers with far
+    sentinels), not silently size outputs from centers.shape[0]."""
+    from scd_tpu.ops.em import em_iteration
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((256, 8)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    lab_f, sums_f, cnt_f, in_f = em_iteration(x, c, k=6, fused=True)
+    lab_x, sums_x, cnt_x, in_x = em_iteration(x, c, k=6, fused=False)
+    assert sums_f.shape == sums_x.shape == (6, 8)
+    assert cnt_f.shape == (6,)
+    np.testing.assert_array_equal(np.asarray(lab_f), np.asarray(lab_x))
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_x))
+    np.testing.assert_allclose(np.asarray(sums_f), np.asarray(sums_x),
+                               atol=1e-3)
+    np.testing.assert_allclose(float(in_f), float(in_x), rtol=1e-4)

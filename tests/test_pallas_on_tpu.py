@@ -51,7 +51,7 @@ def test_topk_softmax_pallas_on_chip_matches_xla():
     import jax.numpy as jnp
 
     from scd_tpu.ops.pallas_kernels import topk_softmax_pallas
-    from scd_tpu.ops.topk import classify_topk
+    from scd_tpu.ops.topk import _classify_topk_xla
 
     key = jax.random.PRNGKey(1)
     kf, kw = jax.random.split(key)
@@ -60,10 +60,26 @@ def test_topk_softmax_pallas_on_chip_matches_xla():
     w = jax.random.normal(kw, (512, 9000), jnp.float32)
     w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
     vals_p, idx_p = topk_softmax_pallas(feats, w, k=5)
-    vals_x, idx_x = classify_topk(feats, w, 5)
-    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    # compare against the XLA implementation DIRECTLY: classify_topk's
+    # dispatch routes these shapes to the Pallas kernel on TPU, which
+    # would make this test compare the kernel with itself
+    vals_x, idx_x = _classify_topk_xla(feats, w, 5)
+    idx_p, idx_x = np.asarray(idx_p), np.asarray(idx_x)
     np.testing.assert_allclose(np.asarray(vals_p), np.asarray(vals_x),
                                rtol=2e-4, atol=2e-5)
+    # The kernel runs the matmul at Precision.HIGHEST, the XLA path at
+    # HIGH (bf16x3): near-tie logit pairs may legitimately rank either
+    # way (~2/10240 observed).  Every disagreement must be an actual
+    # near-tie against exact f64 logits; anything else is a kernel bug.
+    mism = idx_p != idx_x
+    assert mism.mean() < 1e-3, f"too many rank flips: {mism.sum()}"
+    if mism.any():
+        logits64 = 100.0 * (np.asarray(feats, np.float64)
+                            @ np.asarray(w, np.float64))
+        rows, cols = np.nonzero(mism)
+        gap = np.abs(logits64[rows, idx_p[rows, cols]]
+                     - logits64[rows, idx_x[rows, cols]])
+        assert gap.max() < 1e-3, f"non-tie rank flip, logit gap {gap.max()}"
 
 
 def test_fused_em_step_on_chip_matches_xla():
