@@ -117,6 +117,18 @@ def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
     return np.asarray(labels), float(inertia)
 
 
+def _normalized_device(all_feats):
+    """L2-normalized device-resident f32 features, without a host
+    round-trip for inputs already on device (``_device_f32``)."""
+    import jax.numpy as jnp
+
+    from scd_tpu.cluster.kmeans import _device_f32
+
+    x = _device_f32(all_feats)
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                           1e-12)
+
+
 def labelled_acc_objective_dynamic(all_feats: np.ndarray,
                                    targets: np.ndarray,
                                    mask_lab: np.ndarray, max_k: int,
@@ -128,9 +140,11 @@ def labelled_acc_objective_dynamic(all_feats: np.ndarray,
     TPU path, where per-K recompiles would dominate the search."""
     import jax
 
-    all_feats = np.asarray(all_feats, np.float32)
-    all_feats = all_feats / np.maximum(
-        np.linalg.norm(all_feats, axis=-1, keepdims=True), 1e-12)
+    # normalize AND stage to device ONCE: the search probes the objective
+    # ~3+log2(max_k) times, and re-uploading [N, D] per probe (or
+    # np.asarray-fetching a device-resident input, CLAUDE.md rule 3)
+    # costs seconds per probe through the ~50 MB/s tunnel
+    all_feats = _normalized_device(all_feats)
     mask_lab = np.asarray(mask_lab, bool)
     targets = np.asarray(targets, np.int64)
 
@@ -149,9 +163,7 @@ def labelled_acc_objective(all_feats: np.ndarray, targets: np.ndarray,
                            seed: int = 0) -> Callable[[int], float]:
     """Objective(K) = clustering ACC measured on labelled instances only
     (reference ``test_kmeans``, ``estimate_k.py:41-100``)."""
-    all_feats = np.asarray(all_feats, np.float32)
-    norm = np.linalg.norm(all_feats, axis=-1, keepdims=True)
-    all_feats = all_feats / np.maximum(norm, 1e-12)
+    all_feats = _normalized_device(all_feats)  # once, not per probe
     mask_lab = np.asarray(mask_lab, bool)
     targets = np.asarray(targets, np.int64)
 

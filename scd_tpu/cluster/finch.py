@@ -27,7 +27,7 @@ import scipy.sparse as sp
 
 
 @jax.jit
-def _block_nn_cosine(rows, xn, row_idx):
+def _block_nn_cosine(rows, xn, row_idx, n_valid):
     import jax.numpy as jnp
 
     # full f32 precision: the TPU bf16-pass default perturbs similarities
@@ -35,17 +35,21 @@ def _block_nn_cosine(rows, xn, row_idx):
     sim = jnp.matmul(rows, xn.T,
                      precision=jax.lax.Precision.HIGHEST)  # [B, N]
     d = 1.0 - sim
+    # bucket-padding columns must never win (zero-pad rows sit at cosine
+    # distance 1.0, which CAN beat real distances > 1)
+    d = jnp.where(jnp.arange(xn.shape[0])[None, :] < n_valid, d, jnp.inf)
     d = d.at[jnp.arange(rows.shape[0]), row_idx].set(jnp.inf)
     return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
 
 
 @jax.jit
-def _block_nn_l2(rows, xj, row_idx):
+def _block_nn_l2(rows, xj, row_idx, n_valid):
     import jax.numpy as jnp
 
     from scd_tpu.ops.distance import pairwise_sqdist
 
     d = jnp.sqrt(pairwise_sqdist(rows, xj))
+    d = jnp.where(jnp.arange(xj.shape[0])[None, :] < n_valid, d, jnp.inf)
     d = d.at[jnp.arange(rows.shape[0]), row_idx].set(jnp.inf)
     return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
 
@@ -56,14 +60,21 @@ def first_neighbors(x: np.ndarray, distance: str = "cosine",
 
     The dataset is a jit ARGUMENT (a closure would bake it into the HLO as
     a constant — catastrophic on the remote-compile path at dataset scale),
-    the jitted kernels live at module level so every FINCH merge level
-    reuses the same executables, and self-distance is masked with inf (a
-    finite sentinel mislabels points whose true 1-NN distance exceeds it).
+    the jitted kernels live at module level, and N is padded up to a
+    power-of-two bucket (padding masked in-kernel) so the deep FINCH merge
+    hierarchy compiles O(log N) executables instead of one per level —
+    each level shrinks N, and an exact-shape jit would pay a remote
+    compile (60-300 s observed) per level.  Self-distance is masked with
+    inf (a finite sentinel mislabels points whose true 1-NN distance
+    exceeds it).
     """
     import jax.numpy as jnp
 
     x = np.asarray(x, np.float32)
     n = x.shape[0]
+    n_pad = max(256, 1 << (n - 1).bit_length())  # power-of-two bucket
+    if n_pad != n:
+        x = np.pad(x, ((0, n_pad - n), (0, 0)))
     xj = jnp.asarray(x)
     if distance == "cosine":
         src = xj / jnp.maximum(jnp.linalg.norm(xj, axis=1, keepdims=True),
@@ -77,11 +88,14 @@ def first_neighbors(x: np.ndarray, distance: str = "cosine",
 
     nn = np.empty(n, np.int64)
     nd = np.empty(n, np.float32)
+    n_valid = jnp.int32(n)
     for start in range(0, n, block):
-        stop = min(start + block, n)
-        idx, dist = block_nn(src[start:stop], src, jnp.arange(start, stop))
-        nn[start:stop] = np.asarray(idx)
-        nd[start:stop] = np.asarray(dist)
+        stop = min(start + block, n_pad)
+        idx, dist = block_nn(src[start:stop], src,
+                             jnp.arange(start, stop), n_valid)
+        keep = min(stop, n) - start
+        nn[start:start + keep] = np.asarray(idx)[:keep]
+        nd[start:start + keep] = np.asarray(dist)[:keep]
     return nn, nd
 
 

@@ -42,11 +42,21 @@ def _match_missing(miss_names: List[str], candidate_names: List[str],
         return [candidate_names[i] for i in top1]
     order = np.argsort(-logits, axis=1)
     matched: List[str] = []
+    used = set()
     for i in range(len(miss_names)):
-        j = 0
-        while candidate_names[order[i, j]] in matched:
-            j += 1
-        matched.append(candidate_names[order[i, j]])
+        # uniqueness tracks candidate COLUMNS, not name strings: duplicate
+        # candidate names would otherwise all be excluded after one use,
+        # and the scan must not run past the candidate axis
+        for j in range(order.shape[1]):
+            col = int(order[i, j])
+            if col not in used:
+                used.add(col)
+                matched.append(candidate_names[col])
+                break
+        else:
+            # more missing names than candidates: fall back to the best
+            # (non-unique) match rather than IndexError-ing mid-resolution
+            matched.append(candidate_names[int(order[i, 0])])
     return matched
 
 

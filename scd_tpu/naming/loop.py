@@ -112,8 +112,10 @@ def gather_weight_columns(weights, cols_idx):
 
     cols_idx = np.asarray(cols_idx, np.int32)
     if isinstance(weights, jax.Array):
-        return jnp.take(weights.astype(jnp.float32),
-                        jnp.asarray(cols_idx), axis=1)
+        # gather THEN cast: casting first would materialize a full f32
+        # copy of the [D, V] matrix on device for non-f32 inputs
+        return jnp.take(weights, jnp.asarray(cols_idx),
+                        axis=1).astype(jnp.float32)
     return np.asarray(weights, np.float32)[:, cols_idx]
 
 
@@ -357,8 +359,18 @@ def voting_loop_ptsup(nouns: Sequence[str],
             # every image reclassified into a labelled name (or all unlab
             # histograms were pruned away): nothing left to vote on —
             # terminate with the labelled names as the candidate set
-            # (the reference would crash on a zero-size vote matrix here)
-            cand_names = cand_names or sorted(lab_names)
+            # (the reference would crash on a zero-size vote matrix here).
+            # u_preds must index the RETURNED cand_names: on a first-
+            # iteration break they are still the caller's raw cluster ids,
+            # so reclassify against the final candidate list (and report
+            # the labelled columns) before returning.
+            if not cand_names:
+                cand_names = sorted(lab_names)
+                u_preds = _reclassify(clip_u_feats, zeroshot_weights,
+                                      [noun_to_col[n] for n in cand_names],
+                                      cfg.logit_scale)
+                name_pos = {n: i for i, n in enumerate(cand_names)}
+                lab_class_index = [name_pos[n] for n in lab_names]
             break
 
         voted_idx = sorted({n for e in counters.values()

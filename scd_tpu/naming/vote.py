@@ -108,7 +108,13 @@ def assign_name(unique_name_idx: Sequence[int],
     w = np.zeros((D, D), dtype=np.int64)
     for i, c in enumerate(clusters):
         for name_idx, cnt in cluster_to_counter[c][:num_common]:
-            w[i, unameidx_to_newidx[name_idx]] += cnt
+            # entries past the candidate pool occur when num_common >
+            # num_common_vote (both are independent config knobs): votes
+            # for names outside the pool simply don't count, rather than
+            # KeyError-ing the round
+            col = unameidx_to_newidx.get(name_idx)
+            if col is not None:
+                w[i, col] += cnt
     ind = linear_assignment(w.max() - w)
     return ind, w
 

@@ -28,7 +28,6 @@ from __future__ import annotations
 import math
 import os
 from collections import defaultdict
-from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -137,9 +136,17 @@ class Taxonomy:
         self._depth = max(d(i) for i in range(n))
         return self._depth
 
-    @lru_cache(maxsize=200_000)
     def _ancestor_distances(self, i: int) -> Dict[int, int]:
-        """BFS distances from synset i to each hypernym ancestor (incl. self)."""
+        """BFS distances from synset i to each hypernym ancestor (incl. self).
+
+        Memoized in a per-instance dict — an ``lru_cache`` on the method
+        would key on ``self`` and pin every Taxonomy ever queried (a full
+        WordNet instance is ~82k synsets) for the process lifetime, while
+        two corpora would compete for one shared LRU."""
+        cache = self.__dict__.setdefault("_ancestor_cache", {})
+        hit = cache.get(i)
+        if hit is not None:
+            return hit
         dist = {i: 0}
         frontier = [i]
         while frontier:
@@ -151,6 +158,7 @@ class Taxonomy:
                         dist[h] = nd
                         nxt.append(h)
             frontier = nxt
+        cache[i] = dist
         return dist
 
     def shortest_path_distance(self, i: int, j: int) -> Optional[int]:

@@ -458,3 +458,39 @@ def test_assign_name_logits_weights_by_score():
     ind, w = assign_name_logits([5, 6, 7, 8], counters, num_common=2)
     row0 = [c for r, c in ind if r == 0][0]
     assert [5, 6, 7, 8][row0] == 6  # confidence outvotes count
+
+
+def test_assign_name_votes_outside_pool_are_dropped():
+    """num_common_linear > num_common_vote is a legal config pair: votes
+    for names missing from the candidate pool must not KeyError."""
+    counters = {
+        0: [(10, 5), (99, 3), (11, 1)],  # 99 not in the pool
+        1: [(11, 4), (10, 2)],
+    }
+    ind, w = assign_name([10, 11], counters, num_common=3)
+    assert dict(ind) == {0: 0, 1: 1}
+    assert w[0].sum() == 6  # the 3 votes for name 99 did not count
+
+
+def test_ptsup_first_iteration_break_reclassifies():
+    """When every image starts in a labelled cluster (empty unlab set),
+    the loop terminates immediately — but u_preds must index the RETURNED
+    cand_names, not echo the caller's raw cluster ids."""
+    rng = np.random.default_rng(5)
+    k, v, d, n = 6, 60, 16, 300
+    w = rng.standard_normal((d, v)).astype(np.float32)
+    w /= np.linalg.norm(w, axis=0, keepdims=True)
+    lab_names = [f"name_{i}" for i in range(k)]
+    nouns = [f"name_{i}" for i in range(v)]
+    feats = w[:, rng.integers(0, k, n)].T.copy()
+    name_idx = rng.integers(0, v, (n, 5))
+    from scd_tpu.naming.loop import voting_loop_ptsup
+
+    cfg = NamingConfig(topk=5, num_common_vote=5, num_common_linear=4)
+    # raw init ids deliberately out of range of the k labelled names
+    res = voting_loop_ptsup(nouns, name_idx, feats, w,
+                            rng.integers(40, 50, n), [], lab_names, k, cfg)
+    assert res.cand_names == sorted(lab_names)
+    assert res.u_preds.max() < len(res.cand_names)
+    assert res.u_preds.min() >= 0
+    assert sorted(res.lab_class_index) == list(range(k))
