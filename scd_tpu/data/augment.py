@@ -14,81 +14,126 @@ an explicit ``np.random.Generator`` — the reference uses the global
 
 from __future__ import annotations
 
+import itertools
+import threading
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 
 
-# ------------------------------------------------------------- op bank
+class ThreadRng:
+    """Per-thread ``np.random.Generator`` factory.
 
-def _shear_x(img, v):
+    numpy Generators are NOT thread-safe, and the loaders map transforms
+    across a ``ThreadPoolExecutor`` — one shared generator either corrupts
+    its bit-generator state or hands racing threads identical draws
+    (duplicate crops/flips).  Each thread gets its own generator seeded
+    ``(seed, thread_index)``; runs are bit-reproducible per thread, and
+    exactly reproducible end-to-end at ``num_workers=1``.
+    """
+
+    def __init__(self, seed: int):
+        self._seed = int(seed)
+        self._local = threading.local()
+        self._counter = itertools.count()
+        self._lock = threading.Lock()
+
+    def get(self) -> np.random.Generator:
+        rng = getattr(self._local, "rng", None)
+        if rng is None:
+            with self._lock:
+                k = next(self._counter)
+            rng = np.random.default_rng((self._seed, k))
+            self._local.rng = rng
+        return rng
+
+
+# ------------------------------------------------------------- op bank
+# Geometric ops negate their magnitude with p=0.5, exactly like the
+# reference bank (``randaugment.py:13-62`` — without it every rotation
+# spins one way and every shear/translate pushes one fixed direction).
+
+def _shear_x(img, v, rng):
+    if rng.random() > 0.5:
+        v = -v
     return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
 
 
-def _shear_y(img, v):
+def _shear_y(img, v, rng):
+    if rng.random() > 0.5:
+        v = -v
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0))
 
 
-def _translate_x_abs(img, v):
+def _translate_x_abs(img, v, rng):
+    if rng.random() > 0.5:
+        v = -v
     return img.transform(img.size, Image.AFFINE, (1, 0, v, 0, 1, 0))
 
 
-def _translate_y_abs(img, v):
+def _translate_y_abs(img, v, rng):
+    if rng.random() > 0.5:
+        v = -v
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
 
 
-def _rotate(img, v):
+def _rotate(img, v, rng):
+    if rng.random() > 0.5:
+        v = -v
     return img.rotate(v)
 
 
-def _auto_contrast(img, _v):
+def _auto_contrast(img, _v, _rng):
     return ImageOps.autocontrast(img)
 
 
-def _invert(img, _v):
+def _invert(img, _v, _rng):
     return ImageOps.invert(img)
 
 
-def _equalize(img, _v):
+def _equalize(img, _v, _rng):
     return ImageOps.equalize(img)
 
 
-def _solarize(img, v):
+def _solarize(img, v, _rng):
     return ImageOps.solarize(img, v)
 
 
-def _solarize_add(img, addition, threshold=128):
-    arr = np.asarray(img).astype(np.int64)
-    lut = arr + int(addition)
-    arr = np.where(arr < threshold, np.clip(lut, 0, 255), arr)
-    return Image.fromarray(arr.astype(np.uint8))
+def _solarize_add(img, addition, _rng, threshold=128):
+    # reference SolarizeAdd (randaugment.py:86-93): add to ALL pixels,
+    # clip, THEN solarize at the threshold (inverting bright pixels) —
+    # not an add restricted to the below-threshold range
+    arr = np.clip(np.asarray(img).astype(np.int64) + int(addition),
+                  0, 255).astype(np.uint8)
+    return ImageOps.solarize(Image.fromarray(arr), threshold)
 
 
-def _posterize(img, v):
+def _posterize(img, v, _rng):
     return ImageOps.posterize(img, max(1, int(v)))
 
 
-def _color(img, v):
+def _color(img, v, _rng):
     return ImageEnhance.Color(img).enhance(v)
 
 
-def _contrast(img, v):
+def _contrast(img, v, _rng):
     return ImageEnhance.Contrast(img).enhance(v)
 
 
-def _brightness(img, v):
+def _brightness(img, v, _rng):
     return ImageEnhance.Brightness(img).enhance(v)
 
 
-def _sharpness(img, v):
+def _sharpness(img, v, _rng):
     return ImageEnhance.Sharpness(img).enhance(v)
 
 
 def _cutout_abs(img, v, rng: Optional[np.random.Generator] = None):
     if v < 0:
         return img
-    rng = rng or np.random.default_rng()
+    if rng is None:  # direct callers without a generator
+        rng = np.random.default_rng()
     w, h = img.size
     x0 = int(max(0, rng.uniform(0, w) - v / 2.0))
     y0 = int(max(0, rng.uniform(0, h) - v / 2.0))
@@ -130,18 +175,16 @@ class RandAugment:
                  augment_list: Optional[Sequence] = None):
         self.n = n
         self.m = m
-        self.rng = np.random.default_rng(seed)
+        self._rng = ThreadRng(seed)
         self.augment_list = list(augment_list or AUGMENT_LIST)
 
     def __call__(self, img: Image.Image) -> Image.Image:
-        idxs = self.rng.integers(0, len(self.augment_list), size=self.n)
+        rng = self._rng.get()
+        idxs = rng.integers(0, len(self.augment_list), size=self.n)
         for i in idxs:
             op, minval, maxval = self.augment_list[int(i)]
             val = (float(self.m) / 30.0) * float(maxval - minval) + minval
-            if op is _cutout_abs:
-                img = op(img, val, rng=self.rng)
-            else:
-                img = op(img, val)
+            img = op(img, val, rng)
         return img
 
 
@@ -149,11 +192,12 @@ def cutout(mask_size: int, p: float, cutout_inside: bool,
            mask_color=(0, 0, 0), seed: int = 0):
     """Array-level cutout closure (reference ``cut_out.py:8-40``): with
     probability ``p`` zero a ``mask_size``² square at a random center."""
-    rng = np.random.default_rng(seed)
+    thread_rng = ThreadRng(seed)
     half = mask_size // 2
     offset = 1 if mask_size % 2 == 0 else 0
 
     def _cutout(image):
+        rng = thread_rng.get()
         image = np.asarray(image).copy()
         if rng.random() > p:
             return image

@@ -132,87 +132,133 @@ def _rand_resized_crop(img: Image.Image, size: int, rng: np.random.Generator,
     return _center_crop(_resize_short(img, size), size)
 
 
-def _color_jitter(x: np.ndarray, rng: np.random.Generator,
-                  brightness=0.4, contrast=0.4, saturation=0.4) -> np.ndarray:
-    b = rng.uniform(1 - brightness, 1 + brightness)
-    c = rng.uniform(1 - contrast, 1 + contrast)
-    s = rng.uniform(1 - saturation, 1 + saturation)
-    x = np.clip(x * b, 0, 1)
-    mean = x.mean()
-    x = np.clip((x - mean) * c + mean, 0, 1)
-    grey = x.mean(axis=-1, keepdims=True)
-    return np.clip((x - grey) * s + grey, 0, 1)
+def _padded_random_crop(arr: np.ndarray, size: int, pad: int,
+                        rng) -> np.ndarray:
+    """torchvision RandomCrop(size, padding=pad) over a uint8 HWC array."""
+    if pad:
+        arr = np.pad(arr, ((pad, pad), (pad, pad), (0, 0)), mode="constant")
+    top = int(rng.integers(0, max(arr.shape[0] - size, 0) + 1))
+    left = int(rng.integers(0, max(arr.shape[1] - size, 0) + 1))
+    return arr[top:top + size, left:left + size]
 
 
 def get_transform(name: str = "imagenet", image_size: int = 224,
                   crop_pct: float = 0.875, train: bool = False,
                   seed: int = 0, rand_aug: "tuple | None" = None,
-                  cutout_p: float = 1.0):
-    """Train/eval transforms (reference ``get_transform``,
-    ``gcd/data/augmentations/__init__.py:5-107``); pass ``train=True`` for
-    the augmenting variant.  ``rand_aug=(n, m)`` prepends RandAugment to the
-    train pipeline (reference :99); ``name='cutout'`` applies a
-    half-image-size cutout after augmentation (reference :66-80)."""
+                  cutout_p: float = 1.0,
+                  herbarium_lower_bound: float = 0.5):
+    """Train/eval transforms, matching the reference per family
+    (``gcd/data/augmentations/__init__.py:5-107``):
+
+    - ``imagenet``: Resize(size/crop_pct) + RandomCrop + flip, ImageNet
+      stats (the reference's ColorJitter() carries zero-strength defaults
+      and is a no-op, :18);
+    - ``cifar``: RandomCrop(pad 4) + flip, pytorch-cifar stats (:36-44);
+    - ``cutout``: RandomCrop(pad 4) + flip + half-size cutout, CIFAR
+      mean with the 0.2470/0.2435/0.2616 std of the cutout family
+      (:66-84 — a DIFFERENT std than the pytorch-cifar family);
+    - ``herbarium``: square resize + RandomResizedCrop(scale (lb, 1)) +
+      flip, NO normalization (:52-64 stops at ToTensor);
+    - ``rand_aug=(n, m)``: the reference's 'rand-augment' family —
+      RandAugment, square resize, RandomCrop(pad 4), flip, ImageNet
+      stats (:86-106).
+
+    All randomness flows through per-thread seeded generators
+    (``augment.ThreadRng``) — the loaders map these across thread pools.
+    """
     if name not in ("imagenet", "cifar", "herbarium", "cutout"):
         raise ValueError(f"unknown transform family {name!r}")
+    from scd_tpu.data.augment import ThreadRng
+
     mean, std = IMAGENET_MEAN, IMAGENET_STD
     if name == "cifar":  # pytorch-cifar stats (reference :36-38)
         mean = np.array([0.4914, 0.4822, 0.4465], np.float32)
         std = np.array([0.2023, 0.1994, 0.2010], np.float32)
-    rng = np.random.default_rng(seed)
+    elif name == "cutout":  # the cutout family's own stats (:77-78)
+        mean = np.array([0.4914, 0.4822, 0.4465], np.float32)
+        std = np.array([0.2470, 0.2435, 0.2616], np.float32)
+    thread_rng = ThreadRng(seed)
 
     if not train:
         def eval_fn(img) -> np.ndarray:
             img = _ensure_pil(img)
-            if name == "cifar":  # reference resizes square, no crop (:47)
+            if name in ("cifar", "cutout", "herbarium"):
+                # reference eval resizes square, no crop (:47,:82,:61)
                 im = img.convert("RGB").resize((image_size, image_size),
                                                Image.BICUBIC)
             else:
                 im = _center_crop(
                     _resize_short(img, int(image_size / crop_pct)),
                     image_size)
-            return _normalize(_to_float(im), mean, std)
+            x = _to_float(im)
+            if name == "herbarium":  # reference stops at ToTensor (:61-64)
+                return x
+            return _normalize(x, mean, std)
 
         return eval_fn
 
-    if name == "cifar":
-        # random crop with 4px padding + flip (reference :40-44)
+    if name in ("cifar", "cutout"):
+        cut = None
+        if name == "cutout":
+            from scd_tpu.data.augment import cutout
+            cut = cutout(mask_size=image_size // 2, p=cutout_p,
+                         cutout_inside=False, seed=seed)
+
+        # random crop with 4px padding + flip (reference :40-44,:71-79)
         def cifar_train_fn(img) -> np.ndarray:
+            rng = thread_rng.get()
             img = _ensure_pil(img).convert("RGB")
-            arr = np.asarray(img, np.uint8)
-            arr = np.pad(arr, ((4, 4), (4, 4), (0, 0)), mode="constant")
-            top = int(rng.integers(0, arr.shape[0] - image_size + 1))
-            left = int(rng.integers(0, arr.shape[1] - image_size + 1))
-            x = arr[top:top + image_size, left:left + image_size]
-            x = x.astype(np.float32) / 255.0
+            arr = _padded_random_crop(np.asarray(img, np.uint8),
+                                      image_size, 4, rng)
+            x = arr.astype(np.float32) / 255.0
             if rng.random() < 0.5:
                 x = x[:, ::-1]
-            return _normalize(np.ascontiguousarray(x), mean, std)
+            x = _normalize(np.ascontiguousarray(x), mean, std)
+            if cut is not None:
+                x = cut(x)
+            return x
 
         return cifar_train_fn
+
+    if name == "herbarium":
+        # square resize + RandomResizedCrop + flip, no normalize (:52-59)
+        def herbarium_train_fn(img) -> np.ndarray:
+            rng = thread_rng.get()
+            img = _ensure_pil(img).convert("RGB").resize(
+                (image_size, image_size), Image.BICUBIC)
+            im = _rand_resized_crop(img, image_size, rng,
+                                    scale=(herbarium_lower_bound, 1.0))
+            x = _to_float(im)
+            if rng.random() < 0.5:
+                x = x[:, ::-1]
+            return np.ascontiguousarray(x)
+
+        return herbarium_train_fn
 
     randaug = None
     if rand_aug is not None:
         from scd_tpu.data.augment import RandAugment
         randaug = RandAugment(int(rand_aug[0]), int(rand_aug[1]), seed=seed)
 
-    cut = None
-    if name == "cutout":
-        from scd_tpu.data.augment import cutout
-        cut = cutout(mask_size=image_size // 2, p=cutout_p,
-                     cutout_inside=False, seed=seed)
-
     def train_fn(img) -> np.ndarray:
-        img = _ensure_pil(img)
+        rng = thread_rng.get()
+        img = _ensure_pil(img).convert("RGB")
         if randaug is not None:
-            img = randaug(img.convert("RGB"))
-        im = _rand_resized_crop(img, image_size, rng)
-        x = _to_float(im)
+            # the reference 'rand-augment' family: RandAugment then
+            # square resize + RandomCrop(pad 4) (:86-99)
+            img = randaug(img)
+            img = img.resize((image_size, image_size), Image.BICUBIC)
+            arr = _padded_random_crop(np.asarray(img, np.uint8),
+                                      image_size, 4, rng)
+        else:
+            # the reference 'imagenet' family: Resize(size/crop_pct) +
+            # RandomCrop (no padding), no jitter (:14-23)
+            img = _resize_short(img, int(image_size / crop_pct))
+            arr = _padded_random_crop(np.asarray(img, np.uint8),
+                                      image_size, 0, rng)
+        x = arr.astype(np.float32) / 255.0
         if rng.random() < 0.5:
             x = x[:, ::-1]
-        x = _color_jitter(x, rng)
-        if cut is not None:
-            x = cut(x)
         return _normalize(np.ascontiguousarray(x), mean, std)
 
     return train_fn

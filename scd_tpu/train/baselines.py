@@ -28,16 +28,29 @@ import jax.numpy as jnp
 # ------------------------------------------------------------------ UNO v2
 
 def sinkhorn_knopp(logits: jnp.ndarray, n_iters: int = 3,
-                   epsilon: float = 0.05) -> jnp.ndarray:
+                   epsilon: float = 0.05,
+                   row_mask: jnp.ndarray = None) -> jnp.ndarray:
     """SwAV-style equality-constrained pseudo-labels (reference
     ``uno_v2.py:72,113-121``).  logits [B, K] -> soft targets [B, K] whose
-    rows sum to 1 and columns balance to B/K."""
+    rows sum to 1 and columns balance to B_eff/K.
+
+    ``row_mask`` [B] (1 = participate) restricts the transport problem to
+    a subset of rows with STATIC shapes — the reference slices
+    ``logits_unlab[..., ~mask_lab]`` before sk (uno_v2.py:118): excluded
+    rows carry zero mass (their returned rows are zeros) and B_eff is the
+    participating-row count, so the balanced-assignment constraint holds
+    among exactly the rows the reference constrains."""
     z = logits.astype(jnp.float32) / epsilon
     # max-shift before exp: unshifted exp overflows f32 for |logit| > ~4.4
     # at the default epsilon; the shift cancels in the first normalization
     q = jnp.exp(z - jnp.max(z)).T  # [K, B]
-    b = q.shape[1]
     k = q.shape[0]
+    if row_mask is None:
+        b = q.shape[1]
+    else:
+        mask = row_mask.astype(q.dtype)
+        q = q * mask[None, :]
+        b = jnp.maximum(jnp.sum(mask), 1.0)
     q = q / jnp.maximum(jnp.sum(q), 1e-12)
 
     def body(_, q):
@@ -119,12 +132,18 @@ def uno_targets(logits_unlab: jnp.ndarray, labels: jnp.ndarray,
                 sk_iters: int = 3, sk_epsilon: float = 0.05) -> jnp.ndarray:
     """Targets [V, H, B, nlc+P]: labelled rows one-hot in the first nlc
     columns; unlabelled rows get Sinkhorn pseudo-labels over the prototype
-    block (reference ``uno_v2.py:104-121``)."""
+    block.  Sinkhorn runs on the UNLABELLED rows only (the reference
+    slices ``logits_unlab[v, h, ~mask_lab]`` before sk, uno_v2.py:115-121)
+    — with labelled rows in the transport problem they would absorb
+    cluster mass and the surviving unlabelled pseudo-labels would no
+    longer be balance-constrained among themselves."""
     v, h, b, p = logits_unlab.shape
     one_hot_lab = jax.nn.one_hot(labels, n_labeled_classes)
+    unlab_mask = jnp.logical_not(mask_lab)
 
     def per_vh(lg):  # [B, P]
-        pseudo = sinkhorn_knopp(lg, sk_iters, sk_epsilon)
+        pseudo = sinkhorn_knopp(lg, sk_iters, sk_epsilon,
+                                row_mask=unlab_mask)
         lab_part = jnp.where(mask_lab[:, None], one_hot_lab, 0.0)
         unlab_part = jnp.where(mask_lab[:, None], 0.0, pseudo)
         return jnp.concatenate([lab_part, unlab_part], axis=-1)
@@ -159,9 +178,12 @@ def pairwise_bce(prob1: jnp.ndarray, prob2: jnp.ndarray,
 
 
 class TwoHeadClassifier(nn.Module):
-    """Feature trunk head with labelled/unlabelled output heads (the
-    AutoNovel two-head pattern, ``auto_novel_utils.py:45-87``; the reference
-    backbone is a ResNet/ViT — here any [B, D] feature batch works)."""
+    """Feature trunk with the reference's two output heads
+    (``rerun_autonovel.py:339``: ``ResNet(..., nlc + nuc, nuc)``): head1
+    spans ALL classes — it receives the labelled CE, the pairwise BCE,
+    and is the eval head; head2 (novel classes only) exists for arch
+    parity but the ranking-stats objective never touches it, exactly as
+    the reference's train loop discards ``output2``."""
 
     num_labeled: int
     num_unlabeled: int
@@ -171,23 +193,32 @@ class TwoHeadClassifier(nn.Module):
     def __call__(self, feats):
         x = nn.Dense(self.hidden_dim, name="trunk")(feats)
         x = nn.relu(x)
-        out1 = nn.Dense(self.num_unlabeled, name="head_unlab")(x)
-        out2 = nn.Dense(self.num_labeled, name="head_lab")(x)
+        out1 = nn.Dense(self.num_labeled + self.num_unlabeled,
+                        name="head1")(x)
+        out2 = nn.Dense(self.num_unlabeled, name="head2")(x)
         return out1, out2, x
 
 
 def autonovel_loss(output1: jnp.ndarray, output1_bar: jnp.ndarray,
-                   output2: jnp.ndarray, feats: jnp.ndarray,
+                   feats: jnp.ndarray,
                    labels: jnp.ndarray, mask_lab: jnp.ndarray,
                    rampup_weight: float, topk: int = 5,
                    kl_weight: float = 0.0) -> Dict[str, jnp.ndarray]:
-    """The AutoNovel objective (reference ``rerun_autonovel.py:55-84``):
-    CE on labelled (second head), pairwise ranking-stats BCE on the
-    unlabelled head across two views, MSE consistency, uniform-KL.
+    """The AutoNovel objective (reference ``rerun_autonovel.py:55-84``)
+    on the all-classes head: CE on labelled rows, pairwise ranking-stats
+    BCE across two views over the full batch, MSE consistency, uniform-KL.
 
-    ``feats`` must be the FROZEN backbone features (the ranking-statistics
-    pseudo-labels are only meaningful on a fixed representation — the
-    reference computes them on the frozen extractor, rerun_autonovel.py:64).
+    ``feats`` must be the DETACHED trunk features (the ranking-statistics
+    pseudo-labels come from ``rank_feat = feat.detach()``,
+    rerun_autonovel.py:66).
+
+    ``kl_weight`` note: the reference passes PROBABILITIES to
+    ``F.kl_div`` (which expects log-probabilities,
+    rerun_autonovel.py:83), making its KL term a CONSTANT with zero
+    gradient — so the reference's kl_div_loss=0.5 has no training effect
+    and our default 0.0 matches its effective objective.  Setting
+    kl_weight > 0 here enables a real collapse regularizer (KL of the
+    batch-mean prediction to uniform).
     """
     prob1 = jax.nn.softmax(output1, axis=1)
     prob1_bar = jax.nn.softmax(output1_bar, axis=1)
@@ -198,8 +229,9 @@ def autonovel_loss(output1: jnp.ndarray, output1_bar: jnp.ndarray,
     p2 = jnp.tile(prob1_bar, (b, 1))
     loss_bce = pairwise_bce(p1, p2, simi.reshape(-1))
 
-    # CE on labelled rows of the labelled head (masked mean)
-    logp = jax.nn.log_softmax(output2, axis=-1)
+    # CE on labelled rows of the all-classes head (masked mean; labelled
+    # targets live in the first nlc columns)
+    logp = jax.nn.log_softmax(output1, axis=-1)
     ce_rows = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
     loss_ce = jnp.sum(jnp.where(mask_lab, ce_rows, 0.0)) / jnp.maximum(
         jnp.sum(mask_lab), 1)
@@ -329,12 +361,14 @@ def train_autonovel(key: jax.Array, feats: jnp.ndarray,
                     feats_bar: jnp.ndarray, labels: jnp.ndarray,
                     mask_lab: jnp.ndarray, n_labeled: int, n_unlabeled: int,
                     epochs: int = 10, batch_size: int = 256, lr: float = 0.1,
-                    rampup_length: float = 50.0, rampup_coeff: float = 5.0,
+                    rampup_length: float = 150.0, rampup_coeff: float = 50.0,
                     topk: int = 5, seed: int = 0):
     """AutoNovel over two feature views (reference
-    ``rerun_autonovel.py:44-110``): ranking-stats pairwise BCE on the
-    unlabelled head + CE on the labelled head + MSE consistency with a
-    sigmoid-ramped weight.  Returns (params, predict_fn, history)."""
+    ``rerun_autonovel.py:44-110``): ranking-stats pairwise BCE + labelled
+    CE on the all-classes head + MSE consistency with a sigmoid-ramped
+    weight (rampup defaults = the reference's rampup_length=150 /
+    rampup_coefficient=50, rerun_autonovel.py:192-193).  Returns
+    (params, predict_fn, history); predictions are all-class ids."""
     import numpy as np
     import optax
 
@@ -352,12 +386,12 @@ def train_autonovel(key: jax.Array, feats: jnp.ndarray,
     opt_state = tx.init(params)
 
     def loss_fn(p, x, x_bar, lab, m_lab, w):
-        o1, o2, _trunk = model.apply(p, x)
+        o1, _o2, _trunk = model.apply(p, x)
         o1b, _, _ = model.apply(p, x_bar)
         # ranking stats run on the FROZEN input features: the trainable
         # trunk is a random projection at init, which would label pairs at
         # random and drift as it trains
-        return autonovel_loss(o1, o1b, o2, x, lab, m_lab, w,
+        return autonovel_loss(o1, o1b, x, lab, m_lab, w,
                               topk=topk)["loss"]
 
     @jax.jit

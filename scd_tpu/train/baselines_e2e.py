@@ -42,7 +42,6 @@ from scd_tpu.train.baselines import (
 from scd_tpu.train.schedulers import (
     cosine_warmup_schedule,
     sigmoid_rampup,
-    step_schedule,
 )
 
 
@@ -271,8 +270,8 @@ def train_autonovel_e2e(key: jax.Array, images,
                         epochs: int = 10, batch_size: int = 64,
                         lr: float = 0.1, momentum: float = 0.9,
                         weight_decay: float = 1e-4, step_size: int = 170,
-                        gamma: float = 0.1, rampup_length: float = 50.0,
-                        rampup_coeff: float = 5.0, topk: int = 5,
+                        gamma: float = 0.1, rampup_length: float = 150.0,
+                        rampup_coeff: float = 50.0, topk: int = 5,
                         seed: int = 0, eval_fn: Optional[Callable] = None,
                         best_metric: str = "acc", log_fn=None, ckpt=None):
     """AutoNovel trained through a ViT backbone (reference
@@ -281,8 +280,9 @@ def train_autonovel_e2e(key: jax.Array, images,
     labelled CE + ramped MSE consistency, SGD + StepLR, per-epoch eval.
 
     Returns ``(state, predict_fn, history)``; ``predict_fn`` maps images
-    to unlabelled-head argmax ids (offset by ``n_labeled`` for the global
-    id space, as in ``run_baseline``).
+    to all-classes-head argmax ids (already global — labelled classes
+    occupy the first ``n_labeled`` columns, matching the reference's
+    eval on ``output1.max(1)``).
 
     ``images`` may instead be a callable ``images(epoch, rng) -> iterator
     of (x [B, ...], x_bar [B, ...], labels [B], mask_lab [B])`` to stream
@@ -314,20 +314,25 @@ def train_autonovel_e2e(key: jax.Array, images,
         "heads": jax.jit(heads.init)(
             kh, jnp.zeros((1, feat_dim), jnp.float32))["params"],
     }
-    schedule = step_schedule(lr, step_size=step_size, gamma=gamma)
+    # StepLR decays per EPOCH (reference ``exp_lr_scheduler.step()`` runs
+    # once at each epoch start, rerun_autonovel.py:43,53) — the LR is an
+    # injected hyperparameter set by epoch_fn, NOT an optimizer-step
+    # schedule (which would collapse the LR within the first epoch at
+    # hundreds of steps/epoch).
     tx = optax.chain(optax.add_decayed_weights(weight_decay),
-                     optax.sgd(schedule, momentum=momentum))
+                     optax.inject_hyperparams(optax.sgd)(
+                         learning_rate=lr, momentum=momentum))
     opt_state = tx.init(params)
 
     def loss_fn(p, x, x_bar, lab, m_lab, w):
         feats = backbone.apply({"params": p["backbone"]}, x)
         feats_bar = backbone.apply({"params": p["backbone"]}, x_bar)
-        o1, o2, _ = heads.apply({"params": p["heads"]}, feats)
+        o1, _o2, _ = heads.apply({"params": p["heads"]}, feats)
         o1b, _, _ = heads.apply({"params": p["heads"]}, feats_bar)
         # ranking stats on the DETACHED trunk features of the current
         # model (reference ``rank_feat = feat.detach()``,
         # rerun_autonovel.py:66)
-        return autonovel_loss(o1, o1b, o2, jax.lax.stop_gradient(feats),
+        return autonovel_loss(o1, o1b, jax.lax.stop_gradient(feats),
                               lab, m_lab, w, topk=topk)["loss"]
 
     @jax.jit
@@ -350,10 +355,15 @@ def train_autonovel_e2e(key: jax.Array, images,
         out = [np.asarray(_predict(state["params"],
                                    jnp.asarray(imgs[s:s + batch])))
                for s in range(0, len(imgs), batch)]
-        return np.concatenate(out) + n_labeled
+        # head1 spans all classes (labelled first): ids already global
+        return np.concatenate(out)
 
     def epoch_fn(epoch):
         nonlocal opt_state
+        # per-epoch StepLR, stepped at epoch start like the reference
+        # (torch last_epoch semantics: lr = lr0 * gamma^((e+1)//step_size))
+        opt_state[1].hyperparams["learning_rate"] = jnp.asarray(
+            lr * gamma ** ((epoch + 1) // step_size), jnp.float32)
         w = rampup_coeff * sigmoid_rampup(epoch, rampup_length)
         losses = []
         for x, x_bar, lab, m in batches(epoch, rng):

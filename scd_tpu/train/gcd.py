@@ -145,8 +145,11 @@ def make_gcd_state(vit_cfg: ViTConfig, cfg: TrainConfig, rng: jax.Array,
                                  jnp.zeros((1, feat_dim), jnp.float32))
     params = {"backbone": bb_vars["params"], "head": hd_vars["params"]}
 
+    # eta_min = lr * 1e-3, the reference's CosineAnnealingLR floor
+    # (learn_metric.py:222-226) — decaying to 0 stalls the last epochs
     schedule = cosine_warmup_schedule(cfg.lr, warmup_steps=0,
-                                      total_steps=total_steps)
+                                      total_steps=total_steps,
+                                      final_lr=cfg.lr * 1e-3)
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: _param_label(
             tuple(getattr(k, "key", k) for k in path), cfg.grad_from_block),
@@ -279,15 +282,15 @@ class GCDTrainer:
         return np.concatenate(out)
 
     def fit(self, epochs: int, make_train_batches, eval_fn=None,
-            ckpt=None, best_metric: str = "old_acc_test",
-            log_fn=print) -> Dict[str, float]:
+            ckpt=None, log_fn=print) -> Dict[str, float]:
         """Full training driver (reference ``train()``,
         ``learn_metric.py:217-338``): per epoch run ``train_epoch`` over
         ``make_train_batches(epoch)``, call ``eval_fn(trainer, epoch) ->
-        metrics dict``, checkpoint every epoch and track the best by
-        ``best_metric`` (the reference keeps ``model.pt`` + ``model_best.pt``
-        chosen by old-class test ACC).  ``ckpt``: a
-        ``scd_tpu.train.checkpoint.CheckpointManager`` or None."""
+        metrics dict``, checkpoint every epoch.  Best-checkpoint selection
+        lives in the ``ckpt`` CheckpointManager's own ``best_metric``
+        (the reference keeps ``model.pt`` + ``model_best.pt`` chosen by
+        old-class TEST ACC, learn_metric.py:328-338 — pass an eval_fn
+        that evaluates the test split and a manager keyed on it)."""
         last: Dict[str, float] = {}
         for epoch in range(epochs):
             train_metrics = self.train_epoch(make_train_batches(epoch))

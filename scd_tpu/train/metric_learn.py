@@ -117,8 +117,10 @@ def run_metric_learn(args) -> dict:
 
     ctx = init_experiment(vars(args), exp_root=args.exp_root,
                           runner_name="metric_learn")
+    # best ckpt by old-class TEST ACC, the reference's selection criterion
+    # (learn_metric.py:328-338) — train-split ACC rewards overfitting
     ckpt = CheckpointManager(ctx.model_dir, keep=2,
-                             best_metric="old_acc_train")
+                             best_metric="old_acc_test")
 
     def make_batches(epoch):
         return balanced_batches(merged, args.batch_size, args.n_views,
@@ -156,10 +158,36 @@ def run_metric_learn(args) -> dict:
         m = {"all_acc_train": all_acc, "old_acc_train": old_acc,
              "new_acc_train": new_acc}
         ctx.writer.add_scalars("kmeans_train", m, step=epoch)
+
+        # disjoint TEST split: the reference's per-epoch test_kmeans whose
+        # old-class ACC selects model_best.pt (learn_metric.py:328-383)
+        if _test_ds is not None and len(_test_ds) > 0:
+            from scd_tpu.cluster.runners import eval_kmeans
+
+            tf, tt = [], []
+            for images, labels, _uq, _m in iterate_batches(
+                    _test_ds, args.batch_size,
+                    num_workers=args.num_workers):
+                tf.append(tr.extract_features([images]))
+                tt.append(labels)
+            tf = np.concatenate(tf)
+            tt = np.concatenate(tt).astype(np.int64)
+            t_all, t_old, t_new, _r = eval_kmeans(
+                jax.random.PRNGKey(epoch), tf, tt,
+                tt < len(train_classes),
+                ClusterConfig(n_clusters=n_classes, n_init=3,
+                              max_iterations=args.max_kmeans_iter),
+                print_output=False)
+            mt = {"all_acc_test": t_all, "old_acc_test": t_old,
+                  "new_acc_test": t_new}
+            ctx.writer.add_scalars("kmeans_test", mt, step=epoch)
+            m.update(mt)
+        else:  # no test split (e.g. synthetic): fall back for best-ckpt
+            m["old_acc_test"] = old_acc
         return m
 
     last = trainer.fit(args.epochs, make_batches, eval_fn=eval_fn, ckpt=ckpt,
-                       best_metric="old_acc_train", log_fn=ctx.logger.info)
+                       log_fn=ctx.logger.info)
     ctx.close()
     return {"last": last, "log_dir": ctx.log_dir, "trainer": trainer,
             "ckpt": ckpt}

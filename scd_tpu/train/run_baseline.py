@@ -122,8 +122,8 @@ def main(argv=None):
             key, views[0], views[1], targets, mask_lab, args.n_labeled,
             n_unlab_cls, epochs=args.epochs, batch_size=batch, lr=args.lr,
             seed=args.seed)
-        # unlabelled-head ids live after the labelled classes
-        preds = np.asarray(predict(feats)) + args.n_labeled
+        # head1 spans all classes (labelled first) — ids are already global
+        preds = np.asarray(predict(feats))
     elif args.method == "supervised":
         lab_feats, lab_targets = feats[mask_lab], targets[mask_lab]
         _params, logits_fn, history = train_supervised(

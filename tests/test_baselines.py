@@ -105,9 +105,12 @@ def test_autonovel_loss_runs(rng):
     params = model.init(jax.random.PRNGKey(0), feats)
     o1, o2, trunk = model.apply(params, feats)
     o1b, _, _ = model.apply(params, feats + 0.01)
+    # reference head layout (rerun_autonovel.py:339): head1 spans ALL
+    # classes, head2 the novel block only
+    assert o1.shape == (12, 10) and o2.shape == (12, 6)
     labels = jnp.asarray(rng.integers(0, 4, 12))
     mask_lab = jnp.asarray(np.arange(12) < 6)
-    out = autonovel_loss(o1, o1b, o2, trunk, labels, mask_lab,
+    out = autonovel_loss(o1, o1b, trunk, labels, mask_lab,
                          rampup_weight=0.5, topk=3)
     for k in ("loss", "ce", "bce", "consistency", "kl"):
         assert np.isfinite(float(out[k])), k
@@ -121,3 +124,24 @@ def test_osr_and_combine(rng):
     combined = combine_classifier_and_cluster_preds(
         preds, np.array([7, 8, 9]), n_labeled_classes=3)
     np.testing.assert_array_equal(combined, [0, 8, 1])
+
+
+def test_sinkhorn_row_mask_balances_unlabelled_only(rng):
+    """The transport constraints must hold among UNLABELLED rows only
+    (reference slices logits_unlab[..., ~mask_lab] before sk,
+    uno_v2.py:115-121); labelled rows carry zero mass."""
+    from scd_tpu.train.baselines import sinkhorn_knopp
+
+    logits = jnp.asarray(rng.standard_normal((16, 4)), jnp.float32)
+    mask_lab = jnp.asarray(np.arange(16) < 6)  # 6 labelled, 10 unlabelled
+    q = np.asarray(sinkhorn_knopp(logits, n_iters=200,
+                                  row_mask=~np.asarray(mask_lab)))
+    assert np.abs(q[:6]).max() == 0.0  # labelled rows: zero mass
+    np.testing.assert_allclose(q[6:].sum(axis=1), 1.0, rtol=1e-3)
+    # columns balance toward B_unlab / K among the unlabelled rows (the
+    # last projection is the row one, so columns converge asymptotically
+    # — same tolerance convention as test_sinkhorn_knopp_marginals)
+    assert np.abs(q[6:].sum(axis=0) - 10 / 4).max() < 0.4
+    # the masked solve must equal sinkhorn run on the sliced rows alone
+    q_ref = np.asarray(sinkhorn_knopp(logits[6:], n_iters=200))
+    np.testing.assert_allclose(q[6:], q_ref, rtol=1e-4, atol=1e-6)

@@ -79,8 +79,8 @@ def test_autonovel_e2e_trains_with_eval(img_data):
     assert history[0]["rampup_w"] < history[2]["rampup_w"]
     assert state["best"] is not None
     preds = predict(imgs)
-    # unlabelled-head ids live after the labelled block
-    assert preds.min() >= N_LAB and preds.max() < N_CLS + N_LAB
+    # head1 spans all classes (labelled first) — global ids directly
+    assert preds.min() >= 0 and preds.max() < N_CLS
 
 
 def test_uno_e2e_overcluster(img_data):
