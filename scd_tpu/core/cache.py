@@ -34,7 +34,9 @@ class ArtifactCache:
     def save(self, stage: str, key: str, arrays: Dict[str, np.ndarray],
              meta: Optional[dict] = None) -> str:
         npz, js = self._paths(stage, key)
-        tmp = npz + ".tmp"
+        # unique tmp per writer: two processes saving the same stage/key
+        # (parallel sweep workers) must not interleave into one tmp file
+        tmp = f"{npz}.{os.getpid()}.tmp"
         with open(tmp, "wb") as f:
             np.savez(f, **{k: np.asarray(v) for k, v in arrays.items()})
         os.replace(tmp, npz)  # atomic publish so a crash never leaves a torn cache

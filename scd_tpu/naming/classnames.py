@@ -60,6 +60,28 @@ def _match_missing(miss_names: List[str], candidate_names: List[str],
     return matched
 
 
+def remap_cidx_to_cname(cidx_to_cname: Dict[int, str],
+                        train_classes: Sequence[int],
+                        unlabeled_classes: Sequence[int]) -> Dict[int, str]:
+    """Re-key a name map from the dataset's ORIGINAL class ids to the
+    pipeline's remapped ids (``make_target_transform``: labelled classes
+    first, then unlabelled — the transform every split table applies,
+    ``data/registry.py``).  Identity when the splits are contiguous
+    ranges (cifar/imagenet defaults); LOAD-BEARING for the SSB splits
+    (cub/scars/aircraft), whose known-class ids are scattered — without
+    the re-key every sACC lookup and the ptsup pinned labelled names read
+    the WRONG class's name.  Keys are inserted in remapped-id order so
+    ``list(values())`` indexes by remapped id."""
+    from scd_tpu.data.core import make_target_transform
+
+    tt = make_target_transform(train_classes, unlabeled_classes)
+    known = set(int(c) for c in train_classes) | set(
+        int(c) for c in unlabeled_classes)
+    remapped = {tt(int(c)): n for c, n in cidx_to_cname.items()
+                if int(c) in known}
+    return {k: remapped[k] for k in sorted(remapped)}
+
+
 def resolve_class_names(dataset_name: str,
                         extras: Dict,
                         nouns: List[str],
@@ -68,7 +90,9 @@ def resolve_class_names(dataset_name: str,
                         templates: Optional[Sequence[str]] = None,
                         wnid_to_name: Optional[Dict[str, str]] = None,
                         corpus: str = "wordnet") -> Dict[int, str]:
-    """Build cidx_to_cname for a dataset (class ids AFTER target remap)."""
+    """Build cidx_to_cname keyed on the dataset's ORIGINAL class ids.
+    Pipelines consuming remapped targets must re-key through
+    :func:`remap_cidx_to_cname`."""
     noun_set = set(nouns)
 
     def repaired(class_to_idx: Dict[str, int],

@@ -142,7 +142,10 @@ def extract_features(encode_image: Callable[[np.ndarray], np.ndarray],
     (``make_sharded_image_encoder``), its ``.stage`` pads + row-shards each
     batch during prefetch and every chip encodes only its slice."""
     feats, targets, mask_lab, mask_cls = [], [], [], []
-    train_set = set(int(c) for c in train_classes)
+    # dataset targets are REMAPPED (make_target_transform: labelled classes
+    # first), so Old-class membership is id < n_lab — an isin() against the
+    # original train ids silently breaks on SSB splits (scattered ids)
+    n_lab = len(train_classes)
     for images, labels, _uq, mlab in _prefetched(
             iterate_batches(dataset, batch_size, num_workers=num_workers),
             stage_fn=getattr(encode_image, "stage", None)):
@@ -152,7 +155,7 @@ def extract_features(encode_image: Callable[[np.ndarray], np.ndarray],
         feats.append(f)
         targets.append(labels)
         mask_lab.append(mlab)
-        mask_cls.append(np.isin(labels, list(train_set)))
+        mask_cls.append(np.asarray(labels) < n_lab)
     return {
         "all_feats": np.concatenate(feats),
         "targets": np.concatenate(targets).astype(np.float64),
@@ -187,7 +190,7 @@ def extract_features_multi(encoders: Dict[str, Callable], dataset,
 
     feats: Dict[str, list] = {k: [] for k in encoders}
     targets, mask_lab, mask_cls = [], [], []
-    train_set = set(int(c) for c in train_classes)
+    n_lab = len(train_classes)  # remapped ids: Old classes are 0..n_lab-1
     for images, labels, _uq, mlab in _prefetched(
             iterate_batches(dataset, batch_size, num_workers=num_workers),
             stage_fn=common_stage):
@@ -199,7 +202,7 @@ def extract_features_multi(encoders: Dict[str, Callable], dataset,
             feats[k].append(f)
         targets.append(labels)
         mask_lab.append(mlab)
-        mask_cls.append(np.isin(labels, list(train_set)))
+        mask_cls.append(np.asarray(labels) < n_lab)
     meta = {
         "targets": np.concatenate(targets).astype(np.float64),
         "mask_lab": np.concatenate(mask_lab),
@@ -266,6 +269,37 @@ def load_shared_features(cfg: PipelineConfig, cache: ArtifactCache,
         "features", clip_key,
         lambda: extract("clip"), refresh=cfg.extract_feat)
     return feats, clip_feats
+
+
+def pipeline_transform(cfg: PipelineConfig):
+    """The mains' transform: CLIP's own preprocess emitting uint8 for
+    on-device normalization (reference overrides every transform with
+    ``preprocess``, ``main_unsup.py:271``); synthetic datasets carry their
+    own arrays (None)."""
+    if cfg.data.dataset_name == "synthetic":
+        return None
+    from scd_tpu.data.transforms import clip_preprocess
+
+    return clip_preprocess(cfg.data.image_size, device_normalize=True)
+
+
+def load_zeroshot_weights(cfg: PipelineConfig, cache: ArtifactCache,
+                          encode_text, nouns, mesh=None) -> np.ndarray:
+    """[D, V] zero-shot weights: an explicit ``--zeroshot_weights`` file
+    (the reference's precomputed ``zeroshot_weights/*.pt``,
+    ``main_unsup.py:387-395``), else the cached on-the-fly build."""
+    from scd_tpu.naming.templates import IMAGENET_TEMPLATES
+    from scd_tpu.naming.zeroshot import build_zeroshot_weights
+
+    if cfg.data.zeroshot_weights:
+        return (np.load(cfg.data.zeroshot_weights)["weights"]
+                if cfg.data.zeroshot_weights.endswith(".npz")
+                else np.load(cfg.data.zeroshot_weights))
+    return cache.load_or_compute(
+        "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
+        lambda: {"weights": build_zeroshot_weights(
+            encode_text, nouns, IMAGENET_TEMPLATES,
+            mesh=mesh)})["weights"]
 
 
 def _pipeline_mesh(cfg: PipelineConfig):
@@ -382,8 +416,14 @@ def stage_cache(cfg: PipelineConfig) -> ArtifactCache:
 
 
 def feature_cache_key(cfg: PipelineConfig, which: str) -> str:
-    return config_hash(cfg.data, extra={"model": which,
-                                        "feat": cfg.feature.feat_model})
+    # only the clustering-feature key depends on feat_model: CLIP features
+    # and zeroshot weights are byte-identical across feat_model choices,
+    # and baking it into their keys forced a full CLIP re-extraction (and
+    # vocabulary rebuild) on every backbone switch
+    extra = {"model": which}
+    if which == "feat":
+        extra["feat"] = cfg.feature.feat_model
+    return config_hash(cfg.data, extra=extra)
 
 
 def cluster_cache_key(cfg: PipelineConfig) -> str:

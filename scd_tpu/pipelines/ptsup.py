@@ -21,16 +21,18 @@ import numpy as np
 from scd_tpu.core.config import PipelineConfig
 from scd_tpu.data import get_class_splits, get_datasets
 from scd_tpu.metrics import name_set_iou, split_cluster_acc_v2
-from scd_tpu.naming.classnames import resolve_class_names
-from scd_tpu.naming.loop import voting_loop_ptsup
+from scd_tpu.naming.classnames import remap_cidx_to_cname, \
+    resolve_class_names
+from scd_tpu.naming.loop import (gather_weight_columns,
+                                 voting_loop_ptsup)
 from scd_tpu.naming.templates import IMAGENET_TEMPLATES
 from scd_tpu.naming.vote import topk_names
-from scd_tpu.naming.zeroshot import build_zeroshot_weights
 from scd_tpu.ops.topk import classify_topk
 from scd_tpu.pipelines.common import (
     cluster_cache_key,
-    feature_cache_key,
     load_shared_features,
+    load_zeroshot_weights,
+    pipeline_transform,
     print_acc_block,
     run_clustering,
     stage_cache,
@@ -57,8 +59,10 @@ def zero_shot_preds(clip_feats: np.ndarray, weights: np.ndarray,
     reuses one compiled program (row padding cannot change other rows'
     argmax).
     """
-    w = jnp.asarray(weights, jnp.float32)
     n = len(clip_feats)
+    if n == 0:  # degenerate split (all rows labelled): no rows to predict
+        return np.zeros(0, np.int64)
+    w = jnp.asarray(weights, jnp.float32)
     chunk = min(batch, n)
     preds = []
     for i in range(0, n, chunk):
@@ -133,8 +137,6 @@ def soft_sacc_bounds(clip_u: np.ndarray, u_targets: np.ndarray,
     print("=====Soft sACC upper bound=====")
     cand = [n.lower().replace("-", "_") for n in cidx_to_cname.values()]
     if ub_preds is None:
-        from scd_tpu.naming.loop import gather_weight_columns
-
         noun_cols = {n: i for i, n in enumerate(nouns)}
         # residency-aware: host weights slice on host, device weights
         # gather on device — the full [D, V] never crosses the link
@@ -156,15 +158,7 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     enable_compilation_cache()
     cache = stage_cache(cfg)
     train_classes, unlabeled_classes = get_class_splits(cfg.data)
-    # the reference mains override every transform with CLIP's own
-    # preprocess (main_unsup.py:271); we emit uint8 and normalize on device
-    # (4x less H2D traffic). Synthetic datasets carry their own arrays.
-    if cfg.data.dataset_name == "synthetic":
-        tf = None
-    else:
-        from scd_tpu.data.transforms import clip_preprocess
-
-        tf = clip_preprocess(cfg.data.image_size, device_normalize=True)
+    tf = pipeline_transform(cfg)
     train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data, train_transform=tf, test_transform=tf)
 
     from scd_tpu.pipelines.common import _pipeline_mesh
@@ -188,22 +182,15 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     mask = cluster_result["mask"].astype(bool)
 
     nouns, taxonomy = load_vocabulary(cfg, extras)
-    if cfg.data.zeroshot_weights:
-        zw = np.load(cfg.data.zeroshot_weights)["weights"] \
-            if cfg.data.zeroshot_weights.endswith(".npz") else \
-            np.load(cfg.data.zeroshot_weights)
-    else:
-        zw = cache.load_or_compute(
-            "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
-            lambda: {"weights": build_zeroshot_weights(
-                encode_text, nouns, IMAGENET_TEMPLATES,
-                mesh=mesh)})["weights"]
+    zw = load_zeroshot_weights(cfg, cache, encode_text, nouns, mesh=mesh)
 
-    cidx_to_cname = resolve_class_names(
-        cfg.data.dataset_name, extras, nouns, zw, encode_text,
-        IMAGENET_TEMPLATES,
-        wnid_to_name=taxonomy.wnid_to_name if taxonomy else None,
-        corpus=cfg.naming.corpus)
+    cidx_to_cname = remap_cidx_to_cname(
+        resolve_class_names(
+            cfg.data.dataset_name, extras, nouns, zw, encode_text,
+            IMAGENET_TEMPLATES,
+            wnid_to_name=taxonomy.wnid_to_name if taxonomy else None,
+            corpus=cfg.naming.corpus),
+        train_classes, unlabeled_classes)
 
     clip_all = clip_feats["all_feats"]
     mask_lab = clip_feats["mask_lab"].astype(bool)
@@ -224,7 +211,7 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
 
     print("=====sACC upper bound=====")
     gt_cand = [n.lower().replace("-", "_") for n in cidx_to_cname.values()]
-    zw_gt = zw[:, [noun_cols[n] for n in gt_cand]]
+    zw_gt = gather_weight_columns(zw, [noun_cols[n] for n in gt_cand])
     ub_preds = zero_shot_preds(clip_u, zw_gt)
     ub_all = _top1_acc(ub_preds, u_targets, cidx_to_cname, gt_cand)
     ub_old = _top1_acc(ub_preds[mask], u_targets[mask], cidx_to_cname,
@@ -249,9 +236,10 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
                                        lb_preds=lb_preds, ub_preds=ub_preds)
 
     # ---- clustering ACC + voting (reference main_ptsup.py:588-705)
-    name_idx, _ = topk_names(clip_all, zw, cfg.naming.topk,
-                             scale=cfg.naming.logit_scale)
-    name_idx_u = name_idx[~mask_lab]
+    # only unlabelled rows vote (see unsup.py): skip the labelled ~25%
+    # of the [N, 68k] fused top-k stage
+    name_idx_u, _ = topk_names(clip_u, zw, cfg.naming.topk,
+                               scale=cfg.naming.logit_scale)
 
     all_acc, old_acc, new_acc = split_cluster_acc_v2(u_targets, u_preds, mask)
     print(f"{cfg.cluster.algorithm} Accuracies: All {all_acc} | Old {old_acc} "

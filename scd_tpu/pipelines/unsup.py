@@ -27,15 +27,16 @@ from scd_tpu.core.config import (
 )
 from scd_tpu.data import get_class_splits, get_datasets
 from scd_tpu.metrics import name_set_iou, split_cluster_acc_v2
-from scd_tpu.naming.classnames import resolve_class_names
+from scd_tpu.naming.classnames import remap_cidx_to_cname, \
+    resolve_class_names
 from scd_tpu.naming.loop import voting_loop
 from scd_tpu.naming.templates import IMAGENET_TEMPLATES
 from scd_tpu.naming.vote import topk_names
-from scd_tpu.naming.zeroshot import build_zeroshot_weights
 from scd_tpu.pipelines.common import (
     cluster_cache_key,
-    feature_cache_key,
     load_shared_features,
+    load_zeroshot_weights,
+    pipeline_transform,
     print_acc_block,
     run_clustering,
     stage_cache,
@@ -256,15 +257,7 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
     enable_compilation_cache()
     cache = stage_cache(cfg)
     train_classes, unlabeled_classes = get_class_splits(cfg.data)
-    # the reference mains override every transform with CLIP's own
-    # preprocess (main_unsup.py:271); we emit uint8 and normalize on device
-    # (4x less H2D traffic). Synthetic datasets carry their own arrays.
-    if cfg.data.dataset_name == "synthetic":
-        tf = None
-    else:
-        from scd_tpu.data.transforms import clip_preprocess
-
-        tf = clip_preprocess(cfg.data.image_size, device_normalize=True)
+    tf = pipeline_transform(cfg)
     train_merged, test_ds, unlab_ds, extras = get_datasets(cfg.data, train_transform=tf, test_transform=tf)
 
     from scd_tpu.pipelines.common import _pipeline_mesh
@@ -294,29 +287,23 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
 
     nouns, taxonomy = load_vocabulary(cfg, extras)
 
-    if cfg.data.zeroshot_weights:
-        zw = np.load(cfg.data.zeroshot_weights)["weights"] \
-            if cfg.data.zeroshot_weights.endswith(".npz") \
-            else np.load(cfg.data.zeroshot_weights)
-    else:
-        zw = cache.load_or_compute(
-            "zeroshot", feature_cache_key(cfg, f"zw_{cfg.naming.corpus}"),
-            lambda: {"weights": build_zeroshot_weights(
-                encode_text, nouns, IMAGENET_TEMPLATES,
-                mesh=mesh)})["weights"]
+    zw = load_zeroshot_weights(cfg, cache, encode_text, nouns, mesh=mesh)
 
-    cidx_to_cname = resolve_class_names(
-        cfg.data.dataset_name, extras, nouns, zw, encode_text,
-        IMAGENET_TEMPLATES,
-        wnid_to_name=taxonomy.wnid_to_name if taxonomy else None,
-        corpus=cfg.naming.corpus)
+    cidx_to_cname = remap_cidx_to_cname(
+        resolve_class_names(
+            cfg.data.dataset_name, extras, nouns, zw, encode_text,
+            IMAGENET_TEMPLATES,
+            wnid_to_name=taxonomy.wnid_to_name if taxonomy else None,
+            corpus=cfg.naming.corpus),
+        train_classes, unlabeled_classes)
 
     clip_all = clip_feats["all_feats"]
     mask_lab = clip_feats["mask_lab"].astype(bool)
-    name_idx, _vals = topk_names(clip_all, zw, cfg.naming.topk,
-                                 scale=cfg.naming.logit_scale)
-    name_idx_u = name_idx[~mask_lab]
+    # only the unlabelled rows vote — top-k over all rows wastes ~25% of
+    # the [N, 68k] fused stage on labelled rows that are sliced away
     clip_u_feats = clip_all[~mask_lab]
+    name_idx_u, _vals = topk_names(clip_u_feats, zw, cfg.naming.topk,
+                                   scale=cfg.naming.logit_scale)
 
     name_sim = taxonomy.name_similarity if taxonomy else None
     if name_sim is None and cfg.data.dataset_name == "synthetic":
@@ -377,7 +364,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="textual-enhancement re-ranking round (w/TE)")
     p.add_argument("--te_alpha", type=float, default=0.5)
     p.add_argument("--extract_feat", action="store_true")
-    p.add_argument("--run_cluster", action="store_true", default=True)
+    # --no-run_cluster re-enters from the cached clustering artifact (a
+    # store_true with default=True could never be switched off, silently
+    # re-running SSKM/ConSSKM every invocation)
+    p.add_argument("--run_cluster", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--cache_dir", type=str, default="artifacts")
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-axis size (0 = all visible devices / model)")

@@ -52,7 +52,10 @@ def block_timed(label: str, results: Optional[dict] = None) -> Iterator[None]:
 
     t0 = time.perf_counter()
     yield
-    jax.block_until_ready(jnp.zeros(()) + 0.0)
+    # a HOST FETCH, not block_until_ready: the tunneled backend resolves
+    # buffer futures optimistically, so block_until_ready on an un-fetched
+    # output can return early (CLAUDE.md rule 4 / bench.py protocol)
+    float(jnp.zeros(()) + 0.0)
     dt = time.perf_counter() - t0
     if results is not None:
         results[label] = dt

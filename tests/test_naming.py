@@ -494,3 +494,19 @@ def test_ptsup_first_iteration_break_reclassifies():
     assert res.u_preds.max() < len(res.cand_names)
     assert res.u_preds.min() >= 0
     assert sorted(res.lab_class_index) == list(range(k))
+
+
+def test_remap_cidx_to_cname_scattered_ssb_ids():
+    """SSB splits have scattered known-class ids; the name map must follow
+    the target remap (labelled classes -> 0..n_lab-1) or every sACC lookup
+    and the ptsup pinned names read the wrong class."""
+    from scd_tpu.naming.classnames import remap_cidx_to_cname
+
+    orig = {0: "a", 1: "b", 2: "c", 3: "d", 4: "e"}
+    train, unlab = [3, 1], [0, 4, 2]  # scattered, non-contiguous
+    out = remap_cidx_to_cname(orig, train, unlab)
+    # remapped space: train first in given order, then unlabelled
+    assert out == {0: "d", 1: "b", 2: "a", 3: "e", 4: "c"}
+    assert list(out.values()) == ["d", "b", "a", "e", "c"]  # id-ordered
+    # first n_lab names == the actual labelled class names
+    assert [list(out.values())[c] for c in range(2)] == ["d", "b"]
