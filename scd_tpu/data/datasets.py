@@ -81,10 +81,13 @@ def scan_imagefolder(root: str) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     which the reference's wnid mapping relies on, ``main_unsup.py:423-426``)."""
     classes = sorted(e.name for e in os.scandir(root) if e.is_dir())
     paths, targets = [], []
+    # torchvision IMG_EXTENSIONS (narrower lists silently drop images)
+    exts = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".tif",
+            ".tiff", ".webp", ".gif")
     for i, cls in enumerate(classes):
         cdir = os.path.join(root, cls)
         for fname in sorted(os.listdir(cdir)):
-            if fname.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+            if fname.lower().endswith(exts):
                 paths.append(os.path.join(cdir, fname))
                 targets.append(i)
     return (np.array(paths, object), np.array(targets, np.int64), classes)
@@ -93,7 +96,17 @@ def scan_imagefolder(root: str) -> Tuple[np.ndarray, np.ndarray, List[str]]:
 def make_imagefolder(train_root: str, test_root: str
                      ) -> Tuple[ImageTable, ImageTable, Dict]:
     tr_paths, tr_targets, classes = scan_imagefolder(train_root)
-    te_paths, te_targets, _ = scan_imagefolder(test_root)
+    te_paths, te_targets, te_classes = scan_imagefolder(test_root)
+    # test targets must live in the TRAIN class-id space: val/ dirs can be
+    # a subset/superset of train/'s, and positional ids would silently
+    # misalign every test label
+    if te_classes != classes:
+        cls_to_idx = {c: i for i, c in enumerate(classes)}
+        keep = np.array([te_classes[t] in cls_to_idx for t in te_targets],
+                        bool)
+        te_paths = te_paths[keep]
+        te_targets = np.array([cls_to_idx[te_classes[t]]
+                               for t in te_targets[keep]], np.int64)
 
     def table(paths, targets):
         return ImageTable(source=paths, targets=targets,
@@ -108,7 +121,7 @@ def make_imagefolder(train_root: str, test_root: str
 
 def make_imagenet_100(root: str) -> Tuple[ImageTable, ImageTable, Dict]:
     """Seed-0 100-class subsample of ImageNet-1k (reference
-    ``imagenet.py:275-333``): the class choice and the idx100->idx1000
+    ``imagenet.py:275-333``): the class choice and the idx1000->idx100
     ``class_map`` must reproduce the reference draw exactly."""
     # RandomState(0) draws the identical legacy sequence as the
     # reference's np.random.seed(0) WITHOUT reseeding the caller's global

@@ -60,12 +60,18 @@ def get_class_splits(cfg: DataConfig,
 
     if name in ("cub", "scars", "aircraft") and cfg.use_ssb_splits:
         path = os.path.join(ssb_dir, f"{name}_osr_splits.pkl")
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                info = pickle.load(f)
-            train = info["known_classes"]
-            osc = info["unknown_classes"]
-            return train, list(osc["Hard"]) + list(osc["Medium"]) + list(osc["Easy"])
+        if not os.path.exists(path):
+            # fail loudly like the reference: silently falling back to the
+            # default range splits would report results under a DIFFERENT
+            # labelled/unlabelled class partition while claiming SSB
+            raise FileNotFoundError(
+                f"use_ssb_splits=True but {path} is missing; provide the "
+                "SSB pickle or set use_ssb_splits=False explicitly")
+        with open(path, "rb") as f:
+            info = pickle.load(f)
+        train = info["known_classes"]
+        osc = info["unknown_classes"]
+        return train, list(osc["Hard"]) + list(osc["Medium"]) + list(osc["Easy"])
     if name == "herbarium_19":
         path = os.path.join(ssb_dir, "herbarium_19_class_splits.pkl")
         with open(path, "rb") as f:

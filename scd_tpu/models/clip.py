@@ -38,6 +38,8 @@ def clip_vit_b16_config(compute_dtype=jnp.float32) -> CLIPConfig:
         vision=ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
                          heads=12, quick_gelu=True, pre_post_norm=True,
                          output_proj=512, patch_bias=False,
+                         norm_eps=1e-5,  # torch nn.LayerNorm default: the
+                         # eps the OpenAI weights were trained with
                          compute_dtype=compute_dtype),
         compute_dtype=compute_dtype,
     )
@@ -60,10 +62,12 @@ class TextTransformer(nn.Module):
 
         blk_cfg = ViTConfig(width=c.text_width, depth=c.text_depth,
                             heads=c.text_heads, quick_gelu=True,
+                            norm_eps=1e-5,  # torch default (see vision cfg)
                             compute_dtype=c.compute_dtype)
         for i in range(c.text_depth):
             x = Block(blk_cfg, name=f"block_{i}")(x, causal=True)
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="ln_final")(x)
 
         # pool at the EOT token (highest token id per row, CLIP convention)
         eot = jnp.argmax(tokens, axis=-1)

@@ -179,19 +179,27 @@ class CLIPTokenizer:
             pieces = []
             for t in templates:
                 pre, sep, suf = t.partition("{}")
-                if not sep:  # template without a placeholder: name ignored
-                    pieces.append((self.encode(t), None))
-                else:
-                    pieces.append((self.encode(pre), self.encode(suf)))
+                # splicing is only exact when the placeholder is a literal
+                # '{}' at word boundaries; otherwise ('{0}'/'{name}'
+                # placeholders, or a glued '{}s') fall back to per-pair
+                # encode(t.format(n)) — slower but always equal to the
+                # non-compositional path
+                exact = (bool(sep)
+                         and not (pre and pre[-1].isalnum())
+                         and not (suf and suf[0].isalnum()))
+                pieces.append((self.encode(pre), self.encode(suf))
+                              if exact else (t, None))
             self._template_pieces_cache[key] = pieces
         name_toks = [self.encode(n) for n in names]
         out = np.zeros((len(names) * len(templates), context_length),
                        np.int32)
         row = 0
-        for ntoks in name_toks:
+        for name, ntoks in zip(names, name_toks):
             for pre, suf in pieces:
-                toks = ([sot] + pre + [eot] if suf is None
-                        else [sot] + pre + ntoks + suf + [eot])
+                if suf is None:  # fallback template: full format+encode
+                    toks = [sot] + self.encode(pre.format(name)) + [eot]
+                else:
+                    toks = [sot] + pre + ntoks + suf + [eot]
                 if len(toks) > context_length:
                     toks = toks[:context_length]
                     toks[-1] = eot

@@ -39,6 +39,10 @@ class ViTConfig:
     pre_post_norm: bool = False  # CLIP: ln_pre / ln_post around the trunk
     output_proj: Optional[int] = None  # CLIP: project CLS to this dim
     patch_bias: bool = True  # CLIP conv has no bias
+    # LayerNorm epsilon: DINO/timm ViTs train with 1e-6 (the flax
+    # default); OpenAI CLIP uses torch's 1e-5 — a systematic O(1e-5)
+    # activation drift over 24+ norms if mismatched
+    norm_eps: float = 1e-6
     compute_dtype: Any = jnp.float32
 
     @property
@@ -136,9 +140,11 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, causal: bool = False):
         c = self.cfg
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
+                         name="norm1")(x)
         x = x + Attention(c, name="attn")(y, causal=causal)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
+                         name="norm2")(x)
         x = x + Mlp(c, name="mlp")(y)
         return x
 
@@ -153,8 +159,13 @@ class VisionTransformerWithLinear(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray):
         feats = VisionTransformer(self.cfg, name="base_vit")(images)
-        logits = nn.Dense(self.num_classes, name="linear")(
-            feats.astype(jnp.float32))
+        # the reference L2-normalizes before the head and returns the
+        # NORMALIZED features (vision_transformer.py:316-319) — raw-scale
+        # logits would shift the max-softmax OSR thresholding downstream
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        logits = nn.Dense(self.num_classes, name="linear")(feats)
         return logits, feats
 
 
@@ -195,13 +206,16 @@ class VisionTransformer(nn.Module):
         x = x + interpolate_pos_embed(pos, gh).astype(x.dtype)
 
         if c.pre_post_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="ln_pre")(x)
+            x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
+                             name="ln_pre")(x)
         for i in range(c.depth):
             x = Block(c, name=f"block_{i}")(x)
         if c.pre_post_norm:
-            x = nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x[:, :1])[:, 0]
+            x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
+                             name="ln_post")(x[:, :1])[:, 0]
         else:
-            x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)[:, 0]
+            x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
+                             name="norm")(x)[:, 0]
 
         if c.output_proj is not None:
             proj = self.param("proj", nn.initializers.normal(c.width ** -0.5),

@@ -55,18 +55,18 @@ def _mha(x, w_in, b_in, w_out, b_out, heads, causal=False):
 
 
 def _ln(x, w, b, eps=1e-6):
-    # eps matches flax.linen.LayerNorm's default; the activation-scale
-    # difference vs torch's 1e-5 default is ~1e-7, far below tolerance
+    # per-model eps: CLIP trains with torch's 1e-5 default, DINO with 1e-6
+    # — the Flax towers now mirror each exactly (vit.py ViTConfig.norm_eps)
     return F.layer_norm(x, (x.shape[-1],), w, b, eps)
 
 
-def _block(x, p, prefix, heads, quick_gelu, causal=False):
-    y = _ln(x, p[f"{prefix}.ln_1.weight"], p[f"{prefix}.ln_1.bias"])
+def _block(x, p, prefix, heads, quick_gelu, causal=False, eps=1e-6):
+    y = _ln(x, p[f"{prefix}.ln_1.weight"], p[f"{prefix}.ln_1.bias"], eps)
     x = x + _mha(y, p[f"{prefix}.attn.in_proj_weight"],
                  p[f"{prefix}.attn.in_proj_bias"],
                  p[f"{prefix}.attn.out_proj.weight"],
                  p[f"{prefix}.attn.out_proj.bias"], heads, causal)
-    y = _ln(x, p[f"{prefix}.ln_2.weight"], p[f"{prefix}.ln_2.bias"])
+    y = _ln(x, p[f"{prefix}.ln_2.weight"], p[f"{prefix}.ln_2.bias"], eps)
     h = y @ p[f"{prefix}.mlp.c_fc.weight"].T + p[f"{prefix}.mlp.c_fc.bias"]
     h = h * torch.sigmoid(1.702 * h) if quick_gelu else F.gelu(h)
     h = h @ p[f"{prefix}.mlp.c_proj.weight"].T + p[f"{prefix}.mlp.c_proj.bias"]
@@ -125,19 +125,23 @@ def make_clip():
         x = x.flatten(2).transpose(1, 2)  # [B, L-1, D]
         cls = p["visual.class_embedding"].expand(x.shape[0], 1, -1)
         x = torch.cat([cls, x], dim=1) + p["visual.positional_embedding"]
-        x = _ln(x, p["visual.ln_pre.weight"], p["visual.ln_pre.bias"])
+        x = _ln(x, p["visual.ln_pre.weight"], p["visual.ln_pre.bias"],
+                eps=1e-5)
         for i in range(DEPTH):
             x = _block(x, p, f"visual.transformer.resblocks.{i}", VHEADS,
+                       eps=1e-5,
                        quick_gelu=True)
-        x = _ln(x[:, 0], p["visual.ln_post.weight"], p["visual.ln_post.bias"])
+        x = _ln(x[:, 0], p["visual.ln_post.weight"],
+                p["visual.ln_post.bias"], eps=1e-5)
         image_feats = x @ p["visual.proj"]
 
         # ---- text tower
         t = p["token_embedding.weight"][tokens] + p["positional_embedding"]
         for i in range(DEPTH):
             t = _block(t, p, f"transformer.resblocks.{i}", THEADS,
+                       eps=1e-5,
                        quick_gelu=True, causal=True)
-        t = _ln(t, p["ln_final.weight"], p["ln_final.bias"])
+        t = _ln(t, p["ln_final.weight"], p["ln_final.bias"], eps=1e-5)
         eot = tokens.argmax(dim=-1)
         text_feats = t[torch.arange(t.shape[0]), eot] @ p["text_projection"]
 

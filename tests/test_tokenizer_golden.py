@@ -145,7 +145,11 @@ def test_prompt_tokens_matches_full_tokenization(tiny_tokenizer):
     boundary is lossless for every template that keeps the name
     word-delimited (all 80 ImageNet templates do)."""
     t = tiny_tokenizer
-    templates = ["a {}.", "the cat {}", "{}!", "no placeholder"]
+    # the last three exercise the FALLBACK: indexed/named placeholders and
+    # a boundary-glued '{}s' cannot be spliced and must per-pair encode
+    # t.format(n) — previously '{0}' silently DROPPED the name
+    templates = ["a {}.", "the cat {}", "{}!", "no placeholder",
+                 "a {0}.", "a {}s"]
     names = ["cat", "dog", "cat dog"]
     full = t([tmpl.format(n) for n in names for tmpl in templates],
              context_length=12)
