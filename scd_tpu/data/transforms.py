@@ -81,38 +81,32 @@ def clip_preprocess(image_size: int = 224, device_normalize: bool = False):
     return fn
 
 
-def device_normalize_clip(x):
-    """On-device CLIP normalization for uint8 batches; identity for float
-    inputs (already normalized on host).  Call inside the jitted encoder —
+def _device_normalize(x, mean, std):
+    """On-device /255 + mean/std for uint8 batches; identity for float
+    inputs (already normalized on host).  Called inside jitted encoders —
     the dtype branch is static at trace time."""
     import jax.numpy as jnp
 
     if x.dtype == jnp.uint8:
-        return ((x.astype(jnp.float32) / 255.0 - CLIP_MEAN) / CLIP_STD)
+        return (x.astype(jnp.float32) / 255.0 - mean) / std
     return x
+
+
+def device_normalize_clip(x):
+    """CLIP stats (the mains' preprocess, ``main_unsup.py:271``)."""
+    return _device_normalize(x, CLIP_MEAN, CLIP_STD)
 
 
 def device_normalize_imagenet(x):
-    """On-device torchvision-ImageNet normalization (the stats the
-    reference's dino_resnet50 / timm resnet50 extraction branches use,
-    ``extract_features.py:129-141,166-187``); identity for float inputs."""
-    import jax.numpy as jnp
-
-    if x.dtype == jnp.uint8:
-        return ((x.astype(jnp.float32) / 255.0 - IMAGENET_MEAN)
-                / IMAGENET_STD)
-    return x
+    """torchvision-ImageNet stats (the reference's dino_resnet50 / timm
+    resnet50 extraction branches, ``extract_features.py:129-141,166-187``)."""
+    return _device_normalize(x, IMAGENET_MEAN, IMAGENET_STD)
 
 
 def device_normalize_unit(x):
-    """On-device [0, 1] scaling with NO mean/std shift — timm's
-    vit_base_patch16_224_miil ships default_cfg mean/std = 0/1
-    (reference ``extract_features.py:143-163``); identity for floats."""
-    import jax.numpy as jnp
-
-    if x.dtype == jnp.uint8:
-        return x.astype(jnp.float32) / 255.0
-    return x
+    """[0, 1] scaling, NO mean/std shift — timm vit_base_patch16_224_miil
+    ships default_cfg mean/std = 0/1 (``extract_features.py:143-163``)."""
+    return _device_normalize(x, np.float32(0.0), np.float32(1.0))
 
 
 def _rand_resized_crop(img: Image.Image, size: int, rng: np.random.Generator,

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from scd_tpu.models.dino import _t as _np  # torch tensor -> f32 numpy
+
 
 @dataclasses.dataclass(frozen=True)
 class ResNet50Config:
@@ -91,9 +93,6 @@ class ResNet50(nn.Module):
                                name=f"layer{i + 1}_{j}")(x)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         return x.astype(jnp.float32)
-
-
-from scd_tpu.models.dino import _t as _np  # torch tensor -> f32 numpy
 
 
 def _fold(sd: Dict[str, np.ndarray], conv: str, bn: str,

@@ -98,26 +98,19 @@ def make_sharded_image_encoder(forward: Callable, variables, mesh):
     fwd = jax.jit(forward, in_shardings=(repl, rows), out_shardings=rows)
 
     def stage(images):
-        if isinstance(images, jax.Array):
-            # already device-resident (e.g. a mixed sharded+plain encoder
-            # set whose shared pass staged with a plain device_put):
-            # pad + reshard ON DEVICE — never np.asarray a device array
-            # just to re-upload it (CLAUDE.md rule 3: the tunneled host
-            # link is ~50 MB/s, a per-batch D2H+H2D would dominate)
+        # device-resident inputs pad + reshard ON DEVICE — never np.asarray
+        # a device array just to re-upload it (CLAUDE.md rule 3: the
+        # tunneled host link is ~50 MB/s, per-batch D2H+H2D would dominate)
+        on_device = isinstance(images, jax.Array)
+        if on_device:
             import jax.numpy as jnp
-
-            n = images.shape[0]
-            target = -(-n // n_shards) * n_shards
-            if target != n:
-                pad = [(0, target - n)] + [(0, 0)] * (images.ndim - 1)
-                images = jnp.pad(images, pad)
-            return jax.device_put(images, rows), n
-        images = np.asarray(images)
+        else:
+            images = np.asarray(images)
         n = images.shape[0]
         target = -(-n // n_shards) * n_shards
         if target != n:
             pad = [(0, target - n)] + [(0, 0)] * (images.ndim - 1)
-            images = np.pad(images, pad)
+            images = (jnp.pad if on_device else np.pad)(images, pad)
         return jax.device_put(images, rows), n
 
     def encode(images):

@@ -55,10 +55,10 @@ def vit_feature_backbones() -> Dict:
     vit_supervised's timm-miil default_cfg is mean/std 0/1
     (``extract_features.py:143-163``)."""
     from scd_tpu.data.transforms import (
+        device_normalize_clip,
         device_normalize_imagenet,
         device_normalize_unit,
     )
-    from scd_tpu.data.transforms import device_normalize_clip
     from scd_tpu.models import (
         dino_vit_b16_config,
         dino_vit_s16_config,

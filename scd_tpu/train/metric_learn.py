@@ -128,18 +128,21 @@ def run_metric_learn(args) -> dict:
                                 steps_per_epoch=args.steps_per_epoch,
                                 num_workers=args.num_workers)
 
-    def eval_fn(tr, epoch):
+    def _extract(tr, ds):
         from scd_tpu.data.loader import iterate_batches
 
         feats, targets, masks = [], [], []
         for images, labels, _uq, m in iterate_batches(
-                merged_eval, args.batch_size, num_workers=args.num_workers):
+                ds, args.batch_size, num_workers=args.num_workers):
             feats.append(tr.extract_features([images]))
             targets.append(labels)
             masks.append(m)
-        feats = np.concatenate(feats)
-        targets = np.concatenate(targets).astype(np.int64)
-        mask_lab = np.concatenate(masks).astype(bool)
+        return (np.concatenate(feats),
+                np.concatenate(targets).astype(np.int64),
+                np.concatenate(masks).astype(bool))
+
+    def eval_fn(tr, epoch):
+        feats, targets, mask_lab = _extract(tr, merged_eval)
         mask_cls = targets < len(train_classes)
         if mask_lab.any():
             all_acc, old_acc, new_acc, _p, _r = eval_kmeans_semi_sup(
@@ -164,14 +167,7 @@ def run_metric_learn(args) -> dict:
         if _test_ds is not None and len(_test_ds) > 0:
             from scd_tpu.cluster.runners import eval_kmeans
 
-            tf, tt = [], []
-            for images, labels, _uq, _m in iterate_batches(
-                    _test_ds, args.batch_size,
-                    num_workers=args.num_workers):
-                tf.append(tr.extract_features([images]))
-                tt.append(labels)
-            tf = np.concatenate(tf)
-            tt = np.concatenate(tt).astype(np.int64)
+            tf, tt, _tm = _extract(tr, _test_ds)
             t_all, t_old, t_new, _r = eval_kmeans(
                 jax.random.PRNGKey(epoch), tf, tt,
                 tt < len(train_classes),
