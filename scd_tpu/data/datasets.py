@@ -81,9 +81,11 @@ def scan_imagefolder(root: str) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     which the reference's wnid mapping relies on, ``main_unsup.py:423-426``)."""
     classes = sorted(e.name for e in os.scandir(root) if e.is_dir())
     paths, targets = [], []
-    # torchvision IMG_EXTENSIONS (narrower lists silently drop images)
+    # torchvision IMG_EXTENSIONS exactly (it excludes .gif; a wider list
+    # would yield extra samples and shift uq_idxs/class counts vs the
+    # reference's ImageFolder scan)
     exts = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".tif",
-            ".tiff", ".webp", ".gif")
+            ".tiff", ".webp")
     for i, cls in enumerate(classes):
         cdir = os.path.join(root, cls)
         for fname in sorted(os.listdir(cdir)):

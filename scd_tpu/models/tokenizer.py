@@ -52,6 +52,12 @@ def _get_pairs(word: Tuple[str, ...]) -> set:
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
+def _is_punct(ch: str) -> bool:
+    """True for a single char the CLIP regex lumps into a ``[^\\s\\w]+``
+    punctuation run (empty string -> False)."""
+    return bool(ch) and not ch.isspace() and not ch.isalnum()
+
+
 def _clean(text: str) -> str:
     # reference also runs ftfy.fix_text (mojibake repair) — a no-op for the
     # ASCII prompt templates and class names this pipeline tokenizes
@@ -187,17 +193,32 @@ class CLIPTokenizer:
                 exact = (bool(sep)
                          and not (pre and pre[-1].isalnum())
                          and not (suf and suf[0].isalnum()))
-                pieces.append((self.encode(pre), self.encode(suf))
-                              if exact else (t, None))
+                if exact:
+                    # remaining merge hazard is name-dependent: a PUNCT
+                    # template boundary next to a PUNCT name boundary fuses
+                    # into one [^\s\w]+ regex token in the full encode
+                    # (e.g. name 'ph.d.' + template '... {}.') — record the
+                    # boundary classes so the splice loop can fall back per
+                    # name
+                    pieces.append((self.encode(pre), self.encode(suf), t,
+                                   _is_punct(pre[-1:]), _is_punct(suf[:1])))
+                else:
+                    pieces.append((None, None, t, False, False))
             self._template_pieces_cache[key] = pieces
         name_toks = [self.encode(n) for n in names]
         out = np.zeros((len(names) * len(templates), context_length),
                        np.int32)
         row = 0
         for name, ntoks in zip(names, name_toks):
-            for pre, suf in pieces:
-                if suf is None:  # fallback template: full format+encode
-                    toks = [sot] + self.encode(pre.format(name)) + [eot]
+            nc = _clean(name)
+            n_head_punct = _is_punct(nc[:1])
+            n_tail_punct = _is_punct(nc[-1:])
+            for pre, suf, tmpl, pre_punct, suf_punct in pieces:
+                if (suf is None or (pre_punct and n_head_punct)
+                        or (suf_punct and n_tail_punct)):
+                    # fallback: full format+encode (non-splittable template,
+                    # or punctuation-adjacent boundary that would merge)
+                    toks = [sot] + self.encode(tmpl.format(name)) + [eot]
                 else:
                     toks = [sot] + pre + ntoks + suf + [eot]
                 if len(toks) > context_length:

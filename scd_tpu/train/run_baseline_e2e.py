@@ -130,7 +130,11 @@ def main(argv=None):
     merged_eval, _t2, _u2, _e2 = get_datasets(
         data_cfg, train_transform=test_tf, test_transform=test_tf)
     eval_labels, eval_mask_lab = _eval_meta(merged_eval)
-    eval_mask_cls = np.isin(eval_labels, list(train_classes))
+    # _eval_meta returns target_transform-applied labels: labelled classes
+    # are REMAPPED to 0..n_lab-1 (data/registry.py), so the Old/New split is
+    # "id < n_lab" — comparing against the ORIGINAL class ids would be
+    # silently wrong on SSB splits with scattered known-class ids.
+    eval_mask_cls = eval_labels < n_lab
     eval_u_idx = np.flatnonzero(~eval_mask_lab)
 
     steps = args.steps_per_epoch or max(len(merged) // args.batch_size, 1)
