@@ -113,6 +113,39 @@ def device_peak_tflops() -> float:
     return float("nan")
 
 
+def init_backend(max_tries: int = 4, base_sleep_s: float = 5.0) -> float:
+    """Bring the backend up with bounded retries and return the per-chip
+    bf16 peak TFLOP/s (NaN for unknown device kinds).
+
+    The axon plugin's ``UNAVAILABLE: TPU backend setup/compile error`` is
+    transient-class — one occurrence voided ALL of round 3's perf evidence
+    (``BENCH_r03.json``: rc=1, no JSON) because ``jax.devices()`` ran before
+    any try/except.  Between attempts the cached (failed) backend is
+    dropped via ``jax.extend.backend.clear_backends()`` so the plugin
+    re-initializes from scratch."""
+    import jax
+
+    last: Exception | None = None
+    for attempt in range(max_tries):
+        try:
+            return device_peak_tflops()
+        except Exception as e:  # noqa: BLE001 — any init error is retryable
+            last = e
+            sleep_s = base_sleep_s * (2.0 ** attempt)
+            print(f"[bench] backend init attempt {attempt + 1}/{max_tries} "
+                  f"failed ({type(e).__name__}: {e}); retrying in "
+                  f"{sleep_s:.0f}s", file=sys.stderr, flush=True)
+            try:
+                import jax.extend.backend as _eb
+
+                _eb.clear_backends()
+            except Exception:
+                pass
+            time.sleep(sleep_s)
+    raise RuntimeError(
+        f"backend init failed after {max_tries} attempts") from last
+
+
 def _timed_slope(make_run, k_lo: int, k_hi: int, *args, reps: int = 2):
     """Two-point timing: ``make_run(k)`` builds a jitted scan of k chained
     iterations returning one scalar.  Returns seconds per iteration as the
@@ -465,7 +498,11 @@ def bench_e2e():
        is an artifact of this environment, not the framework; production
        TPU VMs feed from local storage at >GB/s).
     2. SSKM clustering of the 97,536 unlabelled + 32,512 labelled 768-d
-       features (k=100, n_init=3, max_iter=20) via ``fit_sskm``.
+       features via ``fit_sskm`` at the REFERENCE's own hyperparameters
+       (k=100, n_init=10, max_iterations=10 — ``main_unsup.py:350-351``),
+       so the stage comparison is apples-to-apples (round 3 ran n_init=3,
+       max_iter=20).  The vmapped-restart design makes the extra restarts
+       nearly free: all 10 run in one compiled while_loop.
     3. fused vocabulary softmax->top-k over [130k, 512] x [512, 68k].
     4. the iterative voting loop to fixpoint + ACC v2.
     Stages 2-4 run on class-structured device-generated features (random
@@ -483,15 +520,17 @@ def bench_e2e():
     extraction 2 passes x 130,048 imgs at the 400 imgs/s nominal
     (REFERENCE_NOMINAL_IMGS_PER_SEC: fp16 CLIP + fp32 DINO torch on the
     repo's cudatoolkit-10.2-era single GPU) = 650 s; SSKM fit_mix with 10
-    serialized joblib restarts x ~100 Lloyd iters of chunked [98k, 100]
-    torch distance + host argmin ~= 60 s; chunked top-k + softmax over
-    68k vocab + D2H ~= 5 s; voting: 4 rounds x (vendored-Munkres
-    Hungarian on the vote matrix — MEASURED 7.6 s at the 600x600 shape a
-    K=100 x num_common_vote=20 pool reaches, ``linear_assignment.py``
-    imported from the reference and timed on this host — + 0.18 s
-    measured reference-pattern Counter histograms + ~1.5 s GPU reclassify
-    and metric evals) ~= 37 s.
-    Total ~750 s => single-chip speedup = 750 / measured; v5e-8
+    serialized joblib restarts x max_iterations=10 Lloyd iters
+    (``main_unsup.py:350-351`` — the reference CAPS at 10, not ~100 as the
+    round-3 model over-charged) of chunked [98k, 100] torch distance +
+    host argmin ~= 6 s; chunked top-k + softmax over 68k vocab + D2H
+    ~= 5 s; voting: 4 rounds x (vendored-Munkres Hungarian on the vote
+    matrix — MEASURED 7.6 s at the 600x600 shape a K=100 x
+    num_common_vote=20 pool reaches, ``linear_assignment.py`` imported
+    from the reference and timed on this host — + 0.18 s measured
+    reference-pattern Counter histograms + ~1.5 s GPU reclassify and
+    metric evals) ~= 37 s.
+    Total ~698 s => single-chip speedup = 698 / measured; v5e-8
     projection shards extraction (x8 zero-collective dp,
     ``make_sharded_image_encoder``), SSKM (instance axis), and top-k
     (vocab axis) but not the host voting bookkeeping.
@@ -595,10 +634,12 @@ def bench_e2e():
     nouns = [f"name_{i}" for i in range(v)]
 
     # ---- stage 2: SSKM (device-resident features: no host round-trip)
+    # reference hyperparameters exactly (main_unsup.py:350-351): n_init=10,
+    # max_iterations=10 — the restarts are vmapped into one while_loop
     res = timed("sskm_130k", lambda: fit_sskm(
         jax.random.PRNGKey(0), u_feats, l_feats, l_true,
-        ClusterConfig(algorithm="SSKM", n_clusters=k, n_init=3,
-                      max_iterations=20)))
+        ClusterConfig(algorithm="SSKM", n_clusters=k, n_init=10,
+                      max_iterations=10)))
     u_preds0 = res.labels[n_l:]
 
     # ---- stage 3: vocabulary top-k
@@ -617,7 +658,7 @@ def bench_e2e():
 
     total = sum(stages.values())
     e2e_rate = n_images / total
-    ref_model_s = 750.0
+    ref_model_s = 698.0  # 650 extract + 6 SSKM@10x10 + 5 topk + 37 voting
     # v5e-8 projection: extraction dp x8 (zero-collective), SSKM instance
     # sharding (conservative x4 of the measured-working mesh path), top-k
     # vocab sharding x8; voting loop host bookkeeping unsharded
@@ -644,9 +685,74 @@ def bench_e2e():
 
 
 def main():
-    from scd_tpu.utils.runtime import enable_compilation_cache
+    """Failure-proof driver: the single JSON line prints from ``finally``
+    NO MATTER WHAT — backend init failure, a bench exception, SIGTERM from
+    a harness timebox — carrying an ``error`` field plus whatever metrics
+    completed, and the process exits 0.  Round 3 lost its entire perf
+    record to one transient backend error that escaped ``main()``
+    (``BENCH_r03.json``: rc=1, parsed=null); the contract now is that the
+    driver can ALWAYS parse the line."""
+    import signal
+    import threading
 
-    enable_compilation_cache()
+    # A harness timebox sends SIGTERM; convert it to an exception so the
+    # finally-block JSON still prints (SIGKILL is uncatchable — the soft
+    # deadline below exists to finish well before any hard kill).
+    def _on_term(signum, frame):
+        raise SystemExit(f"terminated by signal {signum}")
+
+    try:
+        signal.signal(signal.SIGTERM, _on_term)
+    except (ValueError, OSError):  # non-main thread / exotic platform
+        pass
+
+    out = {
+        "metric": "clip_embed_imgs_per_sec_per_chip",
+        "value": None,
+        "unit": "imgs/sec/chip",
+        "vs_baseline": None,
+        "flops_per_img": CLIP_VIT_B16_FLOPS_PER_IMG,
+        "tflops_per_sec": None,
+        "mfu": None,
+        "peak_tflops": None,
+        "secondary": {},
+        "e2e": None,
+        "error": None,
+    }
+    errors = []
+
+    # Exactly-once JSON emission shared by the normal path and the
+    # watchdog: backend bring-up can HANG (observed: jax.devices() blocked
+    # >500 s with no exception — a failure mode retries never see), so a
+    # daemon thread hard-emits the line and exits 0 if main() wedges past
+    # the hard cap.  SIGTERM/exception paths go through the same helper.
+    emit_lock = threading.Lock()
+    emitted = threading.Event()
+    done = threading.Event()
+
+    def emit_json():
+        with emit_lock:
+            if emitted.is_set():
+                return
+            emitted.set()
+            if errors:
+                out["error"] = "; ".join(errors)
+            print(json.dumps(out), flush=True)
+
+    hard_cap_s = float(os.environ.get(
+        "SCD_BENCH_HARD_CAP_S",
+        float(os.environ.get("SCD_BENCH_DEADLINE_S", 2700)) + 900))
+
+    def watchdog():
+        if not done.wait(hard_cap_s):
+            errors.append(f"watchdog: still running after {hard_cap_s:.0f}s "
+                          "(hung backend init or compile) — emitting and "
+                          "exiting")
+            print(f"[bench] {errors[-1]}", file=sys.stderr, flush=True)
+            emit_json()
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
 
     # Soft deadline: remote compiles have huge variance (90-590 s observed
     # for one program); if the harness timeboxes this script, dying
@@ -665,70 +771,96 @@ def main():
             return False
         return True
 
-    peak = device_peak_tflops()
-    imgs_per_sec = bench_clip_embed()
-    tflops = imgs_per_sec * CLIP_VIT_B16_FLOPS_PER_IMG / 1e12
-    mfu = tflops / peak if np.isfinite(peak) else float("nan")
-    print(f"[bench] clip_embed: {imgs_per_sec:.1f} imgs/sec/chip "
-          f"({tflops:.1f} TFLOP/s, MFU {mfu * 100:.1f}% of {peak:.0f} peak, "
-          f"{CLIP_VIT_B16_FLOPS_PER_IMG / 1e9:.2f} GFLOP/img at 2/MAC; "
-          "extraction dp-shards over a mesh with zero collectives — "
-          f"make_sharded_image_encoder projects ~{imgs_per_sec * 8 / 1000:.1f}k "
-          "imgs/s on v5e-8)", file=sys.stderr)
     try:
-        km, km_fl = bench_kmeans_iter()
-        print(f"[bench] kmeans_em_iter (N=65536,D=768,K=100->128pad): "
-              f"{km:.2f} iters/sec ({km_fl / 1e12:.1f} TFLOP/s)",
-              file=sys.stderr)
-        tk = bench_vocab_topk()
-        print(f"[bench] vocab softmax-topk (V=68k): {tk:.0f} imgs/sec",
-              file=sys.stderr)
-        tx = bench_text_embed()
-        print(f"[bench] clip text encoder (seq=32 EOT bucket): {tx:.0f} "
-              f"prompts/sec "
-              f"(68k-name x 80-template vocab in ~{5.44e6 / tx / 60:.1f} min"
-              "/chip; names axis shards linearly over a mesh via "
-              "build_zeroshot_weights(mesh=...) -> ~8x on v5e-8)",
-              file=sys.stderr)
-        ce = bench_constrained_estep()
-        print(f"[bench] constrained E-step, on-device sinkhorn+repair "
-              f"(N=65536,K=100): {ce:.1f} steps/sec "
-              f"({1000.0 / ce:.0f} ms/step; the exact host MCF needs "
-              "seconds at this shape)", file=sys.stderr)
-        if budget_left("gcd_train", 600):
-            gt = bench_gcd_train()
-            print(f"[bench] gcd train step (ViT-B/16 bf16, "
-                  f"fwd+bwd@block11+SGD): {gt:.0f} imgs/sec/chip",
-                  file=sys.stderr)
-        if budget_left("uno_e2e_step", 900):
-            ue = bench_uno_e2e_step()
-            print(f"[bench] uno_v2 e2e train step (ViT-B/16 bf16 "
-                  f"full-backbone fwd+bwd, 2 views, 4 heads, sinkhorn "
-                  f"pseudo-labels): {ue:.0f} imgs/sec/chip", file=sys.stderr)
-    except Exception as e:  # secondary benches must not kill the headline
-        print(f"[bench] secondary failed: {e}", file=sys.stderr)
+        peak = init_backend()
+        known_peak = np.isfinite(peak)
+        # null (not NaN) for unknown device kinds — NaN isn't strict JSON
+        out["peak_tflops"] = peak if known_peak else None
 
-    e2e = None
-    if not os.environ.get("SCD_BENCH_SKIP_E2E") and budget_left("e2e", 600):
+        from scd_tpu.utils.runtime import enable_compilation_cache
+
+        enable_compilation_cache()
+
         try:
-            e2e = bench_e2e()
-        except Exception as e:  # e2e must not kill the headline either
-            print(f"[bench] e2e failed: {e}", file=sys.stderr)
+            imgs_per_sec = bench_clip_embed()
+            tflops = imgs_per_sec * CLIP_VIT_B16_FLOPS_PER_IMG / 1e12
+            mfu = tflops / peak if known_peak else float("nan")
+            out["value"] = round(imgs_per_sec, 1)
+            out["vs_baseline"] = round(
+                imgs_per_sec / REFERENCE_NOMINAL_IMGS_PER_SEC, 2)
+            out["tflops_per_sec"] = round(tflops, 1)
+            out["mfu"] = round(mfu, 4) if known_peak else None
+            print(f"[bench] clip_embed: {imgs_per_sec:.1f} imgs/sec/chip "
+                  f"({tflops:.1f} TFLOP/s, MFU {mfu * 100:.1f}% of "
+                  f"{peak:.0f} peak, "
+                  f"{CLIP_VIT_B16_FLOPS_PER_IMG / 1e9:.2f} GFLOP/img at "
+                  "2/MAC; extraction dp-shards over a mesh with zero "
+                  "collectives — make_sharded_image_encoder projects "
+                  f"~{imgs_per_sec * 8 / 1000:.1f}k imgs/s on v5e-8)",
+                  file=sys.stderr)
+        except Exception as e:  # headline must not kill the secondaries
+            errors.append(f"headline: {type(e).__name__}: {e}")
+            print(f"[bench] headline failed: {e}", file=sys.stderr)
 
-    # null (not NaN) for unknown device kinds — NaN is not valid strict JSON
-    known_peak = np.isfinite(peak)
-    print(json.dumps({
-        "metric": "clip_embed_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 1),
-        "unit": "imgs/sec/chip",
-        "vs_baseline": round(imgs_per_sec / REFERENCE_NOMINAL_IMGS_PER_SEC, 2),
-        "flops_per_img": CLIP_VIT_B16_FLOPS_PER_IMG,
-        "tflops_per_sec": round(tflops, 1),
-        "mfu": round(mfu, 4) if known_peak else None,
-        "peak_tflops": peak if known_peak else None,
-        "e2e": e2e,
-    }))
+        def secondary(name, need_s, fn, fmt):
+            """Each secondary bench is individually fenced: one failure is
+            recorded and the rest still run."""
+            if not budget_left(name, need_s):
+                return
+            try:
+                val = fn()
+                out["secondary"][name] = (
+                    [round(v, 2) for v in val] if isinstance(val, tuple)
+                    else round(val, 2))
+                print(f"[bench] {fmt(val)}", file=sys.stderr)
+            except Exception as e:
+                errors.append(f"{name}: {type(e).__name__}: {e}")
+                print(f"[bench] {name} failed: {e}", file=sys.stderr)
+
+        secondary(
+            "kmeans_iters_per_sec", 300, lambda: bench_kmeans_iter()[0],
+            lambda km: f"kmeans_em_iter (N=65536,D=768,K=100->128pad): "
+                       f"{km:.2f} iters/sec")
+        secondary(
+            "vocab_topk_imgs_per_sec", 300, bench_vocab_topk,
+            lambda tk: f"vocab softmax-topk (V=68k): {tk:.0f} imgs/sec")
+        secondary(
+            "text_prompts_per_sec", 300, bench_text_embed,
+            lambda tx: f"clip text encoder (seq=32 EOT bucket): {tx:.0f} "
+                       f"prompts/sec (68k-name x 80-template vocab in "
+                       f"~{5.44e6 / tx / 60:.1f} min/chip; names axis "
+                       "shards ~linearly over a mesh)")
+        secondary(
+            "constrained_estep_steps_per_sec", 300, bench_constrained_estep,
+            lambda ce: f"constrained E-step, on-device sinkhorn+repair "
+                       f"(N=65536,K=100): {ce:.1f} steps/sec "
+                       f"({1000.0 / ce:.0f} ms/step; the exact host MCF "
+                       "needs seconds at this shape)")
+        secondary(
+            "gcd_train_imgs_per_sec", 600, bench_gcd_train,
+            lambda gt: f"gcd train step (ViT-B/16 bf16, fwd+bwd@block11"
+                       f"+SGD): {gt:.0f} imgs/sec/chip")
+        secondary(
+            "uno_e2e_imgs_per_sec", 900, bench_uno_e2e_step,
+            lambda ue: f"uno_v2 e2e train step (ViT-B/16 bf16 full-backbone "
+                       f"fwd+bwd, 2 views, 4 heads, sinkhorn "
+                       f"pseudo-labels): {ue:.0f} imgs/sec/chip")
+
+        if not os.environ.get("SCD_BENCH_SKIP_E2E") and budget_left(
+                "e2e", 600):
+            try:
+                out["e2e"] = bench_e2e()
+            except Exception as e:  # e2e must not kill the headline either
+                errors.append(f"e2e: {type(e).__name__}: {e}")
+                print(f"[bench] e2e failed: {e}", file=sys.stderr)
+    except BaseException as e:  # incl. SystemExit from the SIGTERM handler
+        errors.append(f"{type(e).__name__}: {e}")
+        print(f"[bench] fatal: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        done.set()
+        emit_json()
 
 
 if __name__ == "__main__":
     main()
+    sys.exit(0)
