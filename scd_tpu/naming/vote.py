@@ -143,16 +143,26 @@ def assign_name_logits(unique_name_idx: Sequence[int],
                        cluster_to_logit_counter: Dict[int, List[Tuple[int, float]]],
                        num_common: int = 4) -> Tuple[np.ndarray, np.ndarray]:
     """Logit-weighted vote variant (reference ``clip_lang_util.py:208-234``):
-    counter values are summed softmax scores rather than counts."""
+    counter values are summed softmax scores rather than counts.
+
+    Bit-parity quirk: the reference accumulates the float scores into an
+    INT vote matrix (``clip_lang_util.py:224`` — ``np.zeros(..., dtype=int)``),
+    truncating each cluster's summed score toward zero.  At pipeline scale
+    the sums span tens-to-hundreds (softmax mass over a cluster's members)
+    so the truncation is sub-1% noise, but it is observable — reproduced
+    here exactly (checked against the reference in
+    ``tests/test_reference_parity.py``)."""
     unameidx_to_newidx = {u: n for n, u in enumerate(unique_name_idx)}
     clusters = list(cluster_to_logit_counter.keys())
     D = max(len(unique_name_idx), len(clusters))
-    w = np.zeros((D, D), dtype=np.float64)
+    w = np.zeros((D, D), dtype=np.int64)
     for i, c in enumerate(clusters):
         entries = sorted(cluster_to_logit_counter[c], key=lambda kv: kv[1],
                          reverse=True)[:num_common]
         for name_idx, val in entries:
-            w[i, unameidx_to_newidx[name_idx]] += val
+            # each candidate name is unique within a cluster, so the +=
+            # runs once per cell: int(trunc(val)), the reference cast
+            w[i, unameidx_to_newidx[name_idx]] += int(val)
     ind = linear_assignment(w.max() - w)
     return ind, w
 

@@ -448,13 +448,15 @@ def test_assign_name_logits_weights_by_score():
     times but with high confidence wins."""
     from scd_tpu.naming.vote import assign_name_logits, cluster_logit_counters
 
-    # cluster 0: name 5 twice at 0.2 vs name 6 once at 0.9
+    # cluster 0: name 5 twice at 2.0 vs name 6 once at 9.0 (values at the
+    # >1 scale the pipeline produces — the vote matrix truncates to int,
+    # matching the reference's dtype, clip_lang_util.py:224)
     name_idx = np.array([[5, 6], [5, 7], [6, 8]])
-    name_val = np.array([[0.2, 0.05], [0.2, 0.1], [0.9, 0.02]])
+    name_val = np.array([[2.0, 0.5], [2.0, 1.0], [9.0, 0.2]])
     u_preds = np.array([0, 0, 0])
     counters = cluster_logit_counters(name_idx, name_val, u_preds, top_k=2)
-    assert dict(counters[0])[5] == pytest.approx(0.4)
-    assert dict(counters[0])[6] == pytest.approx(0.95)
+    assert dict(counters[0])[5] == pytest.approx(4.0)
+    assert dict(counters[0])[6] == pytest.approx(9.5)
     ind, w = assign_name_logits([5, 6, 7, 8], counters, num_common=2)
     row0 = [c for r, c in ind if r == 0][0]
     assert [5, 6, 7, 8][row0] == 6  # confidence outvotes count

@@ -1,0 +1,414 @@
+"""Differential parity tests: the REFERENCE CODE ITSELF is the oracle.
+
+Every other parity test in this suite asserts against re-derived goldens;
+here we import the reference's own implementations from ``/root/reference``
+and assert bit-equality (metrics, Hungarian, name assignment) or
+statistical parity (SSKM / ConSSKM fit_mix on blobs) against ours on
+randomized instances.  Oracles:
+
+- ``gcd/project_utils/cluster_and_log_utils.py:6-129`` (split ACC v1/v2/v3)
+- ``gcd/project_utils/cluster_utils.py:39-70`` (cluster_acc, purity)
+- ``local_utils/linear_assignment.py:29-289`` (vendored Munkres)
+- ``local_utils/clip_lang_util.py:156-234`` (assign_name family)
+- ``gcd/methods/clustering/faster_mix_k_means_pytorch.py:129-258`` (SSKM)
+- ``local_utils/sskm_constrained.py:87-187`` (ConSSKM; its Cython
+  OR-Tools bridge is shimmed with our native C++ MCF solver — the shim
+  reproduces the SimpleMinCostFlowVectorized API over the same graph, so
+  the reference's E-step/M-step orchestration runs unmodified)
+
+Import shims (reference deps not in this image): ``clip`` (unused by the
+functions under test), ``sklearn.utils._joblib`` (removed upstream; alias
+to joblib), ``pyximport``/``k_means_constrained.mincostflow_vectorized``
+(Cython; replaced by the native-solver shim).  All shims are installed in
+``sys.modules`` before the reference modules load and none alter the
+reference's algorithmic code paths.
+
+Skips wholesale if ``/root/reference`` is absent.
+"""
+
+import collections
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present")
+
+
+# ------------------------------------------------------------- import rig
+
+class _ShimMCF:
+    """SimpleMinCostFlowVectorized-compatible facade over our native C++
+    min-cost-flow solver (``scd_tpu.ops.native.mcf_solve``) — the exact
+    call surface ``sskm_constrained.solve_min_cost_flow_graph`` uses
+    (``sskm_constrained.py:331-356``)."""
+
+    OPTIMAL = 0
+
+    def __init__(self):
+        self._tail = self._head = self._cap = self._cost = None
+        self._supply = None
+        self._flow = None
+
+    def AddArcWithCapacityAndUnitCostVectorized(self, starts, ends, caps,
+                                                costs):
+        self._tail = np.asarray(starts, np.int32)
+        self._head = np.asarray(ends, np.int32)
+        self._cap = np.asarray(caps, np.int32)
+        self._cost = np.asarray(costs, np.int32)
+
+    def SetNodeSupplyVectorized(self, nodes, supplies):
+        supply = np.zeros(len(nodes), np.int32)
+        supply[np.asarray(nodes, np.int64)] = np.asarray(supplies, np.int32)
+        self._supply = supply
+
+    def Solve(self):
+        from scd_tpu.ops.native import mcf_solve
+
+        try:
+            self._flow = mcf_solve(self._tail, self._head, self._cap,
+                                   self._cost, self._supply)
+        except RuntimeError:
+            return 1  # != OPTIMAL
+        return self.OPTIMAL
+
+    def FlowVectorized(self, arc_indices):
+        return self._flow[np.asarray(arc_indices, np.int64)]
+
+
+def _load_file(name, relpath):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REF, relpath))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Load the reference modules once, with dependency shims installed."""
+    for p in (REF, os.path.join(REF, "gcd")):
+        if p not in sys.path:
+            sys.path.append(p)  # append: never shadow our own modules
+
+    sys.modules.setdefault("clip", types.ModuleType("clip"))
+
+    # the vendored Munkres uses the np.int alias (removed in numpy 2) in
+    # its step-4 path; restore the alias so the reference runs unmodified
+    if not hasattr(np, "int"):
+        np.int = int  # type: ignore[attr-defined]
+
+    if "sklearn.utils._joblib" not in sys.modules:
+        import joblib
+
+        shim = types.ModuleType("sklearn.utils._joblib")
+        shim.Parallel = joblib.Parallel
+        shim.delayed = joblib.delayed
+        shim.effective_n_jobs = joblib.effective_n_jobs
+        sys.modules["sklearn.utils._joblib"] = shim
+
+    if "pyximport" not in sys.modules:
+        pyx = types.ModuleType("pyximport")
+        pyx.install = lambda *a, **k: None
+        sys.modules["pyximport"] = pyx
+
+    if "k_means_constrained.mincostflow_vectorized" not in sys.modules:
+        pkg = types.ModuleType("k_means_constrained")
+        mcf = types.ModuleType("k_means_constrained.mincostflow_vectorized")
+        mcf.SimpleMinCostFlowVectorized = _ShimMCF
+        pkg.mincostflow_vectorized = mcf
+        sys.modules["k_means_constrained"] = pkg
+        sys.modules["k_means_constrained.mincostflow_vectorized"] = mcf
+
+    ns = types.SimpleNamespace()
+    ns.la = _load_file("_ref_linear_assignment",
+                       "local_utils/linear_assignment.py")
+    ns.cu = _load_file("_ref_cluster_utils",
+                       "gcd/project_utils/cluster_utils.py")
+    ns.metrics = _load_file("_ref_cluster_and_log",
+                            "gcd/project_utils/cluster_and_log_utils.py")
+    ns.lang = _load_file("_ref_clip_lang_util",
+                         "local_utils/clip_lang_util.py")
+    ns.fm = _load_file("_ref_faster_mix",
+                       "gcd/methods/clustering/faster_mix_k_means_pytorch.py")
+    ns.con = _load_file("_ref_sskm_constrained",
+                        "local_utils/sskm_constrained.py")
+    return ns
+
+
+def _rand_split_instance(rng, n, k_old, k_new, noise=0.35):
+    """y_true with old classes 0..k_old-1 / new k_old..k_old+k_new-1 (the
+    contiguous layout split_cluster_acc_v3 requires).  Preds are
+    class-structured with ``noise`` corruption and a random permutation of
+    cluster ids: purely-uniform preds make the Hungarian optimum highly
+    degenerate, and under ties scipy and the vendored Munkres legitimately
+    return DIFFERENT optimal assignments (total acc matches, the old/new
+    split doesn't) — structured preds keep the optimum unique, which is
+    the regime the pipeline actually evaluates."""
+    k = k_old + k_new
+    y_true = rng.integers(0, k, size=n)
+    # ensure every class occurs (reference divides by per-set counts)
+    y_true[:k] = np.arange(k)
+    rng.shuffle(y_true)
+    perm = rng.permutation(k)
+    y_pred = np.where(rng.random(n) < noise, rng.integers(0, k, size=n),
+                      perm[y_true])
+    mask = y_true < k_old
+    return y_true.astype(int), y_pred.astype(int), mask
+
+
+# ------------------------------------------------------------ metric parity
+
+def test_cluster_acc_bit_parity(ref):
+    from scd_tpu.metrics.cluster import cluster_acc
+
+    rng = np.random.default_rng(0)
+    for n, k in [(50, 4), (300, 10), (1000, 25), (400, 13)]:
+        y_true = rng.integers(0, k, size=n).astype(int)
+        y_pred = rng.integers(0, k, size=n).astype(int)
+        want = ref.cu.cluster_acc(y_true, y_pred)
+        got = cluster_acc(y_true, y_pred)
+        assert got == want, (n, k)
+
+
+def test_split_cluster_acc_v1_v2_v3_bit_parity(ref):
+    from scd_tpu.metrics import (split_cluster_acc_v1, split_cluster_acc_v2,
+                                 split_cluster_acc_v3)
+
+    rng = np.random.default_rng(1)
+    for seed in range(6):
+        n = int(rng.integers(200, 800))
+        k_old = int(rng.integers(3, 8))
+        k_new = int(rng.integers(3, 8))
+        y_true, y_pred, mask = _rand_split_instance(rng, n, k_old, k_new)
+        for ours, theirs in [(split_cluster_acc_v1,
+                              ref.metrics.split_cluster_acc_v1),
+                             (split_cluster_acc_v2,
+                              ref.metrics.split_cluster_acc_v2),
+                             (split_cluster_acc_v3,
+                              ref.metrics.split_cluster_acc_v3)]:
+            want = theirs(y_true.copy(), y_pred.copy(), mask.copy())
+            got = ours(y_true, y_pred, mask)
+            assert tuple(got) == pytest.approx(tuple(want), abs=1e-12), (
+                seed, ours.__name__)
+
+
+def test_split_v2_ind_map_parity(ref):
+    """The v2 ind_map drives the voting loop's cluster->GT mapping; it must
+    match the reference's whenever the optimum is unique."""
+    from scd_tpu.metrics import split_cluster_acc_v2
+
+    rng = np.random.default_rng(7)
+    # near-diagonal preds -> unique optimal assignment
+    y_true = rng.integers(0, 12, size=600).astype(int)
+    y_pred = np.where(rng.random(600) < 0.8, y_true,
+                      rng.integers(0, 12, size=600)).astype(int)
+    mask = y_true < 6
+    *_, want_map = ref.metrics.split_cluster_acc_v2(
+        y_true, y_pred, mask, return_ind_map=True)
+    *_, got_map = split_cluster_acc_v2(y_true, y_pred, mask,
+                                       return_ind_map=True)
+    assert {int(k): int(v) for k, v in got_map.items()} == \
+        {int(k): int(v) for k, v in want_map.items()}
+
+
+def test_purity_and_nmi_ari_parity(ref):
+    from scd_tpu.metrics.cluster import evaluate_clustering, purity_score
+
+    rng = np.random.default_rng(2)
+    y_true = rng.integers(0, 9, size=500)
+    y_pred = rng.integers(0, 11, size=500)
+    assert purity_score(y_true, y_pred) == pytest.approx(
+        ref.cu.purity_score(y_true, y_pred), abs=1e-12)
+    acc, nmi, ari, pur = ref.cu.evaluate_clustering(
+        y_true.astype(float), y_pred.astype(float))
+    ours = evaluate_clustering(y_true, y_pred)
+    assert ours["acc"] == pytest.approx(acc, abs=1e-12)
+    assert ours["nmi"] == pytest.approx(nmi, abs=1e-12)
+    assert ours["ari"] == pytest.approx(ari, abs=1e-12)
+    assert ours["purity"] == pytest.approx(pur, abs=1e-12)
+
+
+# --------------------------------------------------------- Hungarian parity
+
+def test_hungarian_optimal_cost_parity(ref):
+    """scipy (ours) vs the reference's vendored sklearn Munkres: the optimal
+    total cost is unique even when the argmin assignment is not."""
+    from scd_tpu.metrics.cluster import linear_assignment
+
+    rng = np.random.default_rng(3)
+    for shape in [(6, 6), (20, 20), (57, 57), (40, 40)]:
+        cost = rng.integers(0, 1000, size=shape).astype(np.int64)
+        ind_ref = ref.la.linear_assignment(cost.copy())
+        ind_ours = linear_assignment(cost)
+        assert cost[ind_ref[:, 0], ind_ref[:, 1]].sum() == \
+            cost[ind_ours[:, 0], ind_ours[:, 1]].sum(), shape
+        # both must be permutations
+        assert sorted(ind_ours[:, 0]) == list(range(shape[0]))
+        assert sorted(ind_ours[:, 1]) == list(range(shape[1]))
+
+
+# -------------------------------------------------------- assign_name parity
+
+def _random_counters(rng, n_clusters, vocab, per_cluster):
+    """Same insertion order on both sides; distinct counts (no vote ties)."""
+    counters_ref, counters_ours = {}, {}
+    used = set()
+    for c in range(n_clusters):
+        names = rng.choice(vocab, size=per_cluster, replace=False)
+        counts = rng.choice(np.arange(1, 10 * per_cluster), size=per_cluster,
+                            replace=False)
+        ct = collections.Counter()
+        for name, cnt in zip(names, counts):
+            ct[int(name)] = int(cnt)
+            used.add(int(name))
+        counters_ref[c] = ct
+        counters_ours[c] = [(int(k), int(v)) for k, v in ct.most_common()]
+    return counters_ref, counters_ours, sorted(used)
+
+
+def test_assign_name_bit_parity(ref):
+    from scd_tpu.naming.vote import assign_name
+
+    rng = np.random.default_rng(4)
+    for num_common in (2, 4, 6):
+        c_ref, c_ours, uniq = _random_counters(
+            rng, n_clusters=12, vocab=np.arange(100), per_cluster=8)
+        ind_ref, w_ref = ref.lang.assign_name(uniq, c_ref,
+                                              num_common=num_common)
+        ind_ours, w_ours = assign_name(uniq, c_ours, num_common=num_common)
+        np.testing.assert_array_equal(w_ours, w_ref)
+        assert w_ref[ind_ref[:, 0], ind_ref[:, 1]].sum() == \
+            w_ours[ind_ours[:, 0], ind_ours[:, 1]].sum()
+
+
+def test_assign_name_on_leftover_bit_parity(ref):
+    from scd_tpu.naming.vote import assign_name_on_leftover
+
+    rng = np.random.default_rng(5)
+    c_ref, c_ours, uniq = _random_counters(
+        rng, n_clusters=10, vocab=np.arange(80), per_cluster=8)
+    voted = list(rng.choice(uniq, size=len(uniq) // 3, replace=False))
+    ind_ref, w_ref = ref.lang.assign_name_on_leftover(uniq, c_ref, voted)
+    ind_ours, w_ours = assign_name_on_leftover(uniq, c_ours, voted)
+    np.testing.assert_array_equal(w_ours, w_ref)
+    assert w_ref[ind_ref[:, 0], ind_ref[:, 1]].sum() == \
+        w_ours[ind_ours[:, 0], ind_ours[:, 1]].sum()
+
+
+def test_assign_name_logits_parity(ref):
+    from scd_tpu.naming.vote import assign_name_logits
+
+    rng = np.random.default_rng(6)
+    counters_ref, counters_ours, used = {}, {}, set()
+    for c in range(9):
+        names = rng.choice(np.arange(60), size=7, replace=False)
+        # pipeline-scale summed softmax mass (tens) — also exercises the
+        # reference's int-truncating vote matrix, which ours reproduces
+        vals = rng.random(7) * 40 + 1
+        counters_ref[c] = {int(n): float(v) for n, v in zip(names, vals)}
+        counters_ours[c] = [(int(n), float(v)) for n, v in zip(names, vals)]
+        used.update(int(n) for n in names)
+    uniq = sorted(used)
+    ind_ref, w_ref = ref.lang.assign_name_logits(uniq, counters_ref)
+    ind_ours, w_ours = assign_name_logits(uniq, counters_ours, num_common=4)
+    np.testing.assert_array_equal(w_ours, w_ref)
+    assert w_ref[ind_ref[:, 0], ind_ref[:, 1]].sum() == \
+        w_ours[ind_ours[:, 0], ind_ours[:, 1]].sum()
+
+
+# ------------------------------------------------------ fit_mix parity (SSKM)
+
+def _blobs(rng, n_u, n_l, k, k_lab, d=32, spread=6.0):
+    centers = rng.standard_normal((k, d)) * spread
+    u_true = rng.integers(0, k, size=n_u)
+    l_true = rng.integers(0, k_lab, size=n_l)
+    u = (centers[u_true] + rng.standard_normal((n_u, d))).astype(np.float32)
+    l = (centers[l_true] + rng.standard_normal((n_l, d))).astype(np.float32)
+    return u, l, u_true, l_true
+
+
+def test_sskm_fit_mix_statistical_parity(ref):
+    """Reference torch ``K_Means.fit_mix`` vs ``fit_sskm`` on the same
+    blobs: both must recover the clusters (ACC class) and land in the same
+    inertia regime.  Bit-equality is not expected (different inits/RNG);
+    the assertion is metric-parity per VERDICT item 2."""
+    import jax
+    import torch
+
+    from scd_tpu.cluster import fit_sskm
+    from scd_tpu.core.config import ClusterConfig
+    from scd_tpu.metrics.cluster import cluster_acc
+
+    rng = np.random.default_rng(10)
+    k, k_lab, n_u, n_l = 10, 5, 500, 250
+    u, l, u_true, l_true = _blobs(rng, n_u, n_l, k, k_lab)
+
+    km = ref.fm.K_Means(k=k, tolerance=1e-4, max_iterations=50, n_init=3,
+                        random_state=0, n_jobs=1)
+    km.fit_mix(torch.from_numpy(u), torch.from_numpy(l),
+               torch.from_numpy(l_true.astype(np.int64)))
+    ref_u_labels = km.labels_[n_l:].numpy()
+    ref_acc = cluster_acc(u_true, ref_u_labels)
+    ref_inertia = float(km.inertia_)
+
+    res = fit_sskm(jax.random.PRNGKey(0), u, l, l_true,
+                   ClusterConfig(algorithm="SSKM", n_clusters=k, n_init=3,
+                                 max_iterations=50))
+    our_acc = cluster_acc(u_true, np.asarray(res.labels[n_l:]))
+
+    # match-or-beat: same objective, so ours must land at least in the
+    # reference's ACC/inertia class (measured: ref 0.866 / ours 1.0 on
+    # this seed — the vmapped greedy-kpp restarts find the better optimum)
+    assert ref_acc > 0.8, ref_acc
+    assert our_acc >= ref_acc - 0.02, (ref_acc, our_acc)
+    assert res.inertia <= ref_inertia * 1.02, (res.inertia, ref_inertia)
+
+
+def test_constrained_fit_mix_statistical_parity(ref):
+    """Reference ``sskm_constrained.K_Means.fit_mix`` (running its OWN
+    graph construction + E/M orchestration over the shimmed MCF) vs our
+    exact-MCF ``fit_constrained``: cluster recovery and size-constraint
+    satisfaction on the same blobs."""
+    import jax
+    import torch
+
+    from scd_tpu.cluster import fit_constrained
+    from scd_tpu.core.config import ClusterConfig
+    from scd_tpu.metrics.cluster import cluster_acc
+
+    rng = np.random.default_rng(11)
+    k, k_lab, n_u, n_l = 8, 4, 320, 160
+    size_min, size_max = 15, 90
+    u, l, u_true, l_true = _blobs(rng, n_u, n_l, k, k_lab, d=16)
+
+    km = ref.con.K_Means(k=k, tolerance=1e-4, max_iterations=20, n_init=2,
+                         size_min=size_min, size_max=size_max,
+                         random_state=0, n_jobs=1)
+    km.fit_mix(torch.from_numpy(u), torch.from_numpy(l),
+               torch.from_numpy(l_true.astype(np.int64)))
+    ref_u_labels = km.labels_[n_l:].numpy()
+    ref_counts = np.bincount(ref_u_labels, minlength=k)
+    ref_acc = cluster_acc(u_true, ref_u_labels)
+
+    cfg = ClusterConfig(algorithm="ConSSKM", n_clusters=k, n_init=2,
+                        max_iterations=20, size_min=size_min,
+                        size_max=size_max, constrained_backend="mcf")
+    res = fit_constrained(jax.random.PRNGKey(0), u, l, l_true, cfg)
+    our_u_labels = np.asarray(res.labels[n_l:])
+    our_counts = np.bincount(our_u_labels, minlength=k)
+    our_acc = cluster_acc(u_true, our_u_labels)
+
+    # the reference constrains the UNLABELLED assignment sizes each E-step
+    assert (ref_counts >= size_min).all() and (ref_counts <= size_max).all()
+    assert (our_counts >= size_min).all() and (our_counts <= size_max).all()
+    # match-or-beat (measured: ref 0.816 / ours 1.0 on this seed)
+    assert ref_acc > 0.75, ref_acc
+    assert our_acc >= ref_acc - 0.02, (ref_acc, our_acc)
