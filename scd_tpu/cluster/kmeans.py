@@ -158,24 +158,37 @@ def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
     return labels[best], inertias[best], centers[best], iters[best]
 
 
-def _use_fused(mesh, d: int = None, k: int = None) -> bool:
-    """Fused Pallas E+M on any TPU path: single-device runs call the
+def _use_fused(mesh, d: int = None, k: int = None,
+               cfg_fused="auto") -> bool:
+    """Fused Pallas E+M kernel dispatch. Single-device runs call the
     kernel directly; mesh runs wrap it in shard_map + psum
-    (``em_iteration_sharded``).  With (d, k) given, huge K*D problems
-    that cannot fit the kernel's scoped-VMEM budget at any row block
+    (``em_iteration_sharded``).
+
+    ``cfg_fused`` is ``ClusterConfig.fused_mesh``: "auto" picks the
+    kernel on TPU and the XLA ops on CPU (where the interpret-mode
+    kernel is slower); True/False force either way.  The SCD_FUSED_MESH
+    env var overrides the config when set ("0"/"" = off) — operational
+    escape hatch + the dryrun/test hook.  Every "on" outcome still
+    passes the VMEM-feasibility guard: huge K*D problems that cannot
+    fit the kernel's scoped-VMEM budget at any row block
     (``fused_em_block_n`` -> None) fall back to the freely-tiling XLA
-    ops instead of failing to compile.  On CPU the interpret-mode kernel
-    is slower than XLA, so only tests force it (SCD_FUSED_MESH=1
-    exercises the shard_map path on the virtual mesh)."""
+    ops instead of failing to compile."""
     import os
 
-    if jax.default_backend() == "tpu":
-        if d is not None and k is not None:
-            from scd_tpu.ops.pallas_kernels import fused_em_block_n
+    env = os.environ.get("SCD_FUSED_MESH")
+    if env is not None:
+        choice = env not in ("", "0")
+    elif cfg_fused == "auto":
+        choice = jax.default_backend() == "tpu"
+    else:
+        choice = bool(cfg_fused)
+    if not choice:
+        return False
+    if d is not None and k is not None:
+        from scd_tpu.ops.pallas_kernels import fused_em_block_n
 
-            return fused_em_block_n(d, k) is not None
-        return True
-    return mesh is not None and bool(os.environ.get("SCD_FUSED_MESH"))
+        return fused_em_block_n(d, k) is not None
+    return True
 
 
 def _stage_rows(x: np.ndarray, mesh):
@@ -213,7 +226,8 @@ def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
     labels, inertia, centers, n_iter = _fit_kmeans_device(
         key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
         cfg.tolerance, cfg.n_init,
-        fused=_use_fused(mesh, x_j.shape[1], cfg.n_clusters), mesh=mesh)
+        fused=_use_fused(mesh, x_j.shape[1], cfg.n_clusters,
+                         cfg.fused_mesh), mesh=mesh)
     return KMeansResult(np.asarray(labels)[:int(n_valid)], np.asarray(centers),
                         float(inertia), int(n_iter))
 
@@ -278,7 +292,8 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         key, u, l, jnp.asarray(l_mapped.astype(np.int32)),
         n_valid, cfg.n_clusters, n_l_classes,
         cfg.max_iterations, cfg.tolerance, cfg.n_init,
-        fused=_use_fused(mesh, u.shape[1], cfg.n_clusters), mesh=mesh)
+        fused=_use_fused(mesh, u.shape[1], cfg.n_clusters,
+                         cfg.fused_mesh), mesh=mesh)
 
     all_labels = np.concatenate([l_mapped.astype(np.int32),
                                  np.asarray(u_labels)[:n_u]])
@@ -319,6 +334,7 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
     labels, inertia, centers, n_iter = _fit_from_labels_device(
         x_j, lab_j, n_valid, cfg.n_clusters, cfg.max_iterations,
         cfg.tolerance,
-        fused=_use_fused(mesh, x_j.shape[1], cfg.n_clusters), mesh=mesh)
+        fused=_use_fused(mesh, x_j.shape[1], cfg.n_clusters,
+                         cfg.fused_mesh), mesh=mesh)
     return KMeansResult(np.asarray(labels)[:n], np.asarray(centers),
                         float(inertia), int(n_iter))

@@ -75,6 +75,12 @@ class ClusterConfig:
     mcf_restart_threads: int = 0
     # chunk of the N axis used by the pallas E-step kernel
     estep_block_rows: int = 1024
+    # Fused Pallas E+M kernel dispatch: "auto" (TPU yes / CPU no), True
+    # (force, incl. interpret-mode on CPU meshes), False (always the XLA
+    # ops).  The SCD_FUSED_MESH env var overrides when set ("0"/"" = off)
+    # as an operational escape hatch; the VMEM-feasibility guard
+    # (fused_em_block_n) still applies to every "on" outcome.
+    fused_mesh: object = "auto"  # "auto" | True | False
 
 
 @dataclass(frozen=True)
