@@ -122,6 +122,7 @@ def make_sharded_image_encoder(forward: Callable, variables, mesh):
     encode.stage = stage
     encode.forward = forward
     encode.variables = variables
+    encode.mesh = mesh  # consumers (e.g. serving) replicate side inputs
     return encode
 
 

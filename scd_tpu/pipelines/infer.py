@@ -16,8 +16,13 @@ the batch axis dp-shards exactly like extraction
 
 Run (asset-free smoke):
   python -m scd_tpu.pipelines.infer --dataset_name synthetic --topk 3
-(real use: --clip_weights ... --zeroshot_weights out.npz --names names.txt
- --images dir_or_npy)
+Real use — names every image in a directory (flat or imagefolder layout),
+batch 128, dp-sharded over all visible chips:
+  python -m scd_tpu.pipelines.infer --dataset_name real \
+    --clip_weights ViT-B-16.pt --zeroshot_weights zw.npz \
+    --names names.txt --images /path/to/images --batch_size 128
+(--clip_weights random = randomly-initialized tower for smoke/load tests;
+ --mesh_data 1 disables the mesh path)
 """
 
 from __future__ import annotations
@@ -56,6 +61,15 @@ class NameClassifier:
         self._w = (weights.astype(jnp.float32)
                    if isinstance(weights, jax.Array)
                    else jnp.asarray(np.asarray(weights, np.float32)))
+        # mesh encoders (make_sharded_image_encoder) expose .mesh/.stage:
+        # replicate the weight columns over the mesh and row-shard each
+        # batch so the fused encode+classify program runs dp over chips
+        self._stage = getattr(encode_image, "stage", None)
+        mesh = getattr(encode_image, "mesh", None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._w = jax.device_put(self._w, NamedSharding(mesh, P()))
 
         def _head(w, feats, scale, k):
             f = feats.astype(jnp.float32)
@@ -87,9 +101,14 @@ class NameClassifier:
 
         topk = min(int(topk), len(self.names))
         if self._fused is not None:
-            vals, idx = self._fused(self._vars, self._w,
-                                    jnp.asarray(images),
+            n = len(images)
+            if self._stage is not None:  # mesh: pad + row-shard the batch
+                images, n = self._stage(images)
+            else:
+                images = jnp.asarray(images)
+            vals, idx = self._fused(self._vars, self._w, images,
                                     self.logit_scale, k=topk)
+            vals, idx = vals[:n], idx[:n]
         else:
             # generic encoder: accept whatever it returns (device arrays
             # pass through without a host round trip)
@@ -120,6 +139,125 @@ def classifier_from_run(encode_image: Callable, zeroshot_weights: np.ndarray,
                           logit_scale=logit_scale)
 
 
+def build_clip_encoder(variables, cfg, mesh=None) -> Callable:
+    """The serving image encoder: CLIP tower + on-device uint8 normalize,
+    exposing the ``.forward``/``.variables`` contract NameClassifier fuses
+    with.  With ``mesh``, the batch axis dp-shards over the mesh's data
+    axis exactly like pipeline extraction
+    (``make_sharded_image_encoder``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.data.transforms import device_normalize_clip
+    from scd_tpu.models import CLIPModel
+
+    model = CLIPModel(cfg)
+
+    def forward(v, x):
+        return model.apply(v, device_normalize_clip(x),
+                           method=CLIPModel.encode_image)
+
+    if mesh is not None:
+        from scd_tpu.pipelines.common import make_sharded_image_encoder
+
+        return make_sharded_image_encoder(forward, variables, mesh)
+
+    jitted = jax.jit(forward)
+    enc = lambda x: jitted(variables, jnp.asarray(x))  # noqa: E731
+    enc.forward = forward
+    enc.variables = variables
+    return enc
+
+
+def iter_image_batches(path: str, batch_size: int, image_size: int = 224,
+                       num_workers: int = 8):
+    """Yield fixed-shape ``(images [batch_size, H, W, C], n_valid)`` pairs
+    from ``--images``:
+
+    - a ``.npy``/``.npz`` file: a pre-staged [B, H, W, C] array;
+    - a directory of image files (flat), or an imagefolder layout
+      (``<dir>/<class>/<image>``, the reference's serving-adjacent scan,
+      ``main_unsup.py:423-426``) — decoded by the threaded loader
+      (``data/loader.py``) with CLIP eval preprocess, uint8 until the
+      on-device normalize.
+
+    Ragged tails are zero-padded to ``batch_size`` (a fresh shape would
+    recompile the whole ViT program for one batch); ``n_valid`` marks the
+    real rows."""
+    import os
+
+    if os.path.isdir(path):
+        from scd_tpu.data.core import ImageTable
+        from scd_tpu.data.datasets import _pil_loader, scan_imagefolder
+        from scd_tpu.data.loader import iterate_batches
+        from scd_tpu.data.transforms import clip_preprocess
+
+        has_subdirs = any(e.is_dir() for e in os.scandir(path))
+        if has_subdirs:
+            paths, targets, _classes = scan_imagefolder(path)
+        else:
+            exts = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm",
+                    ".tif", ".tiff", ".webp")
+            names = sorted(f for f in os.listdir(path)
+                           if f.lower().endswith(exts))
+            paths = np.array([os.path.join(path, f) for f in names], object)
+            targets = np.full(len(paths), -1, np.int64)
+        if len(paths) == 0:
+            raise SystemExit(f"no images found under {path}")
+        table = ImageTable(
+            source=paths, targets=targets,
+            uq_idxs=np.arange(len(paths), dtype=np.int64),
+            classnames=[], load=_pil_loader,
+            transform=clip_preprocess(image_size, device_normalize=True))
+        for images, _labels, _uqs, _mask in iterate_batches(
+                table, batch_size, num_workers=num_workers):
+            n = len(images)
+            if n < batch_size:
+                images = np.concatenate(
+                    [images,
+                     np.zeros((batch_size - n,) + images.shape[1:],
+                              images.dtype)])
+            yield images, n
+        return
+
+    images = (np.load(path)["images"] if path.endswith(".npz")
+              else np.load(path))
+    for start in range(0, len(images), batch_size):
+        batch = images[start:start + batch_size]
+        n = len(batch)
+        if n < batch_size:
+            batch = np.concatenate(
+                [batch,
+                 np.zeros((batch_size - n,) + batch.shape[1:], batch.dtype)])
+        yield batch, n
+
+
+def _load_clip_variables(clip_weights: str, cfg):
+    """OpenAI checkpoint, or ``random`` = a randomly-initialized tower
+    (smoke / load-test mode: full serving path, meaningless names)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models import CLIPModel, load_openai_clip_weights
+
+    if clip_weights == "random":
+        import sys
+
+        print("[infer] --clip_weights random: randomly-initialized CLIP "
+              "(names are meaningless; smoke/load-test mode)",
+              file=sys.stderr)
+        model = CLIPModel(cfg)
+        s = cfg.vision.image_size
+        return jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, s, s, 3), jnp.float32),
+            jnp.zeros((1, cfg.context_length), jnp.int32))
+    import torch
+
+    sd = torch.load(clip_weights, map_location="cpu")
+    return load_openai_clip_weights(
+        sd.state_dict() if hasattr(sd, "state_dict") else sd, cfg)
+
+
 def main(argv=None):
     from scd_tpu.utils.runtime import apply_platform_override
     apply_platform_override()
@@ -129,15 +267,24 @@ def main(argv=None):
     p.add_argument("--dataset_name", type=str, default="synthetic",
                    help="synthetic runs the asset-free smoke; otherwise "
                         "provide --clip_weights/--zeroshot_weights/--names")
-    p.add_argument("--clip_weights", type=str, default="")
+    p.add_argument("--clip_weights", type=str, default="",
+                   help="OpenAI CLIP checkpoint (.pt), or 'random' for a "
+                        "randomly-initialized tower (smoke/load-test)")
     p.add_argument("--zeroshot_weights", type=str, default="",
                    help="npz/npy [D, K] (columns = --names order)")
     p.add_argument("--names", type=str, default="",
                    help="text file, one candidate name per line")
     p.add_argument("--images", type=str, default="",
-                   help=".npy [B, H, W, C] batch to classify")
+                   help=".npy/.npz [B, H, W, C] batch, a directory of "
+                        "image files, or an imagefolder "
+                        "(<dir>/<class>/<image>)")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--mesh_data", type=int, default=0,
+                   help="data-axis size (0 = all visible devices; 1 "
+                        "disables the mesh path)")
     args = p.parse_args(argv)
 
     if args.dataset_name == "synthetic":
@@ -167,11 +314,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    import torch
 
-    from scd_tpu.models import CLIPModel, clip_vit_b16_config, \
-        load_openai_clip_weights
-    from scd_tpu.data.transforms import device_normalize_clip
+    from scd_tpu.models import clip_vit_b16_config
 
     if not (args.clip_weights and args.zeroshot_weights and args.names
             and args.images):
@@ -183,33 +327,26 @@ def main(argv=None):
           else np.load(args.zeroshot_weights))
 
     cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
-    sd = torch.load(args.clip_weights, map_location="cpu")
-    variables = load_openai_clip_weights(
-        sd.state_dict() if hasattr(sd, "state_dict") else sd, cfg)
-    model = CLIPModel(cfg)
+    variables = _load_clip_variables(args.clip_weights, cfg)
 
-    @jax.jit
-    def _enc(v, x):
-        return model.apply(v, device_normalize_clip(x),
-                           method=CLIPModel.encode_image)
+    mesh = None
+    if args.mesh_data != 1 and len(jax.devices()) > 1:
+        from scd_tpu.core.config import MeshConfig
+        from scd_tpu.core.mesh import make_mesh
 
-    enc = lambda x: _enc(variables, jnp.asarray(x))  # noqa: E731
-    enc.forward = lambda v, x: model.apply(
-        v, device_normalize_clip(x), method=CLIPModel.encode_image)
-    enc.variables = variables
+        mesh = make_mesh(MeshConfig(data=args.mesh_data, model=1))
+    enc = build_clip_encoder(variables, cfg, mesh=mesh)
     clf = NameClassifier(enc, zw, names)
-    images = np.load(args.images)
-    bsz = args.batch_size
-    for start in range(0, len(images), bsz):
-        batch = images[start:start + bsz]
-        n = len(batch)
-        if n < bsz:  # pad the ragged tail: a fresh shape would cost a
-            # full remote recompile of the ViT program for one batch
-            batch = np.concatenate(
-                [batch, np.zeros((bsz - n,) + batch.shape[1:], batch.dtype)])
+
+    count = 0
+    for batch, n in iter_image_batches(args.images, args.batch_size,
+                                       image_size=args.image_size,
+                                       num_workers=args.num_workers):
         named, probs = clf.classify(batch, topk=args.topk)
-        for row, pr in zip(named[:n], probs[:n]):
+        for row, pr in zip(named[:n], np.asarray(probs)[:n]):
             print(f"{row}\t{np.round(pr, 4).tolist()}")
+        count += n
+    return count
 
 
 if __name__ == "__main__":

@@ -245,3 +245,101 @@ def test_infer_cli(capsys):
 
     acc = infer_main(["--dataset_name", "synthetic", "--topk", "1"])
     assert acc == 1.0
+
+
+def _tiny_clip_config():
+    from scd_tpu.models.clip import CLIPConfig
+    from scd_tpu.models.vit import ViTConfig
+
+    return CLIPConfig(
+        vision=ViTConfig(image_size=32, patch_size=8, width=32, depth=2,
+                         heads=2, quick_gelu=True, pre_post_norm=True,
+                         output_proj=16, patch_bias=False),
+        vocab_size=128, context_length=16, text_width=32, text_depth=1,
+        text_heads=2, embed_dim=16)
+
+
+def _write_images(root, layout):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for sub, count in layout:
+        d = root / sub if sub else root
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(count):
+            p = d / f"img_{i}.png"
+            Image.fromarray(rng.integers(0, 255, (40, 56, 3), np.uint8),
+                            "RGB").save(p)
+            paths.append(p)
+    return paths
+
+
+def test_infer_cli_directory_mesh(tmp_path, monkeypatch, capsys):
+    """Non-synthetic serving branch end-to-end with fabricated weights
+    (VERDICT r3 item 8): a directory of images (imagefolder layout) flows
+    through the threaded loader -> mesh dp-sharded CLIP encode -> fused
+    classify, one printed line per image with names from --names."""
+    import scd_tpu.models as models
+    import scd_tpu.pipelines.common as common
+    from scd_tpu.pipelines.infer import main as infer_main
+
+    monkeypatch.setattr(models, "clip_vit_b16_config",
+                        lambda compute_dtype=None: _tiny_clip_config())
+    real_mk = common.make_sharded_image_encoder
+    sharded = []
+
+    def spy(*a, **k):
+        enc = real_mk(*a, **k)
+        sharded.append(enc)
+        return enc
+
+    monkeypatch.setattr(common, "make_sharded_image_encoder", spy)
+
+    _write_images(tmp_path / "imgs", [("clsA", 5), ("clsB", 4)])
+    rng = np.random.default_rng(1)
+    zw = rng.standard_normal((16, 3)).astype(np.float32)
+    zw /= np.linalg.norm(zw, axis=0, keepdims=True)
+    np.save(tmp_path / "zw.npy", zw)
+    (tmp_path / "names.txt").write_text("cat\ndog\nfox\n")
+
+    count = infer_main([
+        "--dataset_name", "real", "--clip_weights", "random",
+        "--zeroshot_weights", str(tmp_path / "zw.npy"),
+        "--names", str(tmp_path / "names.txt"),
+        "--images", str(tmp_path / "imgs"),
+        "--batch_size", "4", "--image_size", "32", "--topk", "2"])
+    assert count == 9
+    assert sharded, "mesh dp path never engaged (8 devices visible)"
+    rows = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("[")]
+    assert len(rows) == 9
+    for row in rows:
+        named = eval(row.split("\t")[0])  # ['name', 'name']
+        assert len(named) == 2 and set(named) <= {"cat", "dog", "fox"}
+
+
+def test_iter_image_batches_sources(tmp_path):
+    """--images source handling: flat directory, imagefolder, .npy — all
+    yield fixed-shape batches with correct n_valid and zero-padded tails."""
+    from scd_tpu.pipelines.infer import iter_image_batches
+
+    # flat directory (no class subdirs), 5 images, batch 2 -> 2+2+1
+    _write_images(tmp_path / "flat", [("", 5)])
+    got = list(iter_image_batches(str(tmp_path / "flat"), 2, image_size=16))
+    assert [n for _b, n in got] == [2, 2, 1]
+    assert all(b.shape == (2, 16, 16, 3) for b, _n in got)
+    assert got[-1][0][1].sum() == 0  # padded row is zeros
+
+    # .npy array source, ragged tail
+    arr = np.arange(3 * 4 * 4 * 3, dtype=np.float32).reshape(3, 4, 4, 3)
+    np.save(tmp_path / "batch.npy", arr)
+    got = list(iter_image_batches(str(tmp_path / "batch.npy"), 2))
+    assert [n for _b, n in got] == [2, 1]
+    np.testing.assert_array_equal(got[1][0][0], arr[2])
+    assert got[1][0][1].sum() == 0
+
+    with pytest.raises(SystemExit):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        list(iter_image_batches(str(empty), 2))
