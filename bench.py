@@ -219,14 +219,23 @@ def bench_clip_embed(batch: int = 128):
     return batch / dt
 
 
-def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100):
+def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100,
+                      em_kwargs: dict = None):
     """One full k-means EM iteration — the same path the library's Lloyd
     loop runs: on TPU that is the fused Pallas E+M kernel (one streaming
-    pass over x instead of two), with K padded to the 128-lane width."""
+    pass over x instead of two), with K padded to the 128-lane width.
+
+    ``em_kwargs`` selects kernel variants for the precision-vs-speed
+    sweep: ``{"estep_passes": 2}`` (drop the third cross-term MXU pass)
+    or ``{"x_bf16": True}`` (bf16 HBM storage of x — halves the dominant
+    stream).  Parity contracts for both live in
+    ``tests/test_pallas_on_tpu.py::test_fused_em_fast_variants...``."""
     import jax
     import jax.numpy as jnp
 
     from scd_tpu.ops.em import em_iteration
+
+    em_kwargs = em_kwargs or {}
 
     def make_run(k_iters):
         @jax.jit
@@ -237,7 +246,8 @@ def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100):
             def body(c, _):
                 # exactly the library Lloyd-loop iteration incl. the
                 # empty-cluster keep-previous-center select
-                _lab, sums, counts, inertia = em_iteration(x, c, k)
+                _lab, sums, counts, inertia = em_iteration(x, c, k,
+                                                           **em_kwargs)
                 means = sums / jnp.maximum(counts, 1.0)[:, None]
                 means = jnp.where((counts < 0.5)[:, None], c, means)
                 return means, inertia
@@ -820,6 +830,15 @@ def main():
         secondary(
             "kmeans_iters_per_sec", 300, lambda: bench_kmeans_iter()[0],
             lambda km: f"kmeans_em_iter (N=65536,D=768,K=100->128pad): "
+                       f"{km:.2f} iters/sec")
+        secondary(
+            "kmeans_iters_per_sec_2pass", 300,
+            lambda: bench_kmeans_iter(em_kwargs={"estep_passes": 2})[0],
+            lambda km: f"kmeans_em_iter 2-pass variant: {km:.2f} iters/sec")
+        secondary(
+            "kmeans_iters_per_sec_xbf16", 300,
+            lambda: bench_kmeans_iter(em_kwargs={"x_bf16": True})[0],
+            lambda km: f"kmeans_em_iter x-bf16-storage variant: "
                        f"{km:.2f} iters/sec")
         secondary(
             "vocab_topk_imgs_per_sec", 300, bench_vocab_topk,

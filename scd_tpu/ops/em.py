@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 def em_iteration(x: jnp.ndarray, centers: jnp.ndarray, k: int,
                  row_w: Optional[jnp.ndarray] = None,
-                 fused: Optional[bool] = None
+                 fused: Optional[bool] = None,
+                 estep_passes: int = 3, x_bf16: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                             jnp.ndarray]:
     """(labels [N] i32, sums [K, D], counts [K], inertia scalar) for one
@@ -26,9 +27,11 @@ def em_iteration(x: jnp.ndarray, centers: jnp.ndarray, k: int,
 
     ``row_w`` [N] (0/1) drops padded rows from sums/counts/inertia.
     ``fused=None`` auto-selects: the fused Pallas E+M kernel on TPU (one
-    streaming pass over x instead of two — ``fused_em_step_pallas``), the
+    streaming pass over x instead of twice — ``fused_em_step_pallas``), the
     auto-partitioning XLA ops elsewhere.  Callers on a sharded mesh must
     pass ``fused=False``: a pallas_call is opaque to GSPMD.
+    ``estep_passes`` / ``x_bf16`` tune the fused kernel's precision-vs-
+    bandwidth trade (see its docstring); both are ignored on the XLA path.
     """
     if fused is None:
         from scd_tpu.ops.pallas_kernels import fused_em_block_n
@@ -52,7 +55,8 @@ def em_iteration(x: jnp.ndarray, centers: jnp.ndarray, k: int,
                               constant_values=1e15)
         return fused_em_step_pallas(
             x, centers, row_mask=row_w,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            estep_passes=estep_passes, x_bf16=x_bf16)
 
     from scd_tpu.ops.distance import estep_assign
     from scd_tpu.ops.segment import segment_sums

@@ -477,7 +477,6 @@ def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
     (the restart axis) — program_id would silently re-bind to the batch
     dimension there.
     """
-    xb = x_ref[:].astype(jnp.float32)  # [BN, D]
     m = mask_ref[:]  # [BN, 1] f32 (0 for wrapper row padding)
 
     # Mosaic supports only DEFAULT/HIGHEST dot precision; HIGHEST's 6-pass
@@ -490,22 +489,26 @@ def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
         lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return hi, lo
 
-    def _dotn(a, b, dims):
-        ah, al = _split(a)
-        bh, bl = _split(b)
-        dot = functools.partial(
-            jax.lax.dot_general, dimension_numbers=dims,
-            preferred_element_type=jnp.float32)
-        out = dot(ah, bh) + dot(ah, bl)
-        if estep_passes >= 3:
-            out = out + dot(al, bh)
-        return out
+    if x_ref.dtype == jnp.bfloat16:
+        # bf16-storage mode: x was rounded ONCE in HBM (halves the
+        # kernel's dominant stream) — its lo split is exactly zero, so the
+        # cross term needs 2 passes (x.c_hi + x.c_lo) and the M-step one
+        xh, xl = x_ref[:], None
+        xb = xh.astype(jnp.float32)  # [BN, D]
+    else:
+        xb = x_ref[:].astype(jnp.float32)  # [BN, D]
+        xh, xl = _split(xb)
 
+    ch, cl = _split(ct_ref[:].astype(jnp.float32))
+    dot = functools.partial(
+        jax.lax.dot_general, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     # estep_passes=2 drops the (x_lo . c_hi) term: equivalent to rounding x
     # to bf16 for the cross term while keeping centers at ~bf16x2 — a
     # measured-parity option (see fused_em_step_pallas docstring)
-    cross = _dotn(xb, ct_ref[:].astype(jnp.float32),
-                  (((1,), (0,)), ((), ())))  # [BN, Kp]
+    cross = dot(xh, ch) + dot(xh, cl)  # [BN, Kp]
+    if xl is not None and estep_passes >= 3:
+        cross = cross + dot(xl, ch)
     d = csq_ref[:] - 2.0 * cross  # |x|^2 deferred: constant per row
     lab = jnp.argmin(d, axis=1)  # first-min tie-break, matches jnp.argmin
     # 2-D throughout: mosaic's vector layout cannot lower reductions over
@@ -514,13 +517,15 @@ def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
     mind = jnp.maximum(jnp.min(d, axis=1, keepdims=True) + xsq, 0.0)
     col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
     oh = jnp.where(col == lab[:, None], 1.0, 0.0) * m  # [BN, Kp]
-    # one-hot entries are exact in bf16: two passes (x hi/lo) suffice
-    xh, xl = _split(xb)
+    # one-hot entries are exact in bf16: hi/lo passes over x suffice
     ohb = oh.astype(jnp.bfloat16)
     msum = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    sums_ref[0] = msum(ohb, xh) + msum(ohb, xl)  # [Kp, D]
+    sums = msum(ohb, xh)  # xh is bf16 in both modes
+    if xl is not None:
+        sums = sums + msum(ohb, xl)
+    sums_ref[0] = sums  # [Kp, D]
     # stats slab [8, Kp] (mosaic wants >= (8, 128) minor block dims):
     # row 0 = counts, row 1 col 0 = this block's inertia partial.
     # Built with iota masks — mosaic has no scatter lowering for .at[].set
@@ -536,11 +541,11 @@ def _fused_em_kernel(x_ref, ct_ref, csq_ref, mask_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret",
-                                             "estep_passes"))
+                                             "estep_passes", "x_bf16"))
 def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
                          row_mask: jnp.ndarray = None,
                          block_n: int = None, interpret: bool = False,
-                         estep_passes: int = 3
+                         estep_passes: int = 3, x_bf16: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                     jnp.ndarray]:
     """Fused k-means EM iteration.  x [N, D] f32, c [K, D] ->
@@ -559,6 +564,15 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
     and VPU work bound the kernel more than the third cross-term pass, so
     the accurate default stays 3; flip per-call when 9% matters and the
     feature distribution has been parity-checked.
+
+    ``x_bf16``: stream the [N, D] x block from HBM as bf16 — HALVES the
+    kernel's dominant HBM read (x dwarfs the [K, D] centers at pipeline
+    shapes).  x is rounded once on upload; the in-kernel hi/lo split
+    becomes the identity, so the cross term runs 2 MXU passes and the
+    M-step one.  Labels match f32 wherever the distance margin exceeds
+    bf16 resolution (~0.4% relative); sums/inertia carry the rounding
+    (~1e-3 relative on unit-scale data — see the near-tie parity tests).
+    Off by default pending hardware measurement of the bandwidth win.
 
     ``block_n``: None (default) picks the largest VMEM-safe block via
     ``fused_em_block_n`` — at D=768 that is 1024 up to K=512 (the
@@ -580,7 +594,8 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
                     f"fused EM kernel cannot fit D={d_dim}, K={k} in "
                     "scoped VMEM at any block size; use the XLA path "
                     "(ops.em with fused=False)")
-    x32 = _pad_rows(x.astype(jnp.float32), block_n)
+    x32 = _pad_rows(x.astype(jnp.bfloat16 if x_bf16 else jnp.float32),
+                    block_n)
     npad = x32.shape[0]
     nb = npad // block_n
     c32 = _pad_rows(c.astype(jnp.float32), 128)

@@ -177,7 +177,7 @@ def test_main_happy_path_json(monkeypatch, capsys):
                  "bench_uno_e2e_step"):
         monkeypatch.setattr(
             bench, name,
-            (lambda: (5.0, 1e12)) if name == "bench_kmeans_iter"
+            (lambda **kw: (5.0, 1e12)) if name == "bench_kmeans_iter"
             else lambda: 1.0)
     monkeypatch.setenv("SCD_BENCH_SKIP_E2E", "1")
     bench.main()

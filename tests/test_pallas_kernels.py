@@ -215,6 +215,88 @@ def test_fused_em_step_two_pass_label_parity():
     assert agree >= 0.999, agree
 
 
+def test_fused_em_step_x_bf16_parity():
+    """x_bf16=True (bf16 HBM storage of the x stream, half the dominant
+    read) must keep label parity on realistic cluster structure and
+    bounded sums/inertia drift — the gate for the bandwidth variant."""
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+    from scd_tpu.ops.segment import segment_sums
+
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((12, 64)).astype(np.float32) * 2
+    x = (centers[rng.integers(0, 12, 2000)]
+         + 0.5 * rng.standard_normal((2000, 64))).astype(np.float32)
+    c = jnp.asarray(centers + 0.05 * rng.standard_normal(centers.shape),
+                    jnp.float32)
+    lab, sums, cnt, ine = fused_em_step_pallas(
+        jnp.asarray(x), c, block_n=512, interpret=True, x_bf16=True)
+    lab_ref, mind = estep_assign(jnp.asarray(x), c)
+    agree = (np.asarray(lab) == np.asarray(lab_ref)).mean()
+    assert agree >= 0.999, agree
+    s_ref, c_ref = segment_sums(jnp.asarray(x), lab_ref, 12)
+    # sums carry one bf16 rounding of x (~0.4% per element, averaged down
+    # by the per-cluster accumulation)
+    np.testing.assert_allclose(np.asarray(sums), np.asarray(s_ref),
+                               rtol=0.02, atol=0.3)
+    np.testing.assert_allclose(np.asarray(cnt), np.asarray(c_ref), atol=2)
+    np.testing.assert_allclose(float(ine), float(mind.sum()), rtol=0.02)
+
+
+def test_fused_em_near_tie_margins():
+    """Adversarial near-tie E-step parity (VERDICT r3 item 5's gate for
+    flipping a faster default): points constructed ON the bisector of two
+    centers, displaced by controlled squared-distance margins.
+
+    - 3-pass bf16x3 (the default) must match the XLA f32 argmin down to
+      margins ~1e-3 (f32-class accuracy);
+    - 2-pass and x_bf16 round x to bf16 for the cross term, so their
+      decision boundary blurs by ~|2*c*dx| ~ 0.01*|x||c|: they must match
+      at margins >= 0.25 and are ALLOWED to flip below — the documented
+      contract for enabling either in a pipeline."""
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+
+    rng = np.random.default_rng(5)
+    d = 64
+    c0 = rng.standard_normal(d).astype(np.float32)
+    c1 = c0 + 0.8 * rng.standard_normal(d).astype(np.float32)
+    c = jnp.asarray(np.stack([c0, c1]))
+    mid = (c0 + c1) / 2
+    u = (c1 - c0) / np.linalg.norm(c1 - c0)
+    # squared-distance margins, both signs: d0^2 - d1^2 = 2*t*|c1-c0|
+    margins = np.concatenate([
+        -np.logspace(-6, 0, 25), np.logspace(-6, 0, 25)]).astype(np.float32)
+    t = margins / (2 * np.linalg.norm(c1 - c0))
+    x = (mid[None, :] + t[:, None] * u[None, :]).astype(np.float32)
+    # plus orthogonal jitter rows (same margins, off-axis)
+    orth = rng.standard_normal(d).astype(np.float32)
+    orth -= orth @ u * u
+    orth /= np.linalg.norm(orth)
+    x = np.concatenate([x, x + 0.5 * orth[None, :]])
+    margins = np.concatenate([margins, margins])
+
+    lab_ref, _ = estep_assign(jnp.asarray(x), c)
+    lab_ref = np.asarray(lab_ref)
+    # sanity: the XLA oracle itself follows the margin sign (up to f32)
+    clear = np.abs(margins) >= 1e-3
+    np.testing.assert_array_equal(lab_ref[clear], (margins[clear] > 0))
+
+    for kw, min_margin in [(dict(estep_passes=3), 1e-3),
+                           (dict(estep_passes=2), 0.25),
+                           (dict(x_bf16=True), 0.25)]:
+        lab, *_ = fused_em_step_pallas(jnp.asarray(x), c, block_n=128,
+                                       interpret=True, **kw)
+        lab = np.asarray(lab)
+        ok = np.abs(margins) >= min_margin
+        mismatch = (lab[ok] != lab_ref[ok]).sum()
+        assert mismatch == 0, (kw, min_margin, mismatch)
+
+
 def test_fused_em_step_multi_lane_block_k():
     """K > 128 pads to multiple 128-lane blocks (Kp=256 here) — the
     padded-center masking and stats slab must stay exact across lane

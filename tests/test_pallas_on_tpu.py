@@ -105,6 +105,53 @@ def test_fused_em_step_on_chip_matches_xla():
                                rtol=1e-3)
 
 
+def test_fused_em_fast_variants_on_chip_near_ties():
+    """The faster kernel variants (estep_passes=2; x_bf16 storage) on the
+    REAL MXU, against the XLA f32 oracle on adversarial near-tie points —
+    the Mosaic-compiled counterpart of
+    ``test_pallas_kernels.py::test_fused_em_near_tie_margins``, plus
+    class-structured agreement at bench scale.  The margin contracts
+    (3-pass: 1e-3; 2-pass / x_bf16: 0.25 in squared-distance units at
+    unit-scale data) are what a pipeline must check before flipping a
+    faster default."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.distance import estep_assign
+    from scd_tpu.ops.pallas_kernels import fused_em_step_pallas
+
+    rng = np.random.default_rng(5)
+    d = 768
+    c0 = rng.standard_normal(d).astype(np.float32)
+    c1 = c0 + 0.8 * rng.standard_normal(d).astype(np.float32)
+    c = jnp.asarray(np.stack([c0, c1]))
+    mid, delta = (c0 + c1) / 2, np.linalg.norm(c1 - c0)
+    u = (c1 - c0) / delta
+    margins = np.concatenate([
+        -np.logspace(-6, 0, 64), np.logspace(-6, 0, 64)]).astype(np.float32)
+    x = (mid[None, :] + (margins / (2 * delta))[:, None] * u[None, :]
+         ).astype(np.float32)
+    lab_ref = np.asarray(estep_assign(jnp.asarray(x), c)[0])
+
+    for kw, min_margin in [(dict(estep_passes=3), 1e-3),
+                           (dict(estep_passes=2), 0.25),
+                           (dict(x_bf16=True), 0.25)]:
+        lab, *_ = fused_em_step_pallas(jnp.asarray(x), c, block_n=128, **kw)
+        ok = np.abs(margins) >= min_margin
+        assert (np.asarray(lab)[ok] == lab_ref[ok]).all(), (kw, min_margin)
+
+    # class-structured agreement + sums drift at the bench shape
+    kx, kc, ka = jax.random.split(jax.random.PRNGKey(3), 3)
+    centers = jax.random.normal(kc, (100, d)) * 3.0
+    assign = jax.random.randint(ka, (16384,), 0, 100)
+    xs = centers[assign] + 0.5 * jax.random.normal(kx, (16384, d))
+    lab_o = np.asarray(estep_assign(xs, centers)[0])
+    for kw in (dict(estep_passes=2), dict(x_bf16=True)):
+        lab, sums, cnt, ine = fused_em_step_pallas(xs, centers, **kw)
+        agree = float((np.asarray(lab) == lab_o).mean())
+        assert agree >= 0.9995, (kw, agree)
+
+
 def test_fused_em_large_k_in_scan_compiles_on_chip():
     """Herbarium-scale K (683 -> 768 lanes) inside a Lloyd scan: the
     adaptive block_n must stay under the scoped-VMEM ceiling — the fixed
