@@ -29,6 +29,7 @@ python -m scd_tpu.train.metric_learn --dataset_name synthetic --epochs 1 \
 python -m scd_tpu.train.run_baseline_e2e --method uno \
     --dataset_name synthetic --vit micro --image_size 32 --epochs 1 \
     --batch_size 32 --num_heads 2
+python -m scd_tpu.pipelines.infer --dataset_name synthetic --topk 3
 if [ "$SCD_PLATFORM" != "cpu" ]; then
     # on-chip Mosaic parity (compiled Pallas kernels vs XLA at real shapes)
     SCD_TEST_PLATFORM=axon python -m pytest tests/test_pallas_on_tpu.py -q

@@ -113,6 +113,39 @@ def test_unsup_pipeline_mesh_matches_single_device(tmp_path, monkeypatch,
     assert _metric_lines(out_mesh) == _metric_lines(out_single)
 
 
+def test_ptsup_pipeline_mesh_matches_single_device(tmp_path, monkeypatch,
+                                                   capsys):
+    """Same composed-parity lock for the partially-supervised pipeline:
+    mesh run == single-device run on bounds, candidates, and printouts."""
+    from scd_tpu.pipelines import common
+    from scd_tpu.pipelines.ptsup import run_ptsup
+
+    monkeypatch.setattr(common, "_pipeline_mesh", lambda c: None)
+    res_single = run_ptsup(make_cfg(tmp_path / "single"))
+    out_single = capsys.readouterr().out
+    monkeypatch.undo()
+
+    real = common._pipeline_mesh
+    seen = []
+
+    def spy(c):
+        m = real(c)
+        seen.append(m)
+        return m
+
+    monkeypatch.setattr(common, "_pipeline_mesh", spy)
+    res_mesh = run_ptsup(make_cfg(tmp_path / "mesh"))
+    out_mesh = capsys.readouterr().out
+    assert seen and all(m is not None for m in seen)
+
+    assert res_mesh["bounds"] == res_single["bounds"]
+    assert res_mesh["voting"].cand_names == res_single["voting"].cand_names
+    np.testing.assert_array_equal(res_mesh["voting"].u_preds,
+                                  res_single["voting"].u_preds)
+    assert res_mesh["iou"] == res_single["iou"]
+    assert _metric_lines(out_mesh) == _metric_lines(out_single)
+
+
 def test_ptsup_pipeline_synthetic(tmp_path, capsys):
     from scd_tpu.pipelines.ptsup import run_ptsup
 
