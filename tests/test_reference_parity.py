@@ -127,6 +127,18 @@ def ref():
         sys.modules["k_means_constrained"] = pkg
         sys.modules["k_means_constrained.mincostflow_vectorized"] = mcf
 
+    # gcd entry modules import torchvision/timm transitively through
+    # data.augmentations / top-level `import timm`; neither is in this
+    # image and neither is touched by the functions under test
+    for name in ("data.augmentations", "data.get_datasets", "timm",
+                 "torchvision", "torchvision.transforms",
+                 "torchvision.models"):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            # any `from <stub> import whatever` resolves to None
+            stub.__getattr__ = lambda _n: None  # type: ignore[attr-defined]
+            sys.modules[name] = stub
+
     ns = types.SimpleNamespace()
     ns.la = _load_file("_ref_linear_assignment",
                        "local_utils/linear_assignment.py")
@@ -322,6 +334,141 @@ def test_assign_name_logits_parity(ref):
     np.testing.assert_array_equal(w_ours, w_ref)
     assert w_ref[ind_ref[:, 0], ind_ref[:, 1]].sum() == \
         w_ours[ind_ours[:, 0], ind_ours[:, 1]].sum()
+
+
+# ----------------------------------------------------- loss / schedule parity
+
+def test_supcon_loss_parity(ref):
+    """Our supcon_loss vs the reference SupConLoss (local_utils copy) on
+    random normalized features — value equality within f32 tolerance."""
+    import torch
+
+    from scd_tpu.train.losses import supcon_loss
+
+    sc = _load_file("_ref_supcon", "local_utils/supcon_loss.py")
+    rng = np.random.default_rng(20)
+    for b, v, d, t in [(16, 2, 32, 0.07), (24, 2, 64, 0.2), (8, 3, 16, 0.07)]:
+        f = rng.standard_normal((b, v, d)).astype(np.float32)
+        f /= np.linalg.norm(f, axis=-1, keepdims=True)
+        labels = rng.integers(0, 4, size=b)
+        want = float(sc.SupConLoss(temperature=t)(
+            torch.from_numpy(f), labels=torch.from_numpy(labels)))
+        got = float(supcon_loss(f, labels, temperature=t,
+                                base_temperature=0.07))
+        assert got == pytest.approx(want, rel=1e-5), (b, v, d, t)
+
+
+def test_nt_xent_loss_parity(ref):
+    import torch
+
+    from scd_tpu.train.losses import nt_xent_loss
+
+    nt = _load_file("_ref_nt_xent", "local_utils/nt_xent.py")
+    rng = np.random.default_rng(21)
+    for b, d, t in [(16, 32, 0.5), (32, 64, 0.1)]:
+        zi = rng.standard_normal((b, d)).astype(np.float32)
+        zj = rng.standard_normal((b, d)).astype(np.float32)
+        crit = nt.NTXentLoss(torch.device("cpu"), b, t,
+                             use_cosine_similarity=True)
+        want = float(crit(torch.from_numpy(zi), torch.from_numpy(zj)))
+        got = float(nt_xent_loss(zi, zj, temperature=t))
+        assert got == pytest.approx(want, rel=1e-5), (b, d, t)
+
+
+def test_info_nce_parity(ref):
+    """GCD training's core contrastive objective: our info_nce_loss + CE vs
+    the reference's info_nce_logits + torch CE (learn_metric.py:183-214)."""
+    import torch
+    import torch.nn.functional as F
+
+    from scd_tpu.train.losses import cross_entropy, info_nce_loss
+
+    lm = _load_file("_ref_learn_metric",
+                    "gcd/methods/metric_learn/learn_metric.py")
+    lm.device = torch.device("cpu")  # module global the function reads
+    rng = np.random.default_rng(22)
+    for b, d, t in [(16, 32, 1.0), (32, 64, 0.5)]:
+        f = rng.standard_normal((2 * b, d)).astype(np.float32)
+        args = types.SimpleNamespace(n_views=2, temperature=t)
+        logits_t, labels_t = lm.info_nce_logits(torch.from_numpy(f), args)
+        want = float(F.cross_entropy(logits_t, labels_t))
+        fn = np.asarray(f) / np.linalg.norm(f, axis=1, keepdims=True)
+        logits, labels = info_nce_loss(fn, n_views=2, temperature=t)
+        got = float(cross_entropy(logits, labels))
+        assert got == pytest.approx(want, rel=1e-5), (b, d, t)
+
+
+def test_label_smoothing_parity(ref):
+    from scd_tpu.train.losses import label_smoothing_ce
+
+    ts = _load_file("_ref_train_supervised",
+                    "gcd/methods/cluster_and_classifier/train_supervised.py")
+    import torch
+
+    rng = np.random.default_rng(23)
+    logits = rng.standard_normal((40, 11)).astype(np.float32) * 3
+    labels = rng.integers(0, 11, size=40)
+    for s in (0.0, 0.1, 0.3):
+        want = float(ts.LabelSmoothingLoss(smoothing=s)(
+            torch.from_numpy(logits), torch.from_numpy(labels)))
+        got = float(label_smoothing_ce(logits, labels, smoothing=s))
+        assert got == pytest.approx(want, rel=1e-5), s
+
+
+def test_ramps_parity(ref):
+    from scd_tpu.train.schedulers import (cosine_rampdown, linear_rampup,
+                                          sigmoid_rampup)
+
+    ramps = _load_file("_ref_ramps", "local_utils/ramps.py")
+    for cur in [0.0, 0.5, 1.0, 7.3, 30.0, 80.0]:
+        assert sigmoid_rampup(cur, 80) == pytest.approx(
+            ramps.sigmoid_rampup(cur, 80), abs=1e-12)
+        assert linear_rampup(cur, 80) == pytest.approx(
+            ramps.linear_rampup(cur, 80), abs=1e-12)
+        assert cosine_rampdown(cur, 80) == pytest.approx(
+            ramps.cosine_rampdown(cur, 80), abs=1e-12)
+    assert sigmoid_rampup(5, 0) == ramps.sigmoid_rampup(5, 0) == 1.0
+
+
+def test_scheduler_lr_trace_parity(ref):
+    """Our optax-style schedules vs the reference's torch get_scheduler:
+    identical per-epoch LR traces for step / cosine / warm-restarts /
+    multi_step (the recipes the training CLIs expose)."""
+    import torch
+
+    from scd_tpu.train.schedulers import get_scheduler
+
+    sch = _load_file("_ref_schedulers", "gcd/project_utils/schedulers.py")
+    base_lr, epochs = 0.1, 60
+
+    def torch_trace(args):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base_lr)
+        s = sch.get_scheduler(opt, args)
+        lrs = []
+        for _ in range(epochs):
+            lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            s.step()
+        return np.array(lrs)
+
+    cases = [
+        ("step", dict(step_size=150, gamma=0.1)),
+        ("cosine", dict(eta_min=base_lr * 1e-3)),
+        ("cosine_warm_restarts", dict(num_restarts=2,
+                                      eta_min=base_lr * 1e-3)),
+        ("multi_step", dict(milestones=[30, 40, 50])),
+    ]
+    for name, kw in cases:
+        args = types.SimpleNamespace(scheduler=name, epochs=epochs,
+                                     lr=base_lr, num_restarts=2,
+                                     steps=[30, 40, 50])
+        want = torch_trace(args)
+        ours = get_scheduler(name, base_lr, epochs, **kw)
+        got = np.array([float(ours(e)) for e in range(epochs)])
+        # rtol 1e-4: optax schedules evaluate in f32, torch's in f64
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-12,
+                                   err_msg=name)
 
 
 # ------------------------------------------------------ fit_mix parity (SSKM)
