@@ -175,16 +175,21 @@ def _fresh(base, key):
     return base * (1.0 + eps)
 
 
-def bench_clip_embed(batch: int = 128):
+def bench_clip_embed(batch: int = 128, dense_int8: bool = False):
     """Batch 128 is the measured v5e sweet spot (3.3k imgs/s vs 2.9k at
     256, 2.6k at 512): the [B, 12, 197, 197] bf16 attention scores shrink
-    enough for XLA to keep the softmax chain better-resident."""
+    enough for XLA to keep the softmax chain better-resident.
+
+    ``dense_int8`` benches the W8A8 dense path (models/vit.py Int8Dense):
+    the MXU runs int8 at 2x the bf16 rate and the dense layers are ~96%
+    of the tower's FLOPs, so the dense-bound fraction nearly halves."""
     import jax
     import jax.numpy as jnp
 
     from scd_tpu.models import CLIPModel, clip_vit_b16_config
 
-    cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
+    cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16,
+                              dense_int8=dense_int8)
     model = CLIPModel(cfg)
 
     # Initialize ON DEVICE with a single jitted program: eager init would
@@ -887,6 +892,13 @@ def main():
                 errors.append(f"{name}: {type(e).__name__}: {e}")
                 print(f"[bench] {name} failed: {e}", file=sys.stderr)
 
+        secondary(
+            "clip_embed_int8_imgs_per_sec", 300,
+            lambda: bench_clip_embed(dense_int8=True),
+            lambda r: f"clip_embed W8A8 int8 dense: {r:.1f} imgs/sec/chip "
+                      f"(int8 MXU double-rate on the ~96%-of-FLOPs dense "
+                      "layers; feature-drift bounds in "
+                      "tests/test_models_extra.py)")
         secondary(
             "kmeans_iters_per_sec", 300, lambda: bench_kmeans_iter()[0],
             lambda km: f"kmeans_em_iter (N=65536,D=768,K=100->128pad): "

@@ -134,6 +134,10 @@ class FeatureConfig:
     feat_model: str = "dino_vit"
     feature_dim: int = 768
     normalize: bool = True
+    # W8A8 int8 dense path for the ViT extraction towers (MXU double-rate;
+    # see models/vit.py ViTConfig.dense_int8).  Inference-only throughput
+    # knob; off by default pending measured feature-parity evidence.
+    dense_int8: bool = False
 
 
 @dataclass(frozen=True)

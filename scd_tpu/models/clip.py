@@ -33,11 +33,13 @@ class CLIPConfig:
     compute_dtype: Any = jnp.float32
 
 
-def clip_vit_b16_config(compute_dtype=jnp.float32) -> CLIPConfig:
+def clip_vit_b16_config(compute_dtype=jnp.float32,
+                        dense_int8: bool = False) -> CLIPConfig:
     return CLIPConfig(
         vision=ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
                          heads=12, quick_gelu=True, pre_post_norm=True,
                          output_proj=512, patch_bias=False,
+                         dense_int8=dense_int8,
                          norm_eps=1e-5,  # torch nn.LayerNorm default: the
                          # eps the OpenAI weights were trained with
                          compute_dtype=compute_dtype),

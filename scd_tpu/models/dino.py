@@ -18,7 +18,8 @@ from scd_tpu.models.vit import ViTConfig
 
 
 def dino_vit_b16_config(compute_dtype=None,
-                        gelu_tanh: bool = False) -> ViTConfig:
+                        gelu_tanh: bool = False,
+                        dense_int8: bool = False) -> ViTConfig:
     """DINO ViT-B/16 tower config.  ``gelu_tanh=True`` trades exact-erf
     gelu for the tanh approximation: +21% throughput on v5e (2997 vs 2480
     imgs/s at b128) with deviation below the bf16 rounding floor — flip it
@@ -29,11 +30,13 @@ def dino_vit_b16_config(compute_dtype=None,
     return ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
                      heads=12, quick_gelu=False, pre_post_norm=False,
                      output_proj=None, patch_bias=True, gelu_tanh=gelu_tanh,
+                     dense_int8=dense_int8,
                      compute_dtype=compute_dtype or jnp.float32)
 
 
 def dino_vit_s16_config(compute_dtype=None,
-                        gelu_tanh: bool = False) -> ViTConfig:
+                        gelu_tanh: bool = False,
+                        dense_int8: bool = False) -> ViTConfig:
     """ViT-S/16 (384-d, 6 heads): the PASS backbone of the reference's
     ``vit_s_dino_pass`` extraction branch (``extract_features.py:109-127``;
     arch factory ``gcd/models/vision_transformer.py:249-254``).  The same
@@ -44,11 +47,13 @@ def dino_vit_s16_config(compute_dtype=None,
     return ViTConfig(image_size=224, patch_size=16, width=384, depth=12,
                      heads=6, quick_gelu=False, pre_post_norm=False,
                      output_proj=None, patch_bias=True, gelu_tanh=gelu_tanh,
+                     dense_int8=dense_int8,
                      compute_dtype=compute_dtype or jnp.float32)
 
 
 def dino_vit_t16_config(compute_dtype=None,
-                        gelu_tanh: bool = False) -> ViTConfig:
+                        gelu_tanh: bool = False,
+                        dense_int8: bool = False) -> ViTConfig:
     """ViT-Tiny/16 (192-d, 3 heads): reference arch factory
     ``gcd/models/vision_transformer.py:243-248`` (used for cheap training
     smokes; the e2e baseline trainers default to it)."""
@@ -57,6 +62,7 @@ def dino_vit_t16_config(compute_dtype=None,
     return ViTConfig(image_size=224, patch_size=16, width=192, depth=12,
                      heads=3, quick_gelu=False, pre_post_norm=False,
                      output_proj=None, patch_bias=True, gelu_tanh=gelu_tanh,
+                     dense_int8=dense_int8,
                      compute_dtype=compute_dtype or jnp.float32)
 
 

@@ -111,7 +111,8 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
             "checkpoint for non-synthetic datasets")
     import torch
 
-    clip_cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
+    clip_cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16,
+                                   dense_int8=cfg.feature.dense_int8)
     clip_sd = torch.load(cfg.data.clip_weights, map_location="cpu")
     clip_vars = load_openai_clip_weights(
         clip_sd.state_dict() if hasattr(clip_sd, "state_dict") else clip_sd,
@@ -169,7 +170,8 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
                 f"{cfg.data.dataset_name}_model_best.pt"
                 if name == "gcd" else cfg.data.dino_weights)
         cfg_fn, normalize = vit_feat_cfgs[name]
-        vit_cfg = cfg_fn(compute_dtype=jnp.bfloat16)
+        vit_cfg = cfg_fn(compute_dtype=jnp.bfloat16,
+                         dense_int8=cfg.feature.dense_int8)
         sd = torch.load(path, map_location="cpu")
         dino_vars = load_dino_weights(sd, vit_cfg)
         dino = VisionTransformer(vit_cfg)
@@ -364,6 +366,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="textual-enhancement re-ranking round (w/TE)")
     p.add_argument("--te_alpha", type=float, default=0.5)
     p.add_argument("--extract_feat", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 int8 dense path for the ViT extraction "
+                        "towers (MXU double-rate; throughput knob)")
     # --no-run_cluster re-enters from the cached clustering artifact (a
     # store_true with default=True could never be switched off, silently
     # re-running SSKM/ConSSKM every invocation)
@@ -387,7 +392,8 @@ def config_from_args(args, partially_supervised: bool = False) -> PipelineConfig
                         batch_size=args.batch_size,
                         num_workers=args.num_workers,
                         cache_dir=args.cache_dir),
-        feature=FeatureConfig(feat_model=args.feat_model),
+        feature=FeatureConfig(feat_model=args.feat_model,
+                              dense_int8=getattr(args, 'int8', False)),
         cluster=ClusterConfig(algorithm=args.cluster,
                               n_clusters=args.n_cluster,
                               size_min=args.cluster_size_min,

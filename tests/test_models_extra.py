@@ -69,3 +69,52 @@ def test_gelu_tanh_features_close_to_exact():
     # same params, near-identical activations: rel deviation ~bf16 eps
     denom = np.maximum(np.abs(fe), 1e-3)
     assert np.max(np.abs(fe - ft) / denom) < 0.02
+
+
+def test_int8_dense_matches_f32_within_quant_error():
+    """Int8Dense == exact f32 matmul within the W8A8 quantization bound:
+    per-token/per-channel symmetric scales give elementwise error
+    ~|x|_max*|w|_max*D/127^2-class; assert a practical relative bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.vit import Int8Dense
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((64, 96)).astype(np.float32)
+    m = Int8Dense(48)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(m.apply(v, jnp.asarray(x)))
+    k = np.asarray(v["params"]["kernel"])
+    b = np.asarray(v["params"]["bias"])
+    want = x @ k + b
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 0.02
+    # param tree matches nn.Dense's (checkpoint-loader compatibility)
+    assert set(v["params"].keys()) == {"kernel", "bias"}
+
+
+def test_vit_int8_features_close_to_f32():
+    """dense_int8=True on the SAME params must produce near-identical
+    CLS features: the gate for flipping the extraction towers to the
+    int8 MXU path (cosine similarity, not bitwise — 12 quantized layers
+    compound ~0.5%/layer worst-case)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.vit import ViTConfig, VisionTransformer
+
+    kw = dict(image_size=32, patch_size=8, width=64, depth=4, heads=4,
+              pre_post_norm=True, output_proj=32, quick_gelu=True,
+              patch_bias=False)
+    f32 = VisionTransformer(ViTConfig(**kw))
+    q = VisionTransformer(ViTConfig(dense_int8=True, **kw))
+    v = jax.jit(f32.init)(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 32, 32, 3), jnp.float32))
+    # int8 variant must accept the identical param tree
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    a = np.asarray(f32.apply(v, x))
+    b = np.asarray(q.apply(v, x))
+    cos = np.sum(a * b, axis=1) / (
+        np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.995, cos.min()
