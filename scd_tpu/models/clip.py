@@ -65,6 +65,10 @@ class TextTransformer(nn.Module):
         blk_cfg = ViTConfig(width=c.text_width, depth=c.text_depth,
                             heads=c.text_heads, quick_gelu=True,
                             norm_eps=1e-5,  # torch default (see vision cfg)
+                            # one knob quantizes both towers: the 5.4M-
+                            # prompt vocabulary build is as dense-bound as
+                            # extraction (see ViTConfig.dense_int8)
+                            dense_int8=c.vision.dense_int8,
                             compute_dtype=c.compute_dtype)
         for i in range(c.text_depth):
             x = Block(blk_cfg, name=f"block_{i}")(x, causal=True)

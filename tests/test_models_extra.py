@@ -118,3 +118,35 @@ def test_vit_int8_features_close_to_f32():
     cos = np.sum(a * b, axis=1) / (
         np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
     assert cos.min() > 0.995, cos.min()
+
+
+def test_clip_text_tower_int8_close_to_f32():
+    """dense_int8 quantizes BOTH towers (the vocabulary build is as
+    dense-bound as extraction): same params, near-identical text
+    embeddings."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.clip import CLIPConfig, CLIPModel
+    from scd_tpu.models.vit import ViTConfig
+
+    def cfg(q):
+        return CLIPConfig(
+            vision=ViTConfig(image_size=32, patch_size=8, width=32, depth=1,
+                             heads=2, output_proj=16, pre_post_norm=True,
+                             quick_gelu=True, patch_bias=False,
+                             dense_int8=q),
+            vocab_size=128, context_length=16, text_width=32, text_depth=2,
+            text_heads=2, embed_dim=16)
+
+    f32, q8 = CLIPModel(cfg(False)), CLIPModel(cfg(True))
+    v = jax.jit(f32.init)(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 32, 32, 3), jnp.float32),
+                          jnp.zeros((1, 16), jnp.int32))
+    toks = jax.random.randint(jax.random.PRNGKey(1), (6, 16), 1, 127,
+                              jnp.int32)
+    a = np.asarray(f32.apply(v, toks, method=CLIPModel.encode_text))
+    b = np.asarray(q8.apply(v, toks, method=CLIPModel.encode_text))
+    cos = np.sum(a * b, 1) / (np.linalg.norm(a, axis=1)
+                              * np.linalg.norm(b, axis=1))
+    assert cos.min() > 0.995, cos.min()
