@@ -336,6 +336,34 @@ def test_assign_name_logits_parity(ref):
         w_ours[ind_ours[:, 0], ind_ours[:, 1]].sum()
 
 
+# --------------------------------------------------------------- FINCH parity
+
+def test_finch_partitions_parity(ref):
+    """FINCH is fully deterministic (1-NN chain -> connected components),
+    so the reference implementation and ours must produce the SAME
+    partitions on the same features: identical cluster counts per level
+    and identical groupings (NMI == 1) at every shared level, plus the
+    req_clust refinement."""
+    from sklearn.metrics import normalized_mutual_info_score as nmi
+
+    from scd_tpu.cluster.finch import finch, finch_fit
+
+    fr = _load_file("_ref_finch", "local_utils/finch.py")
+    rng = np.random.default_rng(30)
+    centers = rng.standard_normal((12, 24)) * 5
+    x = (centers[rng.integers(0, 12, 600)]
+         + 0.6 * rng.standard_normal((600, 24))).astype(np.float32)
+
+    c_ref, counts_ref, rc_ref = fr.FINCH(x, req_clust=8, verbose=False)
+    c_ours, counts_ours, rc_ours = finch(x, req_clust=8)
+
+    assert list(counts_ours) == list(counts_ref)
+    for lvl in range(c_ref.shape[1]):
+        assert nmi(c_ours[:, lvl], c_ref[:, lvl]) == pytest.approx(1.0)
+    assert nmi(rc_ours, rc_ref) == pytest.approx(1.0)
+    assert len(np.unique(finch_fit(x, req_clust=8))) == 8
+
+
 # ----------------------------------------------------- loss / schedule parity
 
 def test_supcon_loss_parity(ref):
