@@ -440,7 +440,8 @@ def bench_constrained_estep(n: int = 65536, k: int = 100,
     return 1.0 / dt
 
 
-def bench_gcd_train(batch: int = 64, n_views: int = 2):
+def bench_gcd_train(batch: int = 64, n_views: int = 2,
+                    int8_frozen: bool = False):
     """GCD contrastive finetuning step (ViT-B/16 bf16, InfoNCE+SupCon,
     fwd+bwd+SGD in one program, reference ``learn_metric.py:217-338``).
     With the reference recipe (grad_from_block=11) backprop stops at the
@@ -459,7 +460,7 @@ def bench_gcd_train(batch: int = 64, n_views: int = 2):
     vit_cfg = ViTConfig(image_size=224, patch_size=16, width=768, depth=12,
                         heads=12, compute_dtype=jnp.bfloat16)
     cfg = TrainConfig(grad_from_block=11, proj_dim=65536, lr=0.1,
-                      n_views=n_views)
+                      n_views=n_views, int8_frozen=int8_frozen)
     params, opt_state, step = make_gcd_state(
         vit_cfg, cfg, jax.random.PRNGKey(0), total_steps=1000)
     n_img = n_views * batch
@@ -938,6 +939,11 @@ def main():
             "gcd_train_imgs_per_sec", 600, bench_gcd_train,
             lambda gt: f"gcd train step (ViT-B/16 bf16, fwd+bwd@block11"
                        f"+SGD): {gt:.0f} imgs/sec/chip")
+        secondary(
+            "gcd_train_int8frozen_imgs_per_sec", 600,
+            lambda: bench_gcd_train(int8_frozen=True),
+            lambda gt: f"gcd train step, int8 frozen trunk (blocks 0-10 "
+                       f"W8A8, trainable bf16): {gt:.0f} imgs/sec/chip")
         secondary(
             "uno_e2e_imgs_per_sec", 900, bench_uno_e2e_step,
             lambda ue: f"uno_v2 e2e train step (ViT-B/16 bf16 full-backbone "

@@ -156,6 +156,11 @@ class TrainConfig:
     batch_size: int = 128
     proj_dim: int = 65536
     seed: int = 1
+    # int8-quantize the FROZEN trunk's dense layers (blocks <
+    # grad_from_block): their forward is pure inference under the
+    # partial-freeze recipe, so it can ride the MXU's double-rate int8
+    # path while trainable blocks keep exact bf16 gradients.
+    int8_frozen: bool = False
 
 
 @dataclass(frozen=True)

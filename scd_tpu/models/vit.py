@@ -53,6 +53,13 @@ class ViTConfig:
     # differentiated); parameter tree is IDENTICAL to the f32 path, so
     # every checkpoint loader works unchanged.
     dense_int8: bool = False
+    # Quantize only blocks i < dense_int8_until (ignored when dense_int8
+    # is already True).  The partial-freeze training recipe
+    # (grad_from_block=11) never backpropagates into blocks 0-10 — their
+    # forward is pure inference, so the frozen trunk can ride the int8
+    # MXU path while trainable blocks keep exact bf16 gradients (the
+    # frozen blocks' cotangents are dead code XLA eliminates).
+    dense_int8_until: Optional[int] = None
 
     @property
     def grid(self) -> int:
@@ -265,7 +272,11 @@ class VisionTransformer(nn.Module):
             x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
                              name="ln_pre")(x)
         for i in range(c.depth):
-            x = Block(c, name=f"block_{i}")(x)
+            bc = c
+            if c.dense_int8_until is not None and not c.dense_int8:
+                bc = dataclasses.replace(c,
+                                         dense_int8=i < c.dense_int8_until)
+            x = Block(bc, name=f"block_{i}")(x)
         if c.pre_post_norm:
             x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
                              name="ln_post")(x[:, :1])[:, 0]

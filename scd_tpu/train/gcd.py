@@ -131,6 +131,12 @@ def make_gcd_state(vit_cfg: ViTConfig, cfg: TrainConfig, rng: jax.Array,
     """Build (params, opt_state, step_fn).  ``step_fn(params, opt_state,
     batch, rng) -> (params, opt_state, metrics)`` is jitted; with a mesh it
     carries dp+tp shardings."""
+    if cfg.int8_frozen and cfg.grad_from_block > 0:
+        import dataclasses as _dc
+
+        # frozen blocks (< grad_from_block) never receive gradients: their
+        # forward runs the W8A8 int8 dense path (models/vit.py Int8Dense)
+        vit_cfg = _dc.replace(vit_cfg, dense_int8_until=cfg.grad_from_block)
     backbone = VisionTransformer(vit_cfg)
     head = DINOHead(out_dim=cfg.proj_dim)
 

@@ -104,7 +104,8 @@ def run_metric_learn(args) -> dict:
     cfg = TrainConfig(lr=args.lr, sup_con_weight=args.sup_con_weight,
                       grad_from_block=args.grad_from_block,
                       n_views=args.n_views, proj_dim=args.proj_dim,
-                      batch_size=args.batch_size)
+                      batch_size=args.batch_size,
+                      int8_frozen=bool(args.int8_frozen))
     mesh = None
     if args.mesh_data != 1 or args.mesh_model != 1:
         from scd_tpu.core.config import MeshConfig
@@ -212,6 +213,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="tanh-approx gelu: +21% ViT throughput on v5e, "
                         "deviation under the bf16 rounding floor "
                         "(models/vit.py Mlp); 0 keeps exact-erf parity")
+    p.add_argument("--int8_frozen", type=int, default=0,
+                   help="W8A8 int8 dense path for the FROZEN trunk blocks "
+                        "(< grad_from_block): pure-inference forward rides "
+                        "the MXU double-rate path, trainable blocks keep "
+                        "exact bf16 gradients")
     p.add_argument("--bf16", type=int, default=1,
                    help="1 = bf16 compute / f32 params+layernorms (TPU "
                         "native); 0 = full f32")

@@ -137,3 +137,36 @@ def test_gcd_trainer_epoch(rng):
     out = trainer.train_epoch([_batch(rng) for _ in range(3)])
     assert set(out) == {"loss", "contrastive", "sup_con"}
     assert np.isfinite(out["loss"])
+
+
+def test_gcd_step_int8_frozen_trunk(rng):
+    """int8_frozen=True quantizes only the frozen blocks' dense layers
+    (< grad_from_block): the step must behave like the f32 recipe — same
+    freeze boundary, finite loss in the same regime — since trainable
+    blocks keep exact bf16/f32 math and frozen cotangents are dead code."""
+    import dataclasses
+
+    cfg32 = _tiny_train_cfg()
+    cfg8 = dataclasses.replace(cfg32, int8_frozen=True)
+    p32, o32, step32 = make_gcd_state(
+        _tiny_vit(), cfg32, jax.random.PRNGKey(0), total_steps=10)
+    p8, o8, step8 = make_gcd_state(
+        _tiny_vit(), cfg8, jax.random.PRNGKey(0), total_steps=10)
+    # identical param trees (Int8Dense keeps nn.Dense's kernel/bias)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        p32, p8)
+    batch = {k: jnp.asarray(v) for k, v in _batch(rng).items()}
+    n32, _, m32 = step32(p32, o32, batch)
+    n8, _, m8 = step8(p8, o8, batch)
+    assert np.isfinite(float(m8["loss"]))
+    # quantized frozen forward perturbs activations slightly, not regimes
+    assert float(m8["loss"]) == pytest.approx(float(m32["loss"]), rel=0.05)
+    # freeze boundary unchanged: block_0 frozen, block_3 + head train
+    np.testing.assert_array_equal(
+        np.asarray(p8["backbone"]["block_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(n8["backbone"]["block_0"]["attn"]["qkv"]["kernel"]))
+    assert not np.allclose(
+        np.asarray(p8["backbone"]["block_3"]["attn"]["qkv"]["kernel"]),
+        np.asarray(n8["backbone"]["block_3"]["attn"]["qkv"]["kernel"]))
