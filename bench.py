@@ -812,8 +812,21 @@ def main():
                 return
             emitted.set()
             if errors:
-                out["error"] = "; ".join(errors)
-            print(json.dumps(out), flush=True)
+                out["error"] = "; ".join(list(errors))
+            # snapshot before serializing: the watchdog can fire while the
+            # main thread inserts into out["secondary"], and json.dumps
+            # iterating a mutating dict raises — which would suppress the
+            # JSON line this function exists to guarantee.  dict copies
+            # are single C-level ops (atomic under the GIL).
+            snap = {**out, "secondary": dict(out["secondary"])}
+            try:
+                line = json.dumps(snap)
+            except Exception as e:  # belt and braces: ALWAYS print a line
+                line = json.dumps({
+                    "metric": out["metric"], "value": None,
+                    "unit": out["unit"], "vs_baseline": None,
+                    "error": f"emit failed: {type(e).__name__}: {e}"})
+            print(line, flush=True)
 
     hard_cap_s = float(os.environ.get(
         "SCD_BENCH_HARD_CAP_S",

@@ -75,17 +75,21 @@ def make_synthetic(n_classes: int = 10, per_class: int = 25,
 
 # ---------------------------------------------------------------- imagefolder
 
+# torchvision IMG_EXTENSIONS exactly (it excludes .gif; a wider list would
+# yield extra samples and shift uq_idxs/class counts vs the reference's
+# ImageFolder scan).  The single source for every directory scan in the
+# repo — the serving CLI (pipelines/infer.py) reuses it.
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".tif",
+                  ".tiff", ".webp")
+
+
 def scan_imagefolder(root: str) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """<root>/<class_dir>/<image> layout -> (paths, targets, classnames),
     classes sorted by directory name (torchvision ImageFolder convention,
     which the reference's wnid mapping relies on, ``main_unsup.py:423-426``)."""
     classes = sorted(e.name for e in os.scandir(root) if e.is_dir())
     paths, targets = [], []
-    # torchvision IMG_EXTENSIONS exactly (it excludes .gif; a wider list
-    # would yield extra samples and shift uq_idxs/class counts vs the
-    # reference's ImageFolder scan)
-    exts = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm", ".tif",
-            ".tiff", ".webp")
+    exts = IMG_EXTENSIONS
     for i, cls in enumerate(classes):
         cdir = os.path.join(root, cls)
         for fname in sorted(os.listdir(cdir)):

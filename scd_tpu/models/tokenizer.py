@@ -189,9 +189,15 @@ class CLIPTokenizer:
                 # '{}' at word boundaries; otherwise ('{0}'/'{name}'
                 # placeholders, or a glued '{}s') fall back to per-pair
                 # encode(t.format(n)) — slower but always equal to the
-                # non-compositional path
+                # non-compositional path.  A prefix ENDING in an ASCII
+                # apostrophe is also unsafe regardless of the name: the
+                # regex contraction alternatives ('s|'t|'re|'ve|'m|'ll|'d)
+                # fuse the apostrophe with a following letter in the full
+                # encode (e.g. "o'{}" + "sock" -> "'s" token) where the
+                # splice keeps them apart
                 exact = (bool(sep)
                          and not (pre and pre[-1].isalnum())
+                         and not pre.endswith("'")
                          and not (suf and suf[0].isalnum()))
                 if exact:
                     # remaining merge hazard is name-dependent: a PUNCT

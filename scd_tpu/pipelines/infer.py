@@ -174,12 +174,13 @@ def iter_image_batches(path: str, batch_size: int, image_size: int = 224,
     """Yield fixed-shape ``(images [batch_size, H, W, C], n_valid)`` pairs
     from ``--images``:
 
-    - a ``.npy``/``.npz`` file: a pre-staged [B, H, W, C] array;
-    - a directory of image files (flat), or an imagefolder layout
-      (``<dir>/<class>/<image>``, the reference's serving-adjacent scan,
-      ``main_unsup.py:423-426``) — decoded by the threaded loader
-      (``data/loader.py``) with CLIP eval preprocess, uint8 until the
-      on-device normalize.
+    - a ``.npy``/``.npz`` file: a pre-staged [B, H, W, C] array (npz: the
+      ``images`` key, or the archive's single array);
+    - a directory: the UNION of flat image files and imagefolder-layout
+      subfolders (``<dir>/<class>/<image>``, the reference's
+      serving-adjacent scan, ``main_unsup.py:423-426``) — decoded by the
+      threaded loader (``data/loader.py``) with CLIP eval preprocess,
+      uint8 until the on-device normalize.
 
     Ragged tails are zero-padded to ``batch_size`` (a fresh shape would
     recompile the whole ViT program for one batch); ``n_valid`` marks the
@@ -188,20 +189,23 @@ def iter_image_batches(path: str, batch_size: int, image_size: int = 224,
 
     if os.path.isdir(path):
         from scd_tpu.data.core import ImageTable
-        from scd_tpu.data.datasets import _pil_loader, scan_imagefolder
+        from scd_tpu.data.datasets import (IMG_EXTENSIONS, _pil_loader,
+                                           scan_imagefolder)
         from scd_tpu.data.loader import iterate_batches
         from scd_tpu.data.transforms import clip_preprocess
 
-        has_subdirs = any(e.is_dir() for e in os.scandir(path))
-        if has_subdirs:
-            paths, targets, _classes = scan_imagefolder(path)
-        else:
-            exts = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".pgm",
-                    ".tif", ".tiff", ".webp")
-            names = sorted(f for f in os.listdir(path)
-                           if f.lower().endswith(exts))
-            paths = np.array([os.path.join(path, f) for f in names], object)
-            targets = np.full(len(paths), -1, np.int64)
+        # serve the UNION of flat files and <class>/ subfolder contents:
+        # a mostly-flat directory with one stray subdir (.thumbnails,
+        # __MACOSX) must not silently drop the flat images, and vice versa
+        sub_paths, sub_targets, _classes = scan_imagefolder(path)
+        flat = sorted(f for f in os.listdir(path)
+                      if f.lower().endswith(IMG_EXTENSIONS)
+                      and os.path.isfile(os.path.join(path, f)))
+        paths = np.concatenate([
+            np.array([os.path.join(path, f) for f in flat], object),
+            np.asarray(sub_paths, object)])
+        targets = np.concatenate([np.full(len(flat), -1, np.int64),
+                                  np.asarray(sub_targets, np.int64)])
         if len(paths) == 0:
             raise SystemExit(f"no images found under {path}")
         table = ImageTable(
@@ -220,8 +224,14 @@ def iter_image_batches(path: str, batch_size: int, image_size: int = 224,
             yield images, n
         return
 
-    images = (np.load(path)["images"] if path.endswith(".npz")
-              else np.load(path))
+    if path.endswith(".npz"):
+        z = np.load(path)
+        # accept the documented 'images' key or any single-array archive
+        # (np.savez(f, batch) stores under arr_0)
+        key = "images" if "images" in z.files else z.files[0]
+        images = z[key]
+    else:
+        images = np.load(path)
     for start in range(0, len(images), batch_size):
         batch = images[start:start + batch_size]
         n = len(batch)

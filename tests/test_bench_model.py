@@ -126,14 +126,17 @@ def test_main_headline_failure_keeps_secondaries(monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "init_backend", lambda **kw: 197.0)
     monkeypatch.setattr(rt, "enable_compilation_cache", lambda: None)
-    monkeypatch.setattr(bench, "bench_clip_embed",
-                        lambda: (_ for _ in ()).throw(RuntimeError("boom")))
-    monkeypatch.setattr(bench, "bench_kmeans_iter", lambda: (5.0, 1e12))
-    monkeypatch.setattr(bench, "bench_vocab_topk", lambda: 1000.0)
-    monkeypatch.setattr(bench, "bench_text_embed", lambda: 2000.0)
-    monkeypatch.setattr(bench, "bench_constrained_estep", lambda: 100.0)
-    monkeypatch.setattr(bench, "bench_gcd_train", lambda: 300.0)
-    monkeypatch.setattr(bench, "bench_uno_e2e_step", lambda: 400.0)
+    monkeypatch.setattr(
+        bench, "bench_clip_embed",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")))
+    monkeypatch.setattr(bench, "bench_kmeans_iter",
+                        lambda *a, **kw: (5.0, 1e12))
+    monkeypatch.setattr(bench, "bench_vocab_topk", lambda *a, **kw: 1000.0)
+    monkeypatch.setattr(bench, "bench_text_embed", lambda *a, **kw: 2000.0)
+    monkeypatch.setattr(bench, "bench_constrained_estep",
+                        lambda *a, **kw: 100.0)
+    monkeypatch.setattr(bench, "bench_gcd_train", lambda *a, **kw: 300.0)
+    monkeypatch.setattr(bench, "bench_uno_e2e_step", lambda *a, **kw: 400.0)
     monkeypatch.setattr(bench, "bench_e2e", lambda: {"total_s": 1.0})
     bench.main()
     out = _last_json_line(capsys)
@@ -171,14 +174,14 @@ def test_main_happy_path_json(monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "init_backend", lambda **kw: 197.0)
     monkeypatch.setattr(rt, "enable_compilation_cache", lambda: None)
-    monkeypatch.setattr(bench, "bench_clip_embed", lambda: 3300.0)
+    monkeypatch.setattr(bench, "bench_clip_embed", lambda *a, **kw: 3300.0)
     for name in ("bench_kmeans_iter", "bench_vocab_topk", "bench_text_embed",
                  "bench_constrained_estep", "bench_gcd_train",
                  "bench_uno_e2e_step"):
         monkeypatch.setattr(
             bench, name,
-            (lambda **kw: (5.0, 1e12)) if name == "bench_kmeans_iter"
-            else lambda: 1.0)
+            (lambda *a, **kw: (5.0, 1e12)) if name == "bench_kmeans_iter"
+            else lambda *a, **kw: 1.0)
     monkeypatch.setenv("SCD_BENCH_SKIP_E2E", "1")
     bench.main()
     out = _last_json_line(capsys)

@@ -364,6 +364,13 @@ def test_iter_image_batches_sources(tmp_path):
     assert all(b.shape == (2, 16, 16, 3) for b, _n in got)
     assert got[-1][0][1].sum() == 0  # padded row is zeros
 
+    # MIXED directory: flat files + a stray subdir — the UNION is served
+    # (a .thumbnails/-style subdir must not silently drop the flat images)
+    _write_images(tmp_path / "mixed", [("", 4), ("stray", 2)])
+    got = list(iter_image_batches(str(tmp_path / "mixed"), 4,
+                                  image_size=16))
+    assert sum(n for _b, n in got) == 6
+
     # .npy array source, ragged tail
     arr = np.arange(3 * 4 * 4 * 3, dtype=np.float32).reshape(3, 4, 4, 3)
     np.save(tmp_path / "batch.npy", arr)
@@ -371,6 +378,13 @@ def test_iter_image_batches_sources(tmp_path):
     assert [n for _b, n in got] == [2, 1]
     np.testing.assert_array_equal(got[1][0][0], arr[2])
     assert got[1][0][1].sum() == 0
+
+    # .npz: documented 'images' key AND the np.savez positional default
+    np.savez(tmp_path / "b1.npz", images=arr)
+    np.savez(tmp_path / "b2.npz", arr)  # stored as arr_0
+    for f in ("b1.npz", "b2.npz"):
+        got = list(iter_image_batches(str(tmp_path / f), 2))
+        assert sum(n for _b, n in got) == 3, f
 
     with pytest.raises(SystemExit):
         empty = tmp_path / "empty"

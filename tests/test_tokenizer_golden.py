@@ -148,8 +148,10 @@ def test_prompt_tokens_matches_full_tokenization(tiny_tokenizer):
     # the last three exercise the FALLBACK: indexed/named placeholders and
     # a boundary-glued '{}s' cannot be spliced and must per-pair encode
     # t.format(n) — previously '{0}' silently DROPPED the name
+    # "o'{}": apostrophe-final prefix — the regex contraction alternatives
+    # ('s|'t|...) fuse "'"+letter in the full encode; must per-pair encode
     templates = ["a {}.", "the cat {}", "{}!", "no placeholder",
-                 "a {0}.", "a {}s"]
+                 "a {0}.", "a {}s", "o'{}"]
     # 'cat.' / '.dog' exercise the punctuation-boundary fallback: a name
     # ending (starting) in punctuation next to a punct template boundary
     # merges into ONE [^\s\w]+ regex token in the full encode ('..', '!.')
