@@ -19,7 +19,7 @@ import threading
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
-from PIL import Image, ImageEnhance, ImageOps
+from PIL import Image, ImageDraw, ImageEnhance, ImageOps
 
 
 class ThreadRng:
@@ -130,6 +130,11 @@ def _sharpness(img, v, _rng):
 
 
 def _cutout_abs(img, v, rng: Optional[np.random.Generator] = None):
+    # the reference (randaugment.py:129-147) fills an ImageDraw.rectangle
+    # with FLOAT corners — rectangle coordinates truncate and the fill is
+    # INCLUSIVE of (x1, y1), one row/col wider than an int-sized paste;
+    # reproduce that exactly (bit parity asserted in
+    # tests/test_reference_parity.py)
     if v < 0:
         return img
     if rng is None:  # direct callers without a generator
@@ -137,11 +142,10 @@ def _cutout_abs(img, v, rng: Optional[np.random.Generator] = None):
     w, h = img.size
     x0 = int(max(0, rng.uniform(0, w) - v / 2.0))
     y0 = int(max(0, rng.uniform(0, h) - v / 2.0))
-    x1 = min(w, x0 + int(v))
-    y1 = min(h, y0 + int(v))
+    x1 = min(w, x0 + v)
+    y1 = min(h, y0 + v)
     img = img.copy()
-    Image.Image.paste(img, Image.new("RGB", (x1 - x0, y1 - y0),
-                                     (125, 123, 114)), (x0, y0))
+    ImageDraw.Draw(img).rectangle((x0, y0, x1, y1), (125, 123, 114))
     return img
 
 

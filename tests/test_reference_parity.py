@@ -587,3 +587,138 @@ def test_constrained_fit_mix_statistical_parity(ref):
     # match-or-beat (measured: ref 0.816 / ours 1.0 on this seed)
     assert ref_acc > 0.75, ref_acc
     assert our_acc >= ref_acc - 0.02, (ref_acc, our_acc)
+
+
+# ------------------------------------------------- augmentation parity
+
+class _ReplayRng:
+    """``np.random.Generator`` facade replaying the draws the REFERENCE's
+    global RNGs produced, so both implementations consume identical random
+    numbers and the outputs can be compared bit-for-bit.  Separate queues
+    per method (the call orders differ only WITHIN a method)."""
+
+    def __init__(self, random=(), uniform=(), integers=()):
+        self._random = list(random)
+        self._uniform = list(uniform)
+        self._integers = list(integers)
+
+    def random(self):
+        return self._random.pop(0)
+
+    def uniform(self, *_a, **_k):
+        return self._uniform.pop(0)
+
+    def integers(self, *_a, size=None, **_k):
+        if size is not None:  # RandAugment.__call__ op-index draw
+            out, self._integers = self._integers[:size], self._integers[size:]
+            return np.asarray(out)
+        return self._integers.pop(0)
+
+
+@pytest.fixture(scope="module")
+def ref_aug(ref):
+    """randaugment.py imports only PIL/numpy/torch/random — loadable
+    directly (the package __init__ would drag in torchvision)."""
+    ra = _load_file("_ref_randaugment",
+                    "gcd/data/augmentations/randaugment.py")
+    co = _load_file("_ref_cut_out", "gcd/data/augmentations/cut_out.py")
+    return types.SimpleNamespace(ra=ra, co=co)
+
+
+def _rand_pil(rng, w=48, h=56):
+    from PIL import Image
+
+    return Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+
+
+def test_randaugment_op_bank_bit_parity(ref_aug, monkeypatch):
+    """Every op in the active EfficientNet-policy bank
+    (``randaugment.py:186-205``), at three magnitudes and both sign
+    branches, against the reference op on the same image with the same
+    pinned draws — output pixels must be IDENTICAL."""
+    from scd_tpu.data.augment import AUGMENT_LIST
+
+    ref_bank = ref_aug.ra.augment_list()
+    assert len(ref_bank) == len(AUGMENT_LIST) == 16
+    img = _rand_pil(np.random.default_rng(0))
+    w, h = img.size
+
+    for (rop, rmn, rmx), (op, mn, mx) in zip(ref_bank, AUGMENT_LIST):
+        assert (float(rmn), float(rmx)) == (float(mn), float(mx)), rop
+        for m in (1, 11, 30):
+            v = (float(m) / 30.0) * float(rmx - rmn) + rmn
+            for pin in (0.25, 0.75):  # keep-sign / flip-sign branches
+                monkeypatch.setattr(
+                    ref_aug.ra, "random",
+                    types.SimpleNamespace(random=lambda p=pin: p))
+                np.random.seed(1234)  # CutoutAbs draws np.random.uniform
+                ref_out = np.asarray(rop(img, v))
+                np.random.seed(1234)
+                draws = [np.random.uniform(w), np.random.uniform(h)]
+                ours = np.asarray(op(img, v, _ReplayRng(
+                    random=[pin, pin], uniform=draws)))
+                np.testing.assert_array_equal(ours, ref_out,
+                                              err_msg=f"{rop.__name__} m={m}")
+
+
+def test_randaugment_composed_bit_parity(ref_aug, monkeypatch):
+    """``RandAugment(n, m).__call__`` end-to-end with the op SELECTION
+    pinned on both sides: the magnitude formula, op order, and chaining
+    must reproduce the reference (``randaugment.py:274-293``)."""
+    from scd_tpu.data.augment import RandAugment
+
+    idxs = [3, 7, 12, 5]  # Rotate, Color, ShearY, Solarize
+    pin = 0.9  # flip branch for the geometric ops
+    monkeypatch.setattr(
+        ref_aug.ra, "random",
+        types.SimpleNamespace(
+            random=lambda: pin,
+            choices=lambda lst, k: [lst[i] for i in idxs[:k]]))
+    ref_ra = ref_aug.ra.RandAugment(n=len(idxs), m=17)
+    img = _rand_pil(np.random.default_rng(1))
+    ref_out = np.asarray(ref_ra(img))
+
+    ours = RandAugment(n=len(idxs), m=17)
+    replay = _ReplayRng(random=[pin] * 8, integers=idxs)
+    monkeypatch.setattr(ours._rng, "get", lambda: replay)
+    np.testing.assert_array_equal(np.asarray(ours(img)), ref_out)
+
+
+def test_cutout_closure_bit_parity(ref_aug, monkeypatch):
+    """``cut_out.cutout`` (reference ``cut_out.py:8-40``) vs ours on the
+    same array with replayed draws, inside and outside placement, odd and
+    even mask sizes."""
+    import scd_tpu.data.augment as aug
+
+    arr = np.random.default_rng(2).integers(
+        0, 255, (56, 48, 3)).astype(np.uint8)
+    h, w = arr.shape[:2]
+
+    for mask_size in (15, 16):
+        for inside in (False, True):
+            ref_fn = ref_aug.co.cutout(mask_size, 1.0, inside,
+                                       mask_color=(9, 8, 7))
+            np.random.seed(77)
+            ref_out = ref_fn(arr)
+
+            half = mask_size // 2
+            offset = 1 if mask_size % 2 == 0 else 0
+            if inside:
+                cxmin, cxmax = half, w + offset - half
+                cymin, cymax = half, h + offset - half
+            else:
+                cxmin, cxmax = 0, w + offset
+                cymin, cymax = 0, h + offset
+            np.random.seed(77)
+            draws_r = [np.random.random()]
+            draws_i = [np.random.randint(cxmin, cxmax),
+                       np.random.randint(cymin, cymax)]
+
+            replay = _ReplayRng(random=draws_r, integers=draws_i)
+            monkeypatch.setattr(
+                aug, "ThreadRng",
+                lambda seed: types.SimpleNamespace(get=lambda: replay))
+            our_fn = aug.cutout(mask_size, 1.0, inside, mask_color=(9, 8, 7))
+            np.testing.assert_array_equal(
+                our_fn(arr), ref_out,
+                err_msg=f"mask={mask_size} inside={inside}")
