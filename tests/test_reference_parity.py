@@ -722,3 +722,78 @@ def test_cutout_closure_bit_parity(ref_aug, monkeypatch):
             np.testing.assert_array_equal(
                 our_fn(arr), ref_out,
                 err_msg=f"mask={mask_size} inside={inside}")
+
+
+# ------------------------------------------------------ data-layer parity
+
+@pytest.fixture(scope="module")
+def ref_data(ref):
+    """``data_utils.py`` loads for real (numpy + torch only).
+    ``get_datasets.py`` needs its dataset-module imports stubbed — each
+    drags in torchvision subclasses — but ``get_class_splits`` itself
+    (``get_datasets.py:101-230``) touches none of them."""
+    du = _load_file("_ref_data_utils", "gcd/data/data_utils.py")
+
+    for name in ("data.cifar", "data.herbarium_19", "data.stanford_cars",
+                 "data.imagenet", "data.cub", "data.fgvc_aircraft",
+                 "data.stanford_dogs"):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.__getattr__ = lambda _n: (lambda *a, **k: None)
+            sys.modules[name] = stub
+    gd = _load_file("_ref_get_datasets", "gcd/data/get_datasets.py")
+    return types.SimpleNamespace(du=du, gd=gd)
+
+
+def test_subsample_instances_bit_parity(ref_data):
+    """The labelled-instance draw decides which samples carry labels for
+    the whole run; ours must reproduce the reference's legacy-seeded
+    ``np.random.choice`` EXACTLY (``data_utils.py:4-10``)."""
+    from scd_tpu.data.core import subsample_instances
+
+    for n in (10, 997, 5000):
+        for prop in (0.5, 0.8, 1.0):
+            ref_idx = ref_data.du.subsample_instances(
+                list(range(n)), prop_indices_to_subsample=prop)
+            np.testing.assert_array_equal(
+                subsample_instances(n, prop), ref_idx, err_msg=f"{n},{prop}")
+
+
+def test_merged_dataset_tuple_parity(ref_data):
+    """Item layout, labelled/unlabelled boundary, and the
+    ``np.array([flag])`` wrapper (``data_utils.py:12-37``)."""
+    from scd_tpu.data.core import MergedDataset
+
+    lab = [(np.full((2, 2), i), i, 100 + i) for i in range(3)]
+    unlab = [(np.full((2, 2), 10 + i), 10 + i, 200 + i) for i in range(4)]
+    ref_md = ref_data.du.MergedDataset(lab, unlab)
+    our_md = MergedDataset(lab, unlab)
+    assert len(our_md) == len(ref_md) == 7
+    for i in range(7):
+        r_img, r_lab, r_uq, r_flag = ref_md[i]
+        o_img, o_lab, o_uq, o_flag = our_md[i]
+        np.testing.assert_array_equal(o_img, r_img)
+        assert (o_lab, o_uq) == (r_lab, r_uq)
+        np.testing.assert_array_equal(np.asarray(o_flag),
+                                      np.asarray(r_flag))
+
+
+def test_class_splits_parity(ref_data):
+    """Default (non-SSB) train/unlabelled class ranges per dataset vs the
+    reference's ``get_class_splits`` (``get_datasets.py:101-230``)."""
+    from scd_tpu.core.config import DataConfig
+    from scd_tpu.data.registry import get_class_splits
+
+    ref_to_ours = {"cifar10": "cifar10", "cifar100": "cifar100",
+                   "imagenet_100": "imagenet_100",
+                   "imagenet_1000": "imagenet_1000",
+                   "imagenet_127": "imagenet_127", "sdogs": "sdogs",
+                   "scars": "scars", "aircraft": "aircraft", "cub": "cub"}
+    for ref_name, our_name in ref_to_ours.items():
+        args = types.SimpleNamespace(dataset_name=ref_name,
+                                     use_ssb_splits=False)
+        args = ref_data.gd.get_class_splits(args)
+        ours_train, ours_unlab = get_class_splits(
+            DataConfig(dataset_name=our_name, use_ssb_splits=False))
+        assert list(ours_train) == list(args.train_classes), ref_name
+        assert list(ours_unlab) == list(args.unlabeled_classes), ref_name
