@@ -797,3 +797,96 @@ def test_class_splits_parity(ref_data):
             DataConfig(dataset_name=our_name, use_ssb_splits=False))
         assert list(ours_train) == list(args.train_classes), ref_name
         assert list(ours_unlab) == list(args.unlabeled_classes), ref_name
+
+
+# ---------------------------------------------------- estimate_k parity
+
+@pytest.fixture(scope="module")
+def ref_ek(ref):
+    """``estimate_k.py`` is loadable with the fixture's stubs (its
+    ``data.get_datasets`` import resolves to the None-stub; the search
+    drivers never call it) — ``np.int`` patch covers the module-level
+    skewnorm fit."""
+    return _load_file("_ref_estimate_k",
+                      "gcd/methods/estimate_k/estimate_k.py")
+
+
+def _unimodal_curve(peak=77):
+    def acc(k):
+        return 100.0 - (int(k) - peak) ** 2 * 1e-3
+
+    return acc
+
+
+def test_binary_search_trajectory_parity(ref_ek, monkeypatch, capsys):
+    """Same probe sequence and same final K as the reference's halving
+    search (``estimate_k.py:172-218``) on a deterministic unimodal ACC
+    curve.  The reference only PRINTS its result; parse the last 'Best
+    Acc so far' line.  Ours stops early once the bracket width hits 1 —
+    its probe list must be a PREFIX of the reference's (the reference's
+    tail probes are repeats of bracket endpoints)."""
+    from scd_tpu.cluster.estimate_k import binary_search_k
+
+    curve = _unimodal_curve()
+    min_k, max_k = 50, 200
+
+    ref_probes = []
+    monkeypatch.setattr(
+        ref_ek, "test_kmeans",
+        lambda K, loader, args=None, verbose=False:
+            (ref_probes.append(int(K)), curve(K))[1])
+    args = types.SimpleNamespace(num_labeled_classes=min_k,
+                                 max_classes=max_k)
+    ref_ek.binary_search(None, args)
+    last = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("Best Acc so far")][-1]
+    ref_best_k = int(last.rsplit("at K", 1)[1])
+    ref_best_acc = float(last.split()[4])
+
+    our_probes = []
+
+    def obj(k):
+        our_probes.append(int(k))
+        return curve(k)
+
+    best_k, best_acc = binary_search_k(obj, min_k, max_k)
+    assert our_probes == ref_probes[:len(our_probes)]
+    # the reference's extra tail probes only re-evaluate bracket endpoints
+    assert set(ref_probes) == set(our_probes)
+    assert best_k == ref_best_k
+    assert best_acc == pytest.approx(ref_best_acc, abs=5e-5)  # %.4f print
+
+
+def test_brent_search_trajectory_parity(ref_ek, monkeypatch, capsys):
+    """Bounded Brent drives both sides through scipy with identical
+    bounds; probe-for-probe identical K sequence and the same optimum
+    (``estimate_k.py:221-242``)."""
+    from scd_tpu.cluster.estimate_k import scipy_optimise_k
+
+    curve = _unimodal_curve()
+    min_k, max_k = 50, 200
+
+    ref_probes = []
+
+    def fake_for_scipy(K, merge_test_loader=None, args=None, verbose=False):
+        ref_probes.append(int(K))
+        return -curve(K)  # the reference objective returns NEGATIVE acc
+
+    monkeypatch.setattr(ref_ek, "test_kmeans_for_scipy", fake_for_scipy)
+    args = types.SimpleNamespace(num_labeled_classes=min_k,
+                                 max_classes=max_k)
+    ref_ek.scipy_optimise(None, args)
+    out = capsys.readouterr().out
+    ref_x = float([l for l in out.splitlines()
+                   if l.startswith("Optimal K is")][-1].split()[-1])
+
+    our_probes = []
+
+    def obj(k):
+        our_probes.append(int(k))
+        return curve(k)
+
+    best_k, best_acc = scipy_optimise_k(obj, min_k, max_k)
+    assert our_probes == ref_probes
+    assert best_k == int(ref_x)
+    assert best_acc == pytest.approx(curve(int(ref_x)))
