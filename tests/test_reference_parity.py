@@ -890,3 +890,12 @@ def test_brent_search_trajectory_parity(ref_ek, monkeypatch, capsys):
     assert our_probes == ref_probes
     assert best_k == int(ref_x)
     assert best_acc == pytest.approx(curve(int(ref_x)))
+
+
+def test_imagenet_templates_bit_equal(ref):
+    """All 80 prompt strings, verbatim and in order
+    (``clip_lang_util.py:13-94``) — zeroshot weights and every sACC
+    number depend on them byte-for-byte."""
+    from scd_tpu.naming.templates import IMAGENET_TEMPLATES
+
+    assert list(IMAGENET_TEMPLATES) == list(ref.lang.imagenet_templates)
