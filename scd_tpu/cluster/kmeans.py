@@ -158,8 +158,7 @@ def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
     return labels[best], inertias[best], centers[best], iters[best]
 
 
-def _use_fused(mesh, d: int = None, k: int = None,
-               cfg_fused="auto") -> bool:
+def _use_fused(d: int = None, k: int = None, cfg_fused="auto") -> bool:
     """Fused Pallas E+M kernel dispatch. Single-device runs call the
     kernel directly; mesh runs wrap it in shard_map + psum
     (``em_iteration_sharded``).
@@ -226,8 +225,8 @@ def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
     labels, inertia, centers, n_iter = _fit_kmeans_device(
         key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
         cfg.tolerance, cfg.n_init,
-        fused=_use_fused(mesh, x_j.shape[1], cfg.n_clusters,
-                         cfg.fused_mesh), mesh=mesh)
+        fused=_use_fused(x_j.shape[1], cfg.n_clusters, cfg.fused_mesh),
+        mesh=mesh)
     return KMeansResult(np.asarray(labels)[:int(n_valid)], np.asarray(centers),
                         float(inertia), int(n_iter))
 
@@ -292,8 +291,8 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         key, u, l, jnp.asarray(l_mapped.astype(np.int32)),
         n_valid, cfg.n_clusters, n_l_classes,
         cfg.max_iterations, cfg.tolerance, cfg.n_init,
-        fused=_use_fused(mesh, u.shape[1], cfg.n_clusters,
-                         cfg.fused_mesh), mesh=mesh)
+        fused=_use_fused(u.shape[1], cfg.n_clusters, cfg.fused_mesh),
+        mesh=mesh)
 
     all_labels = np.concatenate([l_mapped.astype(np.int32),
                                  np.asarray(u_labels)[:n_u]])
@@ -334,7 +333,7 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
     labels, inertia, centers, n_iter = _fit_from_labels_device(
         x_j, lab_j, n_valid, cfg.n_clusters, cfg.max_iterations,
         cfg.tolerance,
-        fused=_use_fused(mesh, x_j.shape[1], cfg.n_clusters,
-                         cfg.fused_mesh), mesh=mesh)
+        fused=_use_fused(x_j.shape[1], cfg.n_clusters, cfg.fused_mesh),
+        mesh=mesh)
     return KMeansResult(np.asarray(labels)[:n], np.asarray(centers),
                         float(inertia), int(n_iter))

@@ -217,8 +217,13 @@ class CLIPTokenizer:
         row = 0
         for name, ntoks in zip(names, name_toks):
             nc = _clean(name)
-            n_head_punct = _is_punct(nc[:1])
-            n_tail_punct = _is_punct(nc[-1:])
+            # an empty (or whitespace-only) name makes pre and suf directly
+            # adjacent in the full encode, where a punct-punct meeting fuses
+            # into one [^\s\w]+ run — treat both boundaries as hazardous so
+            # punctuation-flanked templates fall back to the per-pair encode
+            empty = not nc
+            n_head_punct = empty or _is_punct(nc[:1])
+            n_tail_punct = empty or _is_punct(nc[-1:])
             for pre, suf, tmpl, pre_punct, suf_punct in pieces:
                 if (suf is None or (pre_punct and n_head_punct)
                         or (suf_punct and n_tail_punct)):

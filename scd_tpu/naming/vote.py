@@ -170,14 +170,24 @@ def assign_name_logits(unique_name_idx: Sequence[int],
 def cluster_logit_counters(name_idx_topk: np.ndarray, name_val_topk: np.ndarray,
                            u_preds: np.ndarray, top_k: int
                            ) -> Dict[int, List[Tuple[int, float]]]:
-    """Per-cluster summed top-k scores per name (for ``assign_name_logits``)."""
+    """Per-cluster summed top-k scores per name (for ``assign_name_logits``).
+
+    Entries are emitted in FIRST-OCCURRENCE order within the cluster's
+    flattened member sequence — the insertion order a ``collections.Counter``
+    built by iterating members would have.  ``assign_name_logits``'s stable
+    value-descending sort then breaks exact score ties the same way the
+    reference's ``sorted(ct.items(), ...)`` does (ties are reachable: with
+    ``apply_softmax=True`` and scale 100 a dominant name's per-image score
+    saturates to exactly 1.0 in float32)."""
     u_preds = np.asarray(u_preds)
     out: Dict[int, List[Tuple[int, float]]] = {}
     for c in np.unique(u_preds):
         sel = u_preds == c
         idx = name_idx_topk[sel, :top_k].ravel()
         val = name_val_topk[sel, :top_k].ravel()
-        uniq, inv = np.unique(idx, return_inverse=True)
+        uniq, first_pos, inv = np.unique(idx, return_index=True,
+                                         return_inverse=True)
         sums = np.bincount(inv, weights=val)
-        out[int(c)] = [(int(u), float(s)) for u, s in zip(uniq, sums)]
+        order = np.argsort(first_pos, kind="stable")
+        out[int(c)] = [(int(uniq[i]), float(sums[i])) for i in order]
     return out

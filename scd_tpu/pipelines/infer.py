@@ -169,6 +169,15 @@ def build_clip_encoder(variables, cfg, mesh=None) -> Callable:
     return enc
 
 
+def _pad_tail(batch: np.ndarray, batch_size: int) -> np.ndarray:
+    """Zero-pad a ragged tail batch up to ``batch_size`` rows."""
+    n = len(batch)
+    if n == batch_size:
+        return batch
+    return np.concatenate(
+        [batch, np.zeros((batch_size - n,) + batch.shape[1:], batch.dtype)])
+
+
 def iter_image_batches(path: str, batch_size: int, image_size: int = 224,
                        num_workers: int = 8):
     """Yield fixed-shape ``(images [batch_size, H, W, C], n_valid)`` pairs
@@ -215,13 +224,7 @@ def iter_image_batches(path: str, batch_size: int, image_size: int = 224,
             transform=clip_preprocess(image_size, device_normalize=True))
         for images, _labels, _uqs, _mask in iterate_batches(
                 table, batch_size, num_workers=num_workers):
-            n = len(images)
-            if n < batch_size:
-                images = np.concatenate(
-                    [images,
-                     np.zeros((batch_size - n,) + images.shape[1:],
-                              images.dtype)])
-            yield images, n
+            yield _pad_tail(images, batch_size), len(images)
         return
 
     if path.endswith(".npz"):
@@ -234,12 +237,7 @@ def iter_image_batches(path: str, batch_size: int, image_size: int = 224,
         images = np.load(path)
     for start in range(0, len(images), batch_size):
         batch = images[start:start + batch_size]
-        n = len(batch)
-        if n < batch_size:
-            batch = np.concatenate(
-                [batch,
-                 np.zeros((batch_size - n,) + batch.shape[1:], batch.dtype)])
-        yield batch, n
+        yield _pad_tail(batch, batch_size), len(batch)
 
 
 def _load_clip_variables(clip_weights: str, cfg):
@@ -290,7 +288,10 @@ def main(argv=None):
                         "(<dir>/<class>/<image>)")
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=128)
-    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--image_size", type=int, default=0,
+                   help="loader resize; 0 = the CLIP tower's native size. "
+                        "A conflicting value is rejected up front (the "
+                        "ViT pos-embed grid is size-specific).")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--mesh_data", type=int, default=0,
                    help="data-axis size (0 = all visible devices; 1 "
@@ -337,6 +338,12 @@ def main(argv=None):
           else np.load(args.zeroshot_weights))
 
     cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
+    image_size = args.image_size or cfg.vision.image_size
+    if image_size != cfg.vision.image_size:
+        raise SystemExit(
+            f"--image_size {image_size} conflicts with the CLIP tower's "
+            f"native {cfg.vision.image_size} (the ViT pos-embed grid is "
+            "size-specific); omit the flag or pass the native size")
     variables = _load_clip_variables(args.clip_weights, cfg)
 
     mesh = None
@@ -350,7 +357,7 @@ def main(argv=None):
 
     count = 0
     for batch, n in iter_image_batches(args.images, args.batch_size,
-                                       image_size=args.image_size,
+                                       image_size=image_size,
                                        num_workers=args.num_workers):
         named, probs = clf.classify(batch, topk=args.topk)
         for row, pr in zip(named[:n], np.asarray(probs)[:n]):

@@ -137,6 +137,9 @@ def test_main_headline_failure_keeps_secondaries(monkeypatch, capsys):
                         lambda *a, **kw: 100.0)
     monkeypatch.setattr(bench, "bench_gcd_train", lambda *a, **kw: 300.0)
     monkeypatch.setattr(bench, "bench_uno_e2e_step", lambda *a, **kw: 400.0)
+    # mock the loader bench too: it would otherwise write + decode ~4k
+    # real JPEGs per test run and couple this unit test to the host disk
+    monkeypatch.setattr(bench, "bench_image_loader", lambda *a, **kw: 50.0)
     monkeypatch.setattr(bench, "bench_e2e", lambda: {"total_s": 1.0})
     bench.main()
     out = _last_json_line(capsys)
@@ -177,7 +180,7 @@ def test_main_happy_path_json(monkeypatch, capsys):
     monkeypatch.setattr(bench, "bench_clip_embed", lambda *a, **kw: 3300.0)
     for name in ("bench_kmeans_iter", "bench_vocab_topk", "bench_text_embed",
                  "bench_constrained_estep", "bench_gcd_train",
-                 "bench_uno_e2e_step"):
+                 "bench_uno_e2e_step", "bench_image_loader"):
         monkeypatch.setattr(
             bench, name,
             (lambda *a, **kw: (5.0, 1e12)) if name == "bench_kmeans_iter"

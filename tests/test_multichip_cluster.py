@@ -142,20 +142,20 @@ def test_fused_dispatch_config_and_env(monkeypatch):
     from scd_tpu.cluster.kmeans import _use_fused
 
     monkeypatch.delenv("SCD_FUSED_MESH", raising=False)
-    assert _use_fused(None, cfg_fused=True) is True
-    assert _use_fused(None, cfg_fused=False) is False
+    assert _use_fused(cfg_fused=True) is True
+    assert _use_fused(cfg_fused=False) is False
     # auto on the CPU test backend -> XLA ops
-    assert _use_fused(None, cfg_fused="auto") is False
+    assert _use_fused(cfg_fused="auto") is False
     # env override beats config, both directions; "0"/"" mean off
     monkeypatch.setenv("SCD_FUSED_MESH", "1")
-    assert _use_fused(None, cfg_fused=False) is True
+    assert _use_fused(cfg_fused=False) is True
     monkeypatch.setenv("SCD_FUSED_MESH", "0")
-    assert _use_fused(None, cfg_fused=True) is False
+    assert _use_fused(cfg_fused=True) is False
     monkeypatch.setenv("SCD_FUSED_MESH", "")
-    assert _use_fused(None, cfg_fused=True) is False
+    assert _use_fused(cfg_fused=True) is False
     # the VMEM-feasibility guard still applies when forced on
     monkeypatch.setenv("SCD_FUSED_MESH", "1")
     from scd_tpu.ops.pallas_kernels import fused_em_block_n
 
     infeasible = fused_em_block_n(1 << 14, 1 << 14) is None
-    assert _use_fused(None, 1 << 14, 1 << 14) is (not infeasible)
+    assert _use_fused(1 << 14, 1 << 14) is (not infeasible)

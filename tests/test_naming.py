@@ -462,6 +462,33 @@ def test_assign_name_logits_weights_by_score():
     assert [5, 6, 7, 8][row0] == 6  # confidence outvotes count
 
 
+def test_cluster_logit_counters_tie_order_is_first_occurrence():
+    """Exact score ties (reachable: softmax top-1 saturates to 1.0 at
+    scale=100) must break by FIRST-OCCURRENCE order in the member
+    sequence — the insertion order a reference-style ``Counter`` has —
+    not by ascending name id, so the stable value sort in
+    ``assign_name_logits`` cuts the same top-``num_common`` candidates."""
+    from collections import Counter
+
+    from scd_tpu.naming.vote import cluster_logit_counters
+
+    # name 9 is voted before name 3; both sum to exactly 2.0
+    name_idx = np.array([[9, 3], [3, 9]])
+    name_val = np.array([[1.0, 1.0], [1.0, 1.0]])
+    counters = cluster_logit_counters(name_idx, name_val,
+                                      np.zeros(2, np.int64), top_k=2)
+    assert [n for n, _ in counters[0]] == [9, 3]
+    # reference-style construction: Counter built in member order, then
+    # stable-sorted by value desc — identical candidate order
+    ct = Counter()
+    for row_i, row_v in zip(name_idx, name_val):
+        for n, v in zip(row_i, row_v):
+            ct[int(n)] += float(v)
+    ref_order = sorted(ct.items(), key=lambda kv: kv[1], reverse=True)
+    ours_order = sorted(counters[0], key=lambda kv: kv[1], reverse=True)
+    assert ours_order == ref_order
+
+
 def test_assign_name_votes_outside_pool_are_dropped():
     """num_common_linear > num_common_vote is a legal config pair: votes
     for names missing from the candidate pool must not KeyError."""

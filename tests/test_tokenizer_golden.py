@@ -150,13 +150,17 @@ def test_prompt_tokens_matches_full_tokenization(tiny_tokenizer):
     # t.format(n) — previously '{0}' silently DROPPED the name
     # "o'{}": apostrophe-final prefix — the regex contraction alternatives
     # ('s|'t|...) fuse "'"+letter in the full encode; must per-pair encode
+    # '"{}"' + an EMPTY name makes the pre/suf quotes directly adjacent:
+    # the full encode fuses '""' into one punctuation run where the old
+    # splice emitted two tokens
     templates = ["a {}.", "the cat {}", "{}!", "no placeholder",
-                 "a {0}.", "a {}s", "o'{}"]
+                 "a {0}.", "a {}s", "o'{}", 'a "{}" x']
     # 'cat.' / '.dog' exercise the punctuation-boundary fallback: a name
     # ending (starting) in punctuation next to a punct template boundary
     # merges into ONE [^\s\w]+ regex token in the full encode ('..', '!.')
-    # but stayed split in the old splice path
-    names = ["cat", "dog", "cat dog", "cat.", ".dog", "ph.d."]
+    # but stayed split in the old splice path; ''/' ' exercise the
+    # empty-name adjacency fallback
+    names = ["cat", "dog", "cat dog", "cat.", ".dog", "ph.d.", "", " "]
     full = t([tmpl.format(n) for n in names for tmpl in templates],
              context_length=12)
     fast = t.prompt_tokens(templates, names, context_length=12)
