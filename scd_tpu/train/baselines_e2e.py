@@ -19,6 +19,14 @@ epoch end (one fetch per epoch — a ``float(loss)`` per step costs a ~33 ms
 tunnel round trip); the per-head loss tracker is a device array carried
 through the epoch.  Works with any ``ViTConfig`` backbone (tests use a
 tiny ViT; real runs ``dino_vit_b16_config``).
+
+Multi-chip: pass ``mesh=`` (axes ``data`` x ``model``) and the step jits
+with the same dp+tp shardings as the GCD trainer (``train/gcd.py``) —
+batch over ``data``, qkv/fc1/proj/fc2 over ``model``, heads replicated.
+The global-batch semantics (Sinkhorn column sums, ranking-statistics
+pairwise similarities) are preserved by GSPMD's global-view partitioning,
+so mesh and single-device runs optimize the same objective
+(``tests/test_baselines_e2e.py`` asserts matching loss trajectories).
 """
 
 from __future__ import annotations
@@ -30,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scd_tpu.models.vit import ViTConfig, VisionTransformer
 from scd_tpu.train.baselines import (
@@ -63,6 +72,34 @@ def _swapped_loss_per_head(logits: jnp.ndarray, targets: jnp.ndarray,
                 jnp.sum(targets[view] * logp[other], axis=-1), axis=-1)
             n_terms += 1
     return per_head / n_terms
+
+
+def _shard_setup(mesh: Mesh, params):
+    """dp+tp shardings for an e2e trainer: backbone parameters carry the
+    same tensor-parallel specs as the GCD trainer (qkv/fc1 out-sharded,
+    proj/fc2 in-sharded over ``model``); head/prototype parameters
+    replicate; the batch shards over ``data`` (XLA inserts the grad
+    all-reduce and the tp collectives).  Returns ``(params_on_mesh,
+    param_specs, dp_sharding)``."""
+    from scd_tpu.train.gcd import _tp_spec
+
+    param_specs = jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, _tp_spec(
+            tuple(getattr(k, "key", k) for k in path), v)), params)
+    params = jax.device_put(params, param_specs)
+    return params, param_specs, NamedSharding(mesh, P("data"))
+
+
+def _mesh_batch_size(batch_size: int, mesh: Optional[Mesh], n: int) -> int:
+    """Largest batch <= batch_size that splits evenly over the data axis
+    (GSPMD shards the batch dimension; ragged shards don't compile)."""
+    batch_size = min(batch_size, n)
+    if mesh is None:
+        return batch_size
+    d = mesh.shape["data"]
+    if batch_size < d:
+        raise ValueError(f"batch_size {batch_size} < data-axis size {d}")
+    return batch_size - batch_size % d
 
 
 def _epoch_iter(rng, n: int, batch_size: int):
@@ -113,7 +150,8 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
                   temperature: float = 0.1, overcluster_factor: int = 0,
                   steps_per_epoch: int = None, seed: int = 0,
                   eval_fn: Optional[Callable] = None,
-                  best_metric: str = "acc", log_fn=None, ckpt=None):
+                  best_metric: str = "acc", log_fn=None, ckpt=None,
+                  mesh: Optional[Mesh] = None):
     """UNO v2 trained through a ViT backbone (reference
     ``uno_v2.py:62-170``): multi-head prototype heads over backbone
     features, Sinkhorn pseudo-labels, swapped-prediction CE, SGD with
@@ -149,7 +187,7 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
     else:
         views = np.asarray(views, np.float32)
         n = views.shape[1]
-        batch_size = min(batch_size, n)
+        batch_size = _mesh_batch_size(batch_size, mesh, n)
         labels = np.asarray(labels)
         mask_lab = np.asarray(mask_lab)
         steps_per_epoch = steps_per_epoch or max(n // batch_size, 1)
@@ -188,6 +226,9 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
         final_lr=min_lr)
     tx = optax.chain(optax.add_decayed_weights(weight_decay),
                      optax.sgd(schedule, momentum=momentum))
+    if mesh is not None:
+        # shard BEFORE tx.init so the optimizer state inherits the specs
+        params, param_specs, dp = _shard_setup(mesh, params)
     opt_state = tx.init(params)
 
     def loss_fn(p, batch_views, lab, m_lab):
@@ -212,12 +253,22 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
             loss = (loss + head_loss(heads_over, "heads_over").mean()) / 2
         return loss, per_head
 
-    @jax.jit
-    def step(p, o, head_loss, batch_views, lab, m_lab):
+    def _step(p, o, head_loss, batch_views, lab, m_lab):
         (loss, per_head), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(p, batch_views, lab, m_lab)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, head_loss + per_head, loss
+
+    if mesh is None:
+        step = jax.jit(_step)
+    else:
+        # views [V, B, ...] shard on axis 1; GSPMD keeps the Sinkhorn
+        # pseudo-label normalization global (it all-reduces the per-shard
+        # column sums), so mesh and single-device runs optimize the same
+        # objective
+        vdp = NamedSharding(mesh, P(None, "data"))
+        step = jax.jit(_step, in_shardings=(
+            param_specs, None, None, vdp, dp, dp))
 
     @jax.jit
     def _predict(p, images, best_head):
@@ -273,7 +324,8 @@ def train_autonovel_e2e(key: jax.Array, images,
                         gamma: float = 0.1, rampup_length: float = 150.0,
                         rampup_coeff: float = 50.0, topk: int = 5,
                         seed: int = 0, eval_fn: Optional[Callable] = None,
-                        best_metric: str = "acc", log_fn=None, ckpt=None):
+                        best_metric: str = "acc", log_fn=None, ckpt=None,
+                        mesh: Optional[Mesh] = None):
     """AutoNovel trained through a ViT backbone (reference
     ``rerun_autonovel.py:42-110``): two augmented views, ranking
     statistics on the model's own detached trunk features, pairwise BCE +
@@ -294,7 +346,7 @@ def train_autonovel_e2e(key: jax.Array, images,
         images = np.asarray(images, np.float32)
         images_bar = np.asarray(images_bar, np.float32)
         n = images.shape[0]
-        batch_size = min(batch_size, n)
+        batch_size = _mesh_batch_size(batch_size, mesh, n)
         labels = np.asarray(labels)
         mask_lab = np.asarray(mask_lab)
 
@@ -322,6 +374,8 @@ def train_autonovel_e2e(key: jax.Array, images,
     tx = optax.chain(optax.add_decayed_weights(weight_decay),
                      optax.inject_hyperparams(optax.sgd)(
                          learning_rate=lr, momentum=momentum))
+    if mesh is not None:
+        params, param_specs, dp = _shard_setup(mesh, params)
     opt_state = tx.init(params)
 
     def loss_fn(p, x, x_bar, lab, m_lab, w):
@@ -335,11 +389,19 @@ def train_autonovel_e2e(key: jax.Array, images,
         return autonovel_loss(o1, o1b, jax.lax.stop_gradient(feats),
                               lab, m_lab, w, topk=topk)["loss"]
 
-    @jax.jit
-    def step(p, o, x, x_bar, lab, m_lab, w):
+    def _step(p, o, x, x_bar, lab, m_lab, w):
         loss, grads = jax.value_and_grad(loss_fn)(p, x, x_bar, lab, m_lab, w)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
+
+    if mesh is None:
+        step = jax.jit(_step)
+    else:
+        # the ranking-statistics pairwise [B, B] similarity is global:
+        # GSPMD all-gathers the detached trunk features across the data
+        # shards, so the pseudo-pair targets match the single-device run
+        step = jax.jit(_step, in_shardings=(
+            param_specs, None, dp, dp, dp, dp, None))
 
     @jax.jit
     def _predict(p, x):

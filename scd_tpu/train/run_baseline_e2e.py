@@ -112,7 +112,25 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", type=str, default="",
                    help="per-epoch checkpoints + best-by-acc tracking")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel axis size (>1 jits the train step "
+                        "with dp shardings; 0 = all visible devices)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel axis size for the backbone")
     args = p.parse_args(argv)
+
+    mesh = None
+    if args.mesh_data != 1 or args.mesh_model != 1:
+        from scd_tpu.core.config import MeshConfig
+        from scd_tpu.core.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(data=args.mesh_data,
+                                    model=args.mesh_model))
+        d = mesh.shape["data"]
+        if args.batch_size % d:
+            args.batch_size -= args.batch_size % d
+            print(f"[e2e] batch_size rounded to {args.batch_size} "
+                  f"(must split evenly over the {d}-way data axis)")
 
     data_cfg = DataConfig(dataset_name=args.dataset_name,
                           root_dir=args.root_dir,
@@ -168,7 +186,7 @@ def main(argv=None):
             batch_size=args.batch_size, lr=args.lr,
             overcluster_factor=args.overcluster_factor,
             steps_per_epoch=steps, seed=args.seed, eval_fn=eval_fn,
-            log_fn=print, ckpt=ckpt)
+            log_fn=print, ckpt=ckpt, mesh=mesh)
     elif args.method == "autonovel":
         def an_batches(epoch, rng):
             for views, lab, m in batches(epoch, rng):
@@ -178,7 +196,7 @@ def main(argv=None):
             key, an_batches, n_labeled=n_lab, n_unlabeled=n_unlab,
             vit_cfg=vit_cfg, epochs=args.epochs,
             batch_size=args.batch_size, lr=args.lr, seed=args.seed,
-            eval_fn=eval_fn, log_fn=print, ckpt=ckpt)
+            eval_fn=eval_fn, log_fn=print, ckpt=ckpt, mesh=mesh)
     else:
         raise ValueError(f"unknown method {args.method!r}")
 

@@ -116,3 +116,48 @@ def test_uno_e2e_checkpoints_best(img_data, tmp_path):
         {"params": state["params"], "best_head": state["best_head"]})
     assert best_step == state["best"]["epoch"]
     assert 0 <= restored["best_head"] < 2
+
+
+def test_uno_e2e_mesh_matches_single_device(img_data):
+    """dp+tp mesh training optimizes the same objective: the per-epoch
+    loss trajectory matches the single-device run to float tolerance
+    (GSPMD keeps the Sinkhorn pseudo-label normalization global)."""
+    from scd_tpu.core.config import MeshConfig
+    from scd_tpu.core.mesh import make_mesh
+
+    imgs, views, labels, mask_lab = img_data
+    kwargs = dict(num_heads=2, epochs=2, batch_size=32, lr=0.05,
+                  warmup_epochs=1)
+    _, _, hist_single = train_uno_e2e(
+        jax.random.PRNGKey(0), views, labels, mask_lab, N_LAB,
+        N_CLS - N_LAB, _tiny_cfg(), **kwargs)
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    state, predict, hist_mesh = train_uno_e2e(
+        jax.random.PRNGKey(0), views, labels, mask_lab, N_LAB,
+        N_CLS - N_LAB, _tiny_cfg(), mesh=mesh, **kwargs)
+    for hs, hm in zip(hist_single, hist_mesh):
+        np.testing.assert_allclose(hm["loss"], hs["loss"], rtol=2e-4)
+        assert hm["best_head"] == hs["best_head"]
+    preds = predict(imgs)
+    assert preds.shape == (len(imgs),) and preds.max() < N_CLS
+
+
+def test_autonovel_e2e_mesh_matches_single_device(img_data):
+    """AutoNovel's ranking statistics need the GLOBAL pairwise similarity:
+    the mesh run must reproduce the single-device loss trajectory."""
+    from scd_tpu.core.config import MeshConfig
+    from scd_tpu.core.mesh import make_mesh
+
+    imgs, views, labels, mask_lab = img_data
+    kwargs = dict(epochs=2, batch_size=32, lr=0.05)
+    _, _, hist_single = train_autonovel_e2e(
+        jax.random.PRNGKey(1), views[0], views[1], labels, mask_lab,
+        N_LAB, N_CLS - N_LAB, _tiny_cfg(), **kwargs)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    _, predict, hist_mesh = train_autonovel_e2e(
+        jax.random.PRNGKey(1), views[0], views[1], labels, mask_lab,
+        N_LAB, N_CLS - N_LAB, _tiny_cfg(), mesh=mesh, **kwargs)
+    for hs, hm in zip(hist_single, hist_mesh):
+        np.testing.assert_allclose(hm["loss"], hs["loss"], rtol=2e-4)
+    preds = predict(imgs)
+    assert preds.min() >= 0 and preds.max() < N_CLS
