@@ -225,3 +225,65 @@ def test_loader_preserves_uint8():
 
     batches = list(iterate_batches(_DS(), 4, num_workers=2))
     assert batches[0][0].dtype == np.uint8
+
+
+def test_loader_readahead_matches_inline():
+    """The background-readahead pipeline yields identical batches in the
+    identical order as the inline decode, including the ragged tail."""
+    import numpy as np
+
+    from scd_tpu.data.loader import iterate_batches
+
+    class _DS:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return (np.full((4, 4, 3), i, np.float32), i, 100 + i, i % 2)
+
+    inline = list(iterate_batches(_DS(), 4, num_workers=2, readahead=0))
+    ahead = list(iterate_batches(_DS(), 4, num_workers=2, readahead=3))
+    assert len(inline) == len(ahead) == 3
+    for a, b in zip(inline, ahead):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_loader_readahead_propagates_errors_and_allows_break():
+    """A decode exception re-raises in the consumer; breaking out early
+    must not deadlock the producer thread (bounded queue + stop flag)."""
+    import threading
+
+    import numpy as np
+    import pytest
+
+    from scd_tpu.data.loader import iterate_batches
+
+    class _Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("bad image")
+            return (np.zeros((4, 4, 3), np.float32), i, i, 0)
+
+    with pytest.raises(ValueError, match="bad image"):
+        list(iterate_batches(_Boom(), 2, num_workers=2, readahead=2))
+
+    class _DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return (np.zeros((4, 4, 3), np.float32), i, i, 0)
+
+    before = threading.active_count()
+    for j, _batch in enumerate(iterate_batches(_DS(), 2, num_workers=2,
+                                               readahead=2)):
+        if j == 1:
+            break
+    # the producer observes the stop flag within its 0.1 s put timeout
+    import time
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
