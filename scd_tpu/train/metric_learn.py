@@ -98,7 +98,7 @@ def run_metric_learn(args) -> dict:
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     vit_cfg = ViTConfig(image_size=args.image_size, patch_size=args.patch_size,
                         compute_dtype=dtype, gelu_tanh=bool(args.gelu_tanh),
-                        **_VIT_SIZES[args.vit])
+                        remat=bool(args.remat), **_VIT_SIZES[args.vit])
     n_classes = len(train_classes) + len(unlabeled_classes)
     steps = args.steps_per_epoch or max(len(merged) // args.batch_size, 1)
     cfg = TrainConfig(lr=args.lr, sup_con_weight=args.sup_con_weight,
@@ -218,6 +218,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(< grad_from_block): pure-inference forward rides "
                         "the MXU double-rate path, trainable blocks keep "
                         "exact bf16 gradients")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize trunk blocks under autodiff "
+                        "(jax.checkpoint): O(1)-block activation memory "
+                        "for ~1/3 extra fwd FLOPs — enables much larger "
+                        "per-chip batches")
     p.add_argument("--bf16", type=int, default=1,
                    help="1 = bf16 compute / f32 params+layernorms (TPU "
                         "native); 0 = full f32")

@@ -112,6 +112,9 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", type=str, default="",
                    help="per-epoch checkpoints + best-by-acc tracking")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize trunk blocks under autodiff "
+                        "(jax.checkpoint) — larger per-chip batches")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel axis size (>1 jits the train step "
                         "with dp shardings; 0 = all visible devices)")
@@ -158,6 +161,7 @@ def main(argv=None):
     steps = args.steps_per_epoch or max(len(merged) // args.batch_size, 1)
     vit_cfg = ViTConfig(image_size=args.image_size,
                         patch_size=args.patch_size,
+                        remat=bool(args.remat),
                         **_VIT_SIZES[args.vit])
     # sampling is driven by the trainer's rng (seeded via its seed kwarg)
     batches = image_batches(merged, args.batch_size, 2, steps,

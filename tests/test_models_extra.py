@@ -150,3 +150,39 @@ def test_clip_text_tower_int8_close_to_f32():
     cos = np.sum(a * b, 1) / (np.linalg.norm(a, axis=1)
                               * np.linalg.norm(b, axis=1))
     assert cos.min() > 0.995, cos.min()
+
+
+def test_vit_remat_matches_exact_values_and_grads():
+    """remat=True (per-block jax.checkpoint) must be a pure memory/FLOPs
+    trade: identical parameter tree, identical forward values, identical
+    gradients — XLA recomputes the block activations in the backward pass
+    instead of storing them."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scd_tpu.models.vit import ViTConfig, VisionTransformer
+
+    cfg = ViTConfig(image_size=16, patch_size=8, width=32, depth=2, heads=4)
+    model = VisionTransformer(cfg)
+    model_r = VisionTransformer(dataclasses.replace(cfg, remat=True))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (3, 16, 16, 3)), jnp.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    v_r = jax.jit(model_r.init)(jax.random.PRNGKey(0), x)
+    # identical parameter tree (lifted remat preserves module paths)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v_r))
+
+    def loss(variables, m):
+        return jnp.sum(m.apply(variables, x) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(v, model)
+    l1, g1 = jax.value_and_grad(loss)(v, model_r)  # same params, remat fwd
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
