@@ -23,20 +23,27 @@ from scd_tpu.cluster.kmeans import fit_kmeans
 from scd_tpu.metrics import cluster_acc
 
 
-def _kpp_masked(key, x, k_active, max_k: int):
+def _kpp_masked(key, x, k_active, max_k: int, n_valid=None):
     """k-means++ over ``max_k`` slots; slots >= ``k_active`` (traced) get a
     far sentinel so the E-step never assigns to them.  One compile serves
     every probed K — on the remote-compile TPU path, recompiling per K would
-    dominate the whole search."""
+    dominate the whole search.
+
+    ``n_valid`` (traced): rows >= it are padding — their d2 weight starts
+    at 0 so the cumsum draw never selects them (0-weighted rows stay 0
+    under the min-update because squared distances are nonnegative)."""
     import jax
     import jax.numpy as jnp
 
     n, d = x.shape
+    nv = n if n_valid is None else n_valid
     sentinel = jnp.full((d,), 1e12, jnp.float32)
     key, sub = jax.random.split(key)
-    first = jax.random.randint(sub, (), 0, n)
+    first = jax.random.randint(sub, (), 0, nv)
     centers = jnp.tile(sentinel[None, :], (max_k, 1)).at[0].set(x[first])
     d2 = jnp.sum((x - x[first]) ** 2, axis=1)
+    if n_valid is not None:
+        d2 = d2 * (jnp.arange(n) < n_valid)
 
     def body(i, carry):
         key, centers, d2 = carry
@@ -60,15 +67,20 @@ def _kpp_masked(key, x, k_active, max_k: int):
 @functools.partial(jax.jit, static_argnames=("max_k", "max_iterations",
                                              "n_init", "fused"))
 def _dynk_run(key, x, k_active, max_k, max_iterations, n_init,
-              fused: bool = False):
+              fused: bool = False, n_valid=None):
     """Module-level jitted core: jax.jit caches per function object, so this
-    must NOT be redefined per call — one executable serves every probed K."""
+    must NOT be redefined per call — one executable serves every probed K.
+    ``n_valid`` (traced): rows >= it are mesh-padding, dropped from seeding
+    (``_kpp_masked``) and from sums/counts/inertia (``row_w``)."""
     import jax.numpy as jnp
 
     from scd_tpu.ops.em import em_iteration
 
+    row_w = (None if n_valid is None
+             else (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32))
+
     def one_restart(sub):
-        centers0 = _kpp_masked(sub, x, k_active, max_k)
+        centers0 = _kpp_masked(sub, x, k_active, max_k, n_valid=n_valid)
 
         def body(_, carry):
             centers, _labels, _inertia = carry
@@ -76,6 +88,7 @@ def _dynk_run(key, x, k_active, max_k, max_iterations, n_init,
             # dynamic-K trick never win the argmin, so semantics carry
             # over unchanged)
             labels, sums, counts, inertia = em_iteration(x, centers, max_k,
+                                                         row_w=row_w,
                                                          fused=fused)
             means = sums / jnp.maximum(counts, 1.0)[:, None]
             new_centers = jnp.where((counts > 0)[:, None], means, centers)
@@ -94,27 +107,40 @@ def _dynk_run(key, x, k_active, max_k, max_iterations, n_init,
 
 def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
                          n_init: int = 3, max_iterations: int = 50,
-                         fused: bool = None):
+                         fused: bool = None, mesh=None):
     """K-means whose cluster count is a TRACED value: clusters >= k_active
     are far sentinels that never receive points.  Returns (labels [N],
     inertia).  Compiled once per (shape, max_k); every K in
     [2, max_k] reuses the same executable.  ``fused=None``: fused Pallas
-    E+M on TPU, XLA ops elsewhere (overridable for tests)."""
+    E+M on TPU, XLA ops elsewhere (overridable for tests).
+
+    ``mesh``: shard the rows over the mesh's ``data`` axis (padded for an
+    even split; padded rows are masked out of seeding and sums).  Uses the
+    auto-partitioning XLA ops — a pallas_call is opaque to GSPMD."""
     import jax.numpy as jnp
 
-    if fused is None:
-        from scd_tpu.ops.pallas_kernels import fused_em_block_n
+    from scd_tpu.cluster.kmeans import _device_f32, _stage_rows
 
-        # the kernel pads to max_k lanes regardless of k_active, so the
-        # VMEM ceiling is governed by max_k (see fused_em_block_n)
-        fused = (jax.default_backend() == "tpu"
-                 and fused_em_block_n(x.shape[1], max_k) is not None)
-    from scd_tpu.cluster.kmeans import _device_f32
+    if mesh is not None:
+        x_j, n = _stage_rows(x, mesh)
+        n_valid = jnp.asarray(n)
+        fused = False
+    else:
+        x_j = _device_f32(x)
+        n = x_j.shape[0]
+        n_valid = None
+        if fused is None:
+            from scd_tpu.ops.pallas_kernels import fused_em_block_n
 
-    labels, inertia = _dynk_run(key, _device_f32(x),
-                                jnp.asarray(int(k_active)), max_k,
-                                max_iterations, n_init, fused=fused)
-    return np.asarray(labels), float(inertia)
+            # the kernel pads to max_k lanes regardless of k_active, so the
+            # VMEM ceiling is governed by max_k (see fused_em_block_n)
+            fused = (jax.default_backend() == "tpu"
+                     and fused_em_block_n(x.shape[1], max_k) is not None)
+
+    labels, inertia = _dynk_run(key, x_j, jnp.asarray(int(k_active)), max_k,
+                                max_iterations, n_init, fused=bool(fused),
+                                n_valid=n_valid)
+    return np.asarray(labels)[:n], float(inertia)
 
 
 def _normalized_device(all_feats):
@@ -134,10 +160,17 @@ def labelled_acc_objective_dynamic(all_feats: np.ndarray,
                                    mask_lab: np.ndarray, max_k: int,
                                    n_init: int = 3,
                                    max_iterations: int = 50,
-                                   seed: int = 0) -> Callable[[int], float]:
+                                   seed: int = 0,
+                                   mesh=None) -> Callable[[int], float]:
     """Like ``labelled_acc_objective`` but every probe of K reuses ONE
     compiled k-means (dynamic-K) — the right variant for the remote-compile
-    TPU path, where per-K recompiles would dominate the search."""
+    TPU path, where per-K recompiles would dominate the search.
+
+    ``mesh``: shard the feature rows over the mesh's ``data`` axis — the
+    whole search then runs SPMD (the E-step distance matmul and the
+    one-hot M-step segment sums partition by rows; XLA all-reduces the
+    per-shard center sums), so a 1M-row search scales across chips with
+    no code change to the probes."""
     import jax
 
     # normalize AND stage to device ONCE: the search probes the objective
@@ -149,9 +182,11 @@ def labelled_acc_objective_dynamic(all_feats: np.ndarray,
     targets = np.asarray(targets, np.int64)
 
     def objective(k: int) -> float:
+        # mesh staging per probe is device-side only (pad + re-lay-out of
+        # the already-resident array) — nothing crosses the host link
         labels, _inertia = fit_kmeans_dynamic_k(
             jax.random.PRNGKey(seed), all_feats, int(k), max_k,
-            n_init=n_init, max_iterations=max_iterations)
+            n_init=n_init, max_iterations=max_iterations, mesh=mesh)
         return float(cluster_acc(targets[mask_lab], labels[mask_lab]))
 
     return objective
@@ -231,12 +266,12 @@ def estimate_k(all_feats: np.ndarray, targets: np.ndarray,
                mask_lab: np.ndarray, min_k: int, max_k: int,
                method: str = "binary", verbose: bool = False,
                objective: Optional[Callable[[int], float]] = None,
-               dynamic_k: bool = True) -> Tuple[int, float]:
+               dynamic_k: bool = True, mesh=None) -> Tuple[int, float]:
     if objective is not None:
         obj = objective
     elif dynamic_k:
         obj = labelled_acc_objective_dynamic(all_feats, targets, mask_lab,
-                                             max_k=max_k)
+                                             max_k=max_k, mesh=mesh)
     else:
         obj = labelled_acc_objective(all_feats, targets, mask_lab)
     if method == "binary":

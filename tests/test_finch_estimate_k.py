@@ -160,3 +160,25 @@ def test_dynamic_k_fused_matches_xla():
     assert lb.max() < 5  # sentinels never assigned
     np.testing.assert_array_equal(la, lb)
     np.testing.assert_allclose(ia, ib, rtol=1e-3)
+
+
+def test_estimate_k_mesh_matches_single_device():
+    """estimate_k(mesh=...) shards the feature rows over the data axis;
+    the probed (K, acc) trajectory must match the single-device search
+    (the E-step argmin and segment-sum M-step are row-partitionable)."""
+    import numpy as np
+
+    from scd_tpu.core.config import MeshConfig
+    from scd_tpu.core.mesh import make_mesh
+    from scd_tpu.cluster.estimate_k import estimate_k
+    from conftest import make_blobs
+
+    X, y = make_blobs(n_samples=401, n_features=16, centers=8, seed=3)
+    mask_lab = y < 4
+    single = estimate_k(X, y, mask_lab, min_k=4, max_k=16,
+                        method="binary", dynamic_k=True)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    sharded = estimate_k(X, y, mask_lab, min_k=4, max_k=16,
+                         method="binary", dynamic_k=True, mesh=mesh)
+    assert sharded[0] == single[0]
+    np.testing.assert_allclose(sharded[1], single[1], atol=1e-6)
