@@ -25,8 +25,10 @@ from typing import Dict, List
 import numpy as np
 
 _RX = {
+    # tag admits spaces ("Best Train Accuracies", the reference's
+    # learn_metric.py:329 format) and is stripped on capture
     "accs": re.compile(
-        r"^(?P<tag>[\w-]*)\s*Accuracies: All (?P<all>[\d.]+) \| "
+        r"^(?P<tag>[\w -]*?)\s*Accuracies: All (?P<all>[\d.]+) \| "
         r"Old (?P<old>[\d.]+) \| New (?P<new>[\d.]+)"),
     "sacc": re.compile(
         r"^ACC/sACC_avg/sACC_all: (?P<subset>\w+) "
@@ -72,7 +74,7 @@ def parse_run_log(path_or_lines) -> Dict:
             continue
         m = _RX["accs"].match(line)
         if m:
-            out["accs"].append({"tag": m.group("tag"),
+            out["accs"].append({"tag": m.group("tag").strip(),
                                 "all": float(m.group("all")),
                                 "old": float(m.group("old")),
                                 "new": float(m.group("new"))})

@@ -899,3 +899,50 @@ def test_imagenet_templates_bit_equal(ref):
     from scd_tpu.naming.templates import IMAGENET_TEMPLATES
 
     assert list(IMAGENET_TEMPLATES) == list(ref.lang.imagenet_templates)
+
+
+# ------------------------------------------------------- slurm log parser
+
+
+def test_slurm_out_parser_oracle(tmp_path):
+    """Run the reference's own slurm_out_parser over a reference-format
+    training log and assert our scraper extracts the same hparams and the
+    same last/best accuracy triples (``slurm_out_parser.py:36-96``)."""
+    import os
+
+    os.environ.setdefault("MPLBACKEND", "Agg")  # parser imports pyplot
+    # the module ends in a script-style tail that reads hardcoded /work
+    # paths at import — exec only the rx_dict + function prefix
+    src = open(os.path.join(REF,
+                            "gcd/project_utils/slurm_out_parser.py")).read()
+    src = src.split("\nsave_dir = ")[0]
+    ref_parser = types.ModuleType("_ref_slurm_out_parser")
+    exec(compile(src, "slurm_out_parser.py", "exec"), ref_parser.__dict__)
+
+    from scd_tpu.utils.logparse import parse_run_log
+
+    log = tmp_path / "slurm-123.out"
+    log.write_text(
+        "Namespace(batch_size=128, dataset_name='cub', lr=0.1, "
+        "model_dir='/work/log/(10.01.2022_|_35.570)/checkpoints', "
+        "rand_aug_m=30, rand_aug_n=2, weight_decay=5e-05)\n"
+        "Train Epoch: 0 Avg Loss: 4.1\n"
+        "Train Accuracies: All 0.4012 | Old 0.5211 | New 0.3310\n"
+        "Train Epoch: 1 Avg Loss: 3.2\n"
+        "Train Accuracies: All 0.6123 | Old 0.7001 | New 0.5432\n"
+        "Best Train Accuracies: All 0.6123 | Old 0.7001 | New 0.5432\n")
+    df = ref_parser.parse_out_file(str(log), ref_parser.rx_dict,
+                                   save=False, verbose=False)
+    ours = parse_run_log(str(log))
+
+    row = df.iloc[0]
+    assert ours["hparams"]["dataset_name"] == row["dataset"] == "cub"
+    assert float(ours["hparams"]["lr"]) == float(row["lr"]) == 0.1
+    last = [a for a in ours["accs"] if a["tag"] == "Train"][-1]
+    assert (last["all"], last["old"], last["new"]) == (
+        float(row["Train Mean"]), float(row["Train Old"]),
+        float(row["Train New"]))
+    best = [a for a in ours["accs"] if a["tag"] == "Best Train"][-1]
+    assert (best["all"], best["old"], best["new"]) == (
+        float(row["Best Train Mean"]), float(row["Best Train Old"]),
+        float(row["Best Train New"]))
