@@ -170,3 +170,27 @@ def test_gcd_step_int8_frozen_trunk(rng):
     assert not np.allclose(
         np.asarray(p8["backbone"]["block_3"]["attn"]["qkv"]["kernel"]),
         np.asarray(n8["backbone"]["block_3"]["attn"]["qkv"]["kernel"]))
+
+
+def test_gcd_step_remat_matches_exact(rng):
+    """remat composes with the GCD recipe (incl. int8 frozen trunk): the
+    rematerialized step reproduces the exact step's loss and updated
+    params — jax.checkpoint only changes WHEN activations are computed."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_train_cfg(), int8_frozen=True)
+    vit = _tiny_vit()
+    vit_r = dataclasses.replace(vit, remat=True)
+    p0, o0, step0 = make_gcd_state(vit, cfg, jax.random.PRNGKey(0),
+                                   total_steps=10)
+    p1, o1, step1 = make_gcd_state(vit_r, cfg, jax.random.PRNGKey(0),
+                                   total_steps=10)
+    batch = {k: jnp.asarray(v) for k, v in _batch(rng).items()}
+    n0, _, m0 = step0(p0, o0, batch)
+    n1, _, m1 = step1(p1, o1, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(n0),
+                    jax.tree_util.tree_leaves(n1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
