@@ -208,6 +208,13 @@ def _stage_rows(x: np.ndarray, mesh):
         if target != n:
             x = jnp.pad(x, [(0, target - n)] + [(0, 0)] * (x.ndim - 1))
         return ctx.put_rows(x), n
+    from scd_tpu.core.multihost import is_multiprocess, rows_from_process_local
+
+    if is_multiprocess():
+        # multi-controller convention: the numpy input is THIS PROCESS's
+        # row shard (each host feeds its own slice; a plain device_put
+        # would need every shard addressable from one process)
+        return rows_from_process_local(mesh, np.asarray(x, np.float32))
     padded, n = pad_rows(np.asarray(x, np.float32), ctx.n_data)
     return ctx.put_rows(padded), n
 
@@ -227,8 +234,11 @@ def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
         cfg.tolerance, cfg.n_init,
         fused=_use_fused(x_j.shape[1], cfg.n_clusters, cfg.fused_mesh),
         mesh=mesh)
-    return KMeansResult(np.asarray(labels)[:int(n_valid)], np.asarray(centers),
-                        float(inertia), int(n_iter))
+    from scd_tpu.core.multihost import host_fetch
+
+    # host_fetch: np.asarray single-process; all-process gather on a pod
+    return KMeansResult(host_fetch(labels)[:int(n_valid)],
+                        host_fetch(centers), float(inertia), int(n_iter))
 
 
 @partial(jax.jit, static_argnames=("k", "n_l_classes", "max_iter", "n_init",

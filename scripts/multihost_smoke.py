@@ -1,0 +1,141 @@
+"""Multi-host (multi-controller) smoke: N processes x M virtual CPU
+devices run the SAME program over one global mesh, each feeding its own
+row shard — the TPU-pod execution model (SURVEY §2.10 note: the reference
+has no distributed runtime at all; this validates ours end-to-end).
+
+Launcher (spawns the workers locally, compares their digests):
+
+    python scripts/multihost_smoke.py --launch 2 --devices_per_proc 4
+
+Worker (one per host on a real pod; jax.distributed auto-detects there):
+
+    python scripts/multihost_smoke.py --coordinator 127.0.0.1:1234 \
+        --num_processes 2 --process_id 0
+
+Each worker builds the global (data x model) mesh over ALL devices,
+assembles the globally-sharded feature matrix from its local rows
+(`rows_from_process_local`), runs the mesh `fit_kmeans`, and prints one
+digest line `MULTIHOST <inertia> <labels-crc>`.  The launcher asserts all
+workers print the SAME digest (results replicate to every host) and exits
+0 only then.  `tests/test_multihost.py` additionally checks agreement
+with a single-process ground-truth run on the identical global data —
+inertia to 1e-3 relative and near-perfect partition ARI (cross-process
+collectives reassociate float sums, so bit equality is not the contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import socket
+import subprocess
+import sys
+import zlib
+
+import numpy as np
+
+
+def global_blobs(n_global: int = 256, d: int = 16, k: int = 5,
+                 seed: int = 0) -> tuple:
+    """Deterministic global dataset every process can regenerate."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, d)).astype(np.float32) * 6
+    labels = np.arange(n_global) % k
+    x = centers[labels] + rng.standard_normal((n_global, d)).astype(np.float32)
+    return x, labels
+
+
+def worker(coordinator: str, num_processes: int, process_id: int,
+           devices_per_proc: int, dump_dir: str = "") -> str:
+    # the script lives in scripts/; the package root is its parent
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count="
+                                 f"{devices_per_proc}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from scd_tpu.core.multihost import initialize
+
+    initialize(coordinator, num_processes, process_id)
+
+    from scd_tpu.core.config import ClusterConfig, MeshConfig
+    from scd_tpu.core.mesh import make_mesh
+    from scd_tpu.cluster import fit_kmeans
+
+    mesh = make_mesh(MeshConfig(data=0, model=1))  # all global devices
+    x, _y = global_blobs()
+    n_local = x.shape[0] // num_processes
+    local = x[process_id * n_local:(process_id + 1) * n_local]
+
+    res = fit_kmeans(jax.random.PRNGKey(0), local,
+                     ClusterConfig(n_clusters=5, n_init=4,
+                                   max_iterations=25),
+                     mesh=mesh)
+    digest = (f"MULTIHOST {res.inertia:.4f} "
+              f"{zlib.crc32(res.labels.astype(np.int32).tobytes()):08x}")
+    if dump_dir:
+        np.save(os.path.join(dump_dir, f"labels_{process_id}.npy"),
+                res.labels)
+    print(digest, flush=True)
+    return digest
+
+
+def launch(num_processes: int, devices_per_proc: int,
+           dump_dir: str = "") -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, __file__,
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num_processes", str(num_processes),
+             "--process_id", str(i),
+             "--devices_per_proc", str(devices_per_proc),
+             "--dump_dir", dump_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for i in range(num_processes)]
+    digests = []
+    ok = True
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        lines = [ln for ln in out.splitlines() if ln.startswith("MULTIHOST")]
+        if p.returncode != 0 or not lines:
+            print(f"[launch] worker {i} failed (rc={p.returncode}):\n"
+                  + out[-2000:], file=sys.stderr)
+            ok = False
+            continue
+        digests.append(lines[-1])
+    if ok and len(set(digests)) == 1:
+        print(f"multihost smoke ok: {num_processes} processes x "
+              f"{devices_per_proc} devices, digest {digests[0]!r}")
+        return 0
+    print(f"[launch] digest mismatch or failure: {digests}", file=sys.stderr)
+    return 1
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--launch", type=int, default=0,
+                   help="spawn N local workers (CPU demo mode)")
+    p.add_argument("--coordinator", type=str, default=None)
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--devices_per_proc", type=int, default=4)
+    p.add_argument("--dump_dir", type=str, default="",
+                   help="save each worker's labels_<pid>.npy here")
+    args = p.parse_args(argv)
+    if args.launch:
+        sys.exit(launch(args.launch, args.devices_per_proc, args.dump_dir))
+    worker(args.coordinator, args.num_processes, args.process_id,
+           args.devices_per_proc, args.dump_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Multi-host (multi-controller) execution: N separate processes, one
+global mesh (the TPU-pod model).  The smoke launcher spawns 2 workers x 4
+virtual CPU devices; every worker must print the SAME digest (the shared
+SPMD program replicates results to each host exactly), and the result
+must agree with a single-process run over the identical 8-device mesh and
+global data up to collective reduction order — cross-process Gloo sums
+reassociate floats, which can flip a k-means++ cumsum draw, so the
+contract is inertia within 1e-3 relative and an (assignment-invariant)
+near-perfect partition agreement, not bit equality."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+
+def test_multihost_smoke_matches_single_process(tmp_path):
+    import jax
+    from sklearn.metrics import adjusted_rand_score
+
+    from scripts.multihost_smoke import global_blobs
+    from scd_tpu.core.config import ClusterConfig, MeshConfig
+    from scd_tpu.core.mesh import make_mesh
+    from scd_tpu.cluster import fit_kmeans
+
+    # ground truth: single process over the suite's 8 virtual devices
+    x, _y = global_blobs()
+    res = fit_kmeans(jax.random.PRNGKey(0), x,
+                     ClusterConfig(n_clusters=5, n_init=4,
+                                   max_iterations=25),
+                     mesh=make_mesh(MeshConfig(data=0, model=1)))
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/multihost_smoke.py", "--launch", "2",
+         "--devices_per_proc", "4", "--dump_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=540, cwd=".")
+    # the launcher exits 0 only when every worker printed the SAME digest
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+
+    inertia = float(proc.stdout.split("MULTIHOST ")[1].split()[0])
+    np.testing.assert_allclose(inertia, res.inertia, rtol=1e-3)
+    mh_labels = np.load(tmp_path / "labels_0.npy")
+    assert mh_labels.shape == res.labels.shape
+    assert adjusted_rand_score(res.labels, mh_labels) > 0.99
