@@ -75,6 +75,22 @@ def rows_from_process_local(mesh: Mesh, local_rows: np.ndarray):
     return arr, n_global
 
 
+def replicate_to_mesh(mesh: Mesh, tree):
+    """Replicate a host pytree onto every device of a (possibly
+    multi-process) mesh.  Single-process ``jax.device_put`` can't target
+    non-addressable devices; ``make_array_from_process_local_data`` with a
+    replicated spec accepts the full value from every process."""
+    sharding = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+
+    if not is_multiprocess():
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(put, tree)
+
+
 def host_fetch(arr) -> np.ndarray:
     """Fetch a (possibly non-fully-addressable) array to host numpy on
     EVERY process.  No-op beyond ``np.asarray`` in single-process runs."""

@@ -90,12 +90,17 @@ def make_sharded_image_encoder(forward: Callable, variables, mesh):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from scd_tpu.core.multihost import (host_fetch, is_multiprocess,
+                                        replicate_to_mesh,
+                                        rows_from_process_local)
+
     data_axis = mesh.axis_names[0]
     n_shards = mesh.shape[data_axis]
     rows = NamedSharding(mesh, P(data_axis))
-    repl = NamedSharding(mesh, P())
-    variables = jax.device_put(variables, repl)
-    fwd = jax.jit(forward, in_shardings=(repl, rows), out_shardings=rows)
+    variables = replicate_to_mesh(mesh, variables)
+    fwd = jax.jit(forward,
+                  in_shardings=(NamedSharding(mesh, P()), rows),
+                  out_shardings=rows)
 
     def stage(images):
         # device-resident inputs pad + reshard ON DEVICE — never np.asarray
@@ -106,6 +111,9 @@ def make_sharded_image_encoder(forward: Callable, variables, mesh):
             import jax.numpy as jnp
         else:
             images = np.asarray(images)
+            if is_multiprocess():
+                # multi-controller: the host batch is THIS PROCESS's shard
+                return rows_from_process_local(mesh, images)
         n = images.shape[0]
         target = -(-n // n_shards) * n_shards
         if target != n:
@@ -117,9 +125,18 @@ def make_sharded_image_encoder(forward: Callable, variables, mesh):
         # accepts either a raw host batch or a (staged, n_valid) pair from
         # ``stage`` (the _prefetched contract)
         staged, n = images if isinstance(images, tuple) else stage(images)
-        return np.asarray(fwd(variables, staged))[:n]
+        return host_fetch(fwd(variables, staged))[:n]
+
+    def encode_sharded(images):
+        """Device-resident variant: returns the (row-sharded global
+        features, n_valid) WITHOUT a host fetch — the handoff for
+        composing with the mesh clusterers (features never leave the
+        chips between stages)."""
+        staged, n = images if isinstance(images, tuple) else stage(images)
+        return fwd(variables, staged), n
 
     encode.stage = stage
+    encode.sharded = encode_sharded
     encode.forward = forward
     encode.variables = variables
     encode.mesh = mesh  # consumers (e.g. serving) replicate side inputs

@@ -75,8 +75,36 @@ def worker(coordinator: str, num_processes: int, process_id: int,
                      ClusterConfig(n_clusters=5, n_init=4,
                                    max_iterations=25),
                      mesh=mesh)
+
+    # composed stage: dp-sharded ViT encode of per-process image shards,
+    # device-resident handoff (encode.sharded) into the mesh clusterer --
+    # features never touch a host between stages
+    import jax.numpy as jnp
+
+    from scd_tpu.models.vit import ViTConfig, VisionTransformer
+    from scd_tpu.pipelines.common import make_sharded_image_encoder
+
+    vcfg = ViTConfig(image_size=16, patch_size=8, width=32, depth=2,
+                     heads=4)
+    model = VisionTransformer(vcfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1),
+                                    jnp.zeros((1, 16, 16, 3), jnp.float32))
+    enc = make_sharded_image_encoder(lambda v, im: model.apply(v, im),
+                                     variables, mesh)
+    g_imgs = np.random.default_rng(7).standard_normal(
+        (64, 16, 16, 3)).astype(np.float32)
+    n_img_local = g_imgs.shape[0] // num_processes
+    local_imgs = g_imgs[process_id * n_img_local:
+                        (process_id + 1) * n_img_local]
+    feats_host = enc(local_imgs)  # replicated [64, D] on every host
+    staged_feats, _n = enc.sharded(local_imgs)  # device handoff
+    res2 = fit_kmeans(jax.random.PRNGKey(2), staged_feats,
+                      ClusterConfig(n_clusters=3, n_init=2,
+                                    max_iterations=10), mesh=mesh)
+    feats_crc = zlib.crc32(np.round(feats_host, 4).tobytes())
     digest = (f"MULTIHOST {res.inertia:.4f} "
-              f"{zlib.crc32(res.labels.astype(np.int32).tobytes()):08x}")
+              f"{zlib.crc32(res.labels.astype(np.int32).tobytes()):08x} "
+              f"feats {feats_crc:08x} enc_km {res2.inertia:.3f}")
     if dump_dir:
         np.save(os.path.join(dump_dir, f"labels_{process_id}.npy"),
                 res.labels)

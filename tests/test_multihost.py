@@ -37,8 +37,32 @@ def test_multihost_smoke_matches_single_process(tmp_path):
     # the launcher exits 0 only when every worker printed the SAME digest
     assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
 
-    inertia = float(proc.stdout.split("MULTIHOST ")[1].split()[0])
+    fields = proc.stdout.split("MULTIHOST ")[1].split()
+    inertia = float(fields[0])
     np.testing.assert_allclose(inertia, res.inertia, rtol=1e-3)
     mh_labels = np.load(tmp_path / "labels_0.npy")
     assert mh_labels.shape == res.labels.shape
     assert adjusted_rand_score(res.labels, mh_labels) > 0.99
+
+    # composed encoder stage: dp encode has NO collectives, so the
+    # multihost features must match a single-process encode of the same
+    # images/weights (crc over 1e-4-rounded values, the digest contract)
+    import zlib
+
+    import jax.numpy as jnp
+
+    from scd_tpu.models.vit import ViTConfig, VisionTransformer
+    from scd_tpu.pipelines.common import make_sharded_image_encoder
+
+    vcfg = ViTConfig(image_size=16, patch_size=8, width=32, depth=2,
+                     heads=4)
+    model = VisionTransformer(vcfg)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1),
+                                    jnp.zeros((1, 16, 16, 3), jnp.float32))
+    enc = make_sharded_image_encoder(
+        lambda v, im: model.apply(v, im), variables,
+        make_mesh(MeshConfig(data=0, model=1)))
+    g_imgs = np.random.default_rng(7).standard_normal(
+        (64, 16, 16, 3)).astype(np.float32)
+    want_crc = f"{zlib.crc32(np.round(enc(g_imgs), 4).tobytes()):08x}"
+    assert fields[fields.index("feats") + 1] == want_crc
