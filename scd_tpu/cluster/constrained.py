@@ -250,8 +250,24 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     (remapped class ids), then unlabelled assignments.  Pass ``mesh`` to
     shard the unlabelled instance axis over chips (sinkhorn backend only;
     padded rows take a sentinel label and zero transport mass).
+
+    Multi-controller: ``u_feats`` is THIS PROCESS's row shard,
+    ``l_feats``/``l_targets`` the identical full labelled set everywhere;
+    sinkhorn backend only (the MCF fallback needs the full cost matrix on
+    one host) — an infeasible sinkhorn result raises instead of falling
+    back.
     """
+    from scd_tpu.core.multihost import host_fetch, is_multiprocess
+
+    from scd_tpu.cluster.kmeans import _put_replicated
+
     k = cfg.n_clusters
+    multiproc = is_multiprocess() and mesh is not None
+    if multiproc and cfg.constrained_backend != "sinkhorn":
+        raise RuntimeError(
+            "multi-controller fit_constrained supports only the sinkhorn "
+            "backend (the exact MCF solver is a host algorithm over the "
+            "full cost matrix); mesh=None stays a process-local run")
     n_u = int(u_feats.shape[0])  # no np.asarray: would FETCH a device array
     if mesh is not None and cfg.constrained_backend == "sinkhorn":
         # staging (pad + shard + upload) only pays off for the sinkhorn
@@ -259,12 +275,14 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         # upload through the tunnel is not free
         from scd_tpu.cluster.kmeans import _stage_rows
 
-        u, _n = _stage_rows(u_feats, mesh)
+        u, n_staged = _stage_rows(u_feats, mesh)
+        if multiproc:
+            n_u = n_staged  # global row count (local shape is one shard)
         n_valid = jnp.asarray(n_u)
     else:
         u = _device_f32(u_feats)
         n_valid = None
-    l = _device_f32(l_feats)
+    l = _put_replicated(l_feats, mesh)
     l_targets = np.asarray(l_targets).astype(np.int64)
     classes, l_mapped = np.unique(l_targets, return_inverse=True)
     n_l_classes = len(classes)
@@ -274,7 +292,7 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         raise ValueError(
             f"infeasible size constraints for {n_u} unlabelled points: "
             f"k={k}, size_min={cfg.size_min}, size_max={cfg.size_max}")
-    l_labels = jnp.asarray(l_mapped.astype(np.int32))
+    l_labels = _put_replicated(l_mapped, mesh, np.int32)
 
     if cfg.constrained_backend == "sinkhorn":
         labels, inertia, centers, n_iter, feasible = _fit_constrained_sinkhorn(
@@ -284,10 +302,16 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
             local_trials=_resolve_local_trials(cfg, k))
         if bool(feasible):
             all_labels = np.concatenate([l_mapped.astype(np.int32),
-                                         np.asarray(labels)[:n_u]])
-            return KMeansResult(all_labels, np.asarray(centers),
+                                         host_fetch(labels)[:n_u]])
+            return KMeansResult(all_labels, host_fetch(centers),
                                 float(inertia), int(n_iter))
         # fall through to the exact backend if the OT repair didn't converge
+        if multiproc:
+            raise RuntimeError(
+                "constrained sinkhorn E-step infeasible under "
+                "multi-controller execution; the exact MCF fallback needs "
+                "the full cost matrix on one host — loosen size bounds or "
+                "raise sinkhorn_iters")
 
     # exact MCF backend (also the sinkhorn fallback).  The MCF path has no
     # sentinel-label machinery, so it must see the UNPADDED rows — when

@@ -53,6 +53,24 @@ def _device_f32(x) -> jnp.ndarray:
     return jnp.asarray(np.asarray(x, dtype=np.float32))
 
 
+def _put_replicated(x, mesh, dtype=np.float32):
+    """Device copy of a side input (labelled feats/labels), replicated on
+    every device.  Single-process: plain ``_device_f32``-style put (jit
+    replicates uncommitted inputs for free).  Multi-controller: a plain
+    ``device_put`` cannot target non-addressable devices, so route through
+    ``make_array_from_process_local_data`` with a replicated spec (every
+    process passes the identical full value)."""
+    from scd_tpu.core.multihost import is_multiprocess, replicate_to_mesh
+
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return x  # already a global array from an upstream sharded stage
+    if mesh is not None and is_multiprocess():
+        return replicate_to_mesh(mesh, np.asarray(x, dtype))
+    if dtype == np.float32:
+        return _device_f32(x)
+    return jnp.asarray(np.asarray(x, dtype))
+
+
 @dataclasses.dataclass
 class KMeansResult:
     labels: np.ndarray  # [N] int32 — for SSKM: concat(labelled, unlabelled) order
@@ -282,6 +300,11 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     Returned ``labels`` follow the reference contract: labelled instances
     first (their remapped class ids), then unlabelled assignments.
     Pass ``mesh`` to shard the unlabelled instance axis over chips.
+
+    Multi-controller (``jax.process_count() > 1``): ``u_feats`` is THIS
+    PROCESS's row shard of the unlabelled set; ``l_feats``/``l_targets``
+    must be the IDENTICAL full labelled set on every process (they
+    replicate to all devices); results come back replicated on every host.
     """
     if mesh is not None:
         u, n_u = _stage_rows(u_feats, mesh)
@@ -290,23 +313,26 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         u = _device_f32(u_feats)
         n_u = u.shape[0]
         n_valid = jnp.asarray(n_u)
-    l = _device_f32(l_feats)
+    l = _put_replicated(l_feats, mesh)
     l_targets = np.asarray(l_targets).astype(np.int64)
     classes, l_mapped = np.unique(l_targets, return_inverse=True)
     n_l_classes = len(classes)
     if cfg.n_clusters < n_l_classes:
         raise ValueError(f"n_clusters={cfg.n_clusters} < labelled classes {n_l_classes}")
 
+    from scd_tpu.core.multihost import host_fetch
+
     u_labels, inertia, centers, n_iter = _fit_sskm_device(
-        key, u, l, jnp.asarray(l_mapped.astype(np.int32)),
+        key, u, l, _put_replicated(l_mapped, mesh, np.int32),
         n_valid, cfg.n_clusters, n_l_classes,
         cfg.max_iterations, cfg.tolerance, cfg.n_init,
         fused=_use_fused(u.shape[1], cfg.n_clusters, cfg.fused_mesh),
         mesh=mesh)
 
     all_labels = np.concatenate([l_mapped.astype(np.int32),
-                                 np.asarray(u_labels)[:n_u]])
-    return KMeansResult(all_labels, np.asarray(centers), float(inertia), int(n_iter))
+                                 host_fetch(u_labels)[:n_u]])
+    return KMeansResult(all_labels, host_fetch(centers), float(inertia),
+                        int(n_iter))
 
 
 @partial(jax.jit, static_argnames=("k", "max_iter", "fused", "mesh"))
@@ -326,8 +352,19 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
     classifier's predictions (the capability behind the reference launcher
     ``gcd/bash_scripts/k_means_with_classifier_init.sh``, whose target
     module is absent from the reference repo).  Deterministic: a single
-    Lloyd run from the label centroids, no k-means++ restarts."""
-    if mesh is not None:
+    Lloyd run from the label centroids, no k-means++ restarts.
+
+    Multi-controller: ``x``/``init_labels`` are THIS PROCESS's row shards
+    (same rows, same order); results replicate to every host."""
+    from scd_tpu.core.multihost import (host_fetch, is_multiprocess,
+                                        rows_from_process_local)
+
+    if mesh is not None and is_multiprocess():
+        x_j, n = _stage_rows(x, mesh)  # raises on uneven local shards
+        lab_j, _ = rows_from_process_local(
+            mesh, np.asarray(init_labels, np.int32))
+        n_valid = jnp.asarray(n)
+    elif mesh is not None:
         x_j, n = _stage_rows(x, mesh)
         lab = np.full(x_j.shape[0], 0, np.int32)
         lab[:n] = np.asarray(init_labels, np.int32)
@@ -345,5 +382,5 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
         cfg.tolerance,
         fused=_use_fused(x_j.shape[1], cfg.n_clusters, cfg.fused_mesh),
         mesh=mesh)
-    return KMeansResult(np.asarray(labels)[:n], np.asarray(centers),
+    return KMeansResult(host_fetch(labels)[:n], host_fetch(centers),
                         float(inertia), int(n_iter))

@@ -16,10 +16,12 @@ of the chips, all running the same program:
   the array is fully addressable (single process), an
   all-process gather otherwise.
 
-``fit_kmeans`` routes through these automatically: under
-``jax.process_count() > 1`` a numpy input to the mesh path is interpreted
-as THIS PROCESS's row shard and results come back replicated on every
-host (the other fitters keep the single-controller contract for now).  Collectives ride ICI within a host's slice and DCN across hosts —
+The mesh fitters (``fit_kmeans``, ``fit_sskm``, ``fit_kmeans_from_labels``,
+``fit_constrained`` sinkhorn) route through these automatically: under
+``jax.process_count() > 1`` a numpy ROW input to the mesh path is
+interpreted as THIS PROCESS's row shard, side inputs (labelled feats /
+targets) replicate from their identical per-host copies, and results come
+back replicated on every host.  Collectives ride ICI within a host's slice and DCN across hosts —
 XLA picks the hierarchy from the mesh's device order (``jax.devices()``
 enumerates process-major, so the ``data`` axis keeps each host's rows on
 its own chips).

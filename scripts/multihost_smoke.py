@@ -76,6 +76,22 @@ def worker(coordinator: str, num_processes: int, process_id: int,
                                    max_iterations=25),
                      mesh=mesh)
 
+    # SSKM + constrained (sinkhorn) under the same multi-controller
+    # contract: unlabelled rows shard per process, the labelled set is
+    # the identical full copy on every host
+    from scd_tpu.cluster import fit_constrained, fit_sskm
+
+    xl, yl = global_blobs(n_global=80, seed=3)
+    res_sskm = fit_sskm(jax.random.PRNGKey(4), local, xl, yl,
+                        ClusterConfig(n_clusters=5, n_init=2,
+                                      max_iterations=15), mesh=mesh)
+    n_loc = local.shape[0]
+    res_con = fit_constrained(
+        jax.random.PRNGKey(5), local, xl, yl,
+        ClusterConfig(n_clusters=5, n_init=2, max_iterations=10,
+                      size_min=1, size_max=n_loc * num_processes,
+                      constrained_backend="sinkhorn"), mesh=mesh)
+
     # composed stage: dp-sharded ViT encode of per-process image shards,
     # device-resident handoff (encode.sharded) into the mesh clusterer --
     # features never touch a host between stages
@@ -104,10 +120,16 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     feats_crc = zlib.crc32(np.round(feats_host, 4).tobytes())
     digest = (f"MULTIHOST {res.inertia:.4f} "
               f"{zlib.crc32(res.labels.astype(np.int32).tobytes()):08x} "
-              f"feats {feats_crc:08x} enc_km {res2.inertia:.3f}")
+              f"feats {feats_crc:08x} enc_km {res2.inertia:.3f} "
+              f"sskm {res_sskm.inertia:.3f} "
+              f"{zlib.crc32(res_sskm.labels.astype(np.int32).tobytes()):08x} "
+              f"con {res_con.inertia:.3f} "
+              f"{zlib.crc32(res_con.labels.astype(np.int32).tobytes()):08x}")
     if dump_dir:
         np.save(os.path.join(dump_dir, f"labels_{process_id}.npy"),
                 res.labels)
+        np.save(os.path.join(dump_dir, f"labels_sskm_{process_id}.npy"),
+                res_sskm.labels)
     print(digest, flush=True)
     return digest
 

@@ -44,6 +44,21 @@ def test_multihost_smoke_matches_single_process(tmp_path):
     assert mh_labels.shape == res.labels.shape
     assert adjusted_rand_score(res.labels, mh_labels) > 0.99
 
+    # SSKM under the same contract: labelled side inputs replicate, the
+    # unlabelled rows shard per process
+    from scd_tpu.cluster import fit_sskm
+
+    xl, yl = global_blobs(n_global=80, seed=3)
+    res_sskm = fit_sskm(jax.random.PRNGKey(4), x, xl, yl,
+                        ClusterConfig(n_clusters=5, n_init=2,
+                                      max_iterations=15),
+                        mesh=make_mesh(MeshConfig(data=0, model=1)))
+    sskm_inertia = float(fields[fields.index("sskm") + 1])
+    np.testing.assert_allclose(sskm_inertia, res_sskm.inertia, rtol=1e-3)
+    mh_sskm = np.load(tmp_path / "labels_sskm_0.npy")
+    assert mh_sskm.shape == res_sskm.labels.shape
+    assert adjusted_rand_score(res_sskm.labels, mh_sskm) > 0.99
+
     # composed encoder stage: dp encode has NO collectives, so the
     # multihost features must match a single-process encode of the same
     # images/weights (crc over 1e-4-rounded values, the digest contract)
