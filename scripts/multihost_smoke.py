@@ -117,6 +117,36 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     res2 = fit_kmeans(jax.random.PRNGKey(2), staged_feats,
                       ClusterConfig(n_clusters=3, n_init=2,
                                     max_iterations=10), mesh=mesh)
+    # naming stages compose on top — the full SCD flow at pod scale:
+    # device top-k of every image's vocabulary logits (features stay
+    # row-sharded, the [D, V] vocabulary replicates), then the voting
+    # loop (Counter + Hungarian: HOST work, identical on every process
+    # from the replicated top-k — the single-chip pipeline's division of
+    # labor carries over unchanged)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scd_tpu.core.config import NamingConfig
+    from scd_tpu.core.multihost import host_fetch, replicate_to_mesh
+    from scd_tpu.naming.loop import voting_loop
+
+    n_vocab = 23
+    dim = feats_host.shape[1]
+    zw = np.random.default_rng(11).standard_normal(
+        (dim, n_vocab)).astype(np.float32)
+    zw /= np.linalg.norm(zw, axis=0, keepdims=True)
+    rows_s = NamedSharding(mesh, P(mesh.axis_names[0]))
+    repl_s = NamedSharding(mesh, P())
+    topk_f = jax.jit(lambda f, w: jax.lax.top_k(f @ w, 5),
+                     in_shardings=(rows_s, repl_s))
+    _tvals, tidx = topk_f(staged_feats, replicate_to_mesh(mesh, zw))
+    tidx_h = host_fetch(tidx).astype(np.int32)
+    nouns = [f"name_{i}" for i in range(n_vocab)]
+    res_vote = voting_loop(
+        nouns, tidx_h, feats_host, zw, np.asarray(res2.labels), 3,
+        NamingConfig(topk=5, num_common_vote=8, num_common_linear=4,
+                     max_vote_iters=6))
+    vote_crc = zlib.crc32(",".join(res_vote.cand_names).encode())
+
     feats_crc = zlib.crc32(np.round(feats_host, 4).tobytes())
     digest = (f"MULTIHOST {res.inertia:.4f} "
               f"{zlib.crc32(res.labels.astype(np.int32).tobytes()):08x} "
@@ -124,12 +154,19 @@ def worker(coordinator: str, num_processes: int, process_id: int,
               f"sskm {res_sskm.inertia:.3f} "
               f"{zlib.crc32(res_sskm.labels.astype(np.int32).tobytes()):08x} "
               f"con {res_con.inertia:.3f} "
-              f"{zlib.crc32(res_con.labels.astype(np.int32).tobytes()):08x}")
+              f"{zlib.crc32(res_con.labels.astype(np.int32).tobytes()):08x} "
+              f"vote {vote_crc:08x} "
+              f"{zlib.crc32(np.asarray(res_vote.u_preds, np.int32).tobytes()):08x}")
     if dump_dir:
         np.save(os.path.join(dump_dir, f"labels_{process_id}.npy"),
                 res.labels)
         np.save(os.path.join(dump_dir, f"labels_sskm_{process_id}.npy"),
                 res_sskm.labels)
+        np.save(os.path.join(dump_dir, f"vote_preds_{process_id}.npy"),
+                np.asarray(res_vote.u_preds, np.int32))
+        with open(os.path.join(dump_dir,
+                               f"vote_names_{process_id}.txt"), "w") as f:
+            f.write("\n".join(res_vote.cand_names))
     print(digest, flush=True)
     return digest
 

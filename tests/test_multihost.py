@@ -81,3 +81,32 @@ def test_multihost_smoke_matches_single_process(tmp_path):
         (64, 16, 16, 3)).astype(np.float32)
     want_crc = f"{zlib.crc32(np.round(enc(g_imgs), 4).tobytes()):08x}"
     assert fields[fields.index("feats") + 1] == want_crc
+
+    # composed naming stage: single-process rerun of the same
+    # encode -> kmeans -> vocabulary top-k -> voting flow must land on
+    # the same name set and (up to collective reduction order upstream)
+    # the same per-image name predictions
+    from scd_tpu.core.config import NamingConfig
+    from scd_tpu.naming.loop import voting_loop
+
+    feats = enc(g_imgs)
+    res_enc_km = fit_kmeans(jax.random.PRNGKey(2), feats,
+                            ClusterConfig(n_clusters=3, n_init=2,
+                                          max_iterations=10),
+                            mesh=make_mesh(MeshConfig(data=0, model=1)))
+    n_vocab = 23
+    zw = np.random.default_rng(11).standard_normal(
+        (feats.shape[1], n_vocab)).astype(np.float32)
+    zw /= np.linalg.norm(zw, axis=0, keepdims=True)
+    logits = feats @ zw
+    # stable sort = lax.top_k's lowest-index-first tie order
+    tidx = np.argsort(-logits, axis=1, kind="stable")[:, :5].astype(np.int32)
+    nouns = [f"name_{i}" for i in range(n_vocab)]
+    want_vote = voting_loop(
+        nouns, tidx, feats, zw, res_enc_km.labels, 3,
+        NamingConfig(topk=5, num_common_vote=8, num_common_linear=4,
+                     max_vote_iters=6))
+    got_names = (tmp_path / "vote_names_0.txt").read_text().splitlines()
+    assert set(got_names) == set(want_vote.cand_names)
+    got_preds = np.load(tmp_path / "vote_preds_0.npy")
+    assert adjusted_rand_score(want_vote.u_preds, got_preds) > 0.99
