@@ -188,6 +188,11 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
     on one shard).  With ``mesh=None`` the same pipelined loop runs
     unsharded on the default device.
 
+    Multi-controller (``jax.process_count() > 1``): every process calls
+    with the SAME full ``classnames`` over the global mesh; each batch's
+    token rows assemble from per-process slices, the encode runs over all
+    the pod's chips, and the finished [D, V] matrix returns on every host.
+
     Note: the ``template_groups`` split path reorders the templates inside
     the ensemble mean (length-sorted group concatenation), so grouped
     output differs from ``template_groups=1`` at float-reassociation
@@ -196,15 +201,33 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from scd_tpu.core.multihost import (host_fetch, is_multiprocess,
+                                        replicate_to_mesh,
+                                        rows_from_process_local)
+
     n_dev = mesh.shape[data_axis] if mesh is not None else 1
     t = len(templates)
     b = max(names_per_batch // n_dev, 1) * n_dev  # whole names per shard
 
     if mesh is not None:
-        rep = NamedSharding(mesh, P())
         row = NamedSharding(mesh, P(data_axis))
-        variables = jax.device_put(variables, rep)
-        put_tokens = lambda tok: jax.device_put(tok, row)
+        variables = replicate_to_mesh(mesh, variables)
+        if is_multiprocess():
+            # multi-controller pod build: every process runs this loop
+            # over the SAME full vocabulary (host tokenization is
+            # duplicated — cheap next to the encode); each contributes
+            # its own slice of every token batch, so the device encode
+            # splits over ALL the pod's chips.  Token rows are
+            # name-major and b divides by the global device count, so
+            # each process's contiguous slice holds whole names.
+            def put_tokens(tok):
+                tok = np.asarray(tok)
+                per = tok.shape[0] // jax.process_count()
+                r = jax.process_index()
+                return rows_from_process_local(
+                    mesh, tok[r * per:(r + 1) * per])[0]
+        else:
+            put_tokens = lambda tok: jax.device_put(tok, row)
     else:
         row = None
         put_tokens = lambda tok: tok
@@ -274,19 +297,19 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
             parts = []
             for g, gb in zip(groups, split):
                 toks = tok3[:, g, :gb].reshape(b * len(g), gb)
-                toks = put_tokens(jnp.asarray(toks))
+                toks = put_tokens(toks)  # host np in, placed per backend
                 parts.append(_encode_fn(forward, b, len(g), row)(
                     variables, toks))
             cols.append(_group_reduce_fn(len(groups), row)(parts))
         else:
-            tokens = put_tokens(jnp.asarray(
-                truncate_to_eot_bucket(tokens_all)))
+            tokens = put_tokens(truncate_to_eot_bucket(tokens_all))
             cols.append(encode_reduce(variables, tokens))
         valids.append(valid)
         if i >= 32:
             jax.block_until_ready(cols[i - 32])  # backpressure
+    # host_fetch: np.asarray when addressable; all-process gather on a pod
     weights = np.concatenate(
-        [np.asarray(c)[:v] for c, v in zip(cols, valids)], axis=0)  # [V, D]
+        [host_fetch(c)[:v] for c, v in zip(cols, valids)], axis=0)  # [V, D]
     if order is not None:  # undo the length sort
         unsorted = np.empty_like(weights)
         unsorted[order] = weights

@@ -35,6 +35,29 @@ import zlib
 import numpy as np
 
 
+def _toy_text_encoder():
+    """Deterministic jittable stand-in for the CLIP text tower (the
+    fixture pattern of ``tests/test_naming.py``): token-embedding mean +
+    a hash tokenizer.  Returns (forward, tokenize, variables)."""
+    import jax.numpy as jnp
+
+    d, seq = 16, 8
+    emb = np.random.default_rng(13).standard_normal((997, d)).astype(
+        np.float32)
+
+    def forward(variables, tokens):
+        return jnp.mean(variables["emb"][tokens], axis=1)
+
+    def tokenize(texts):
+        out = np.zeros((len(texts), seq), np.int32)
+        for i, t in enumerate(texts):
+            h = [ord(c) for c in t][:seq]
+            out[i, :len(h)] = np.array(h, np.int32) % 997
+        return out
+
+    return forward, tokenize, {"emb": jnp.asarray(emb)}
+
+
 def global_blobs(n_global: int = 256, d: int = 16, k: int = 5,
                  seed: int = 0) -> tuple:
     """Deterministic global dataset every process can regenerate."""
@@ -147,6 +170,25 @@ def worker(coordinator: str, num_processes: int, process_id: int,
                      max_vote_iters=6))
     vote_crc = zlib.crc32(",".join(res_vote.cand_names).encode())
 
+    # pod vocabulary build: every process feeds its slice of each token
+    # batch, the text encode splits over ALL chips, the [D, V] matrix
+    # returns on every host (the single-chip pipeline's longest stage)
+    from scd_tpu.naming.zeroshot import build_zeroshot_weights
+
+    fwd, tokenize, tvars = _toy_text_encoder()
+
+    def encode_text(texts):
+        return np.asarray(fwd(tvars, jnp.asarray(tokenize(texts))))
+
+    encode_text.forward = fwd
+    encode_text.variables = tvars
+    encode_text.tokenize = tokenize
+    zw_built = build_zeroshot_weights(
+        encode_text, [f"word {i}" for i in range(37)],
+        ["a photo of a {}.", "art of the {}."], names_per_batch=16,
+        mesh=mesh)
+    zw_crc = zlib.crc32(np.round(zw_built, 5).tobytes())
+
     feats_crc = zlib.crc32(np.round(feats_host, 4).tobytes())
     digest = (f"MULTIHOST {res.inertia:.4f} "
               f"{zlib.crc32(res.labels.astype(np.int32).tobytes()):08x} "
@@ -156,7 +198,8 @@ def worker(coordinator: str, num_processes: int, process_id: int,
               f"con {res_con.inertia:.3f} "
               f"{zlib.crc32(res_con.labels.astype(np.int32).tobytes()):08x} "
               f"vote {vote_crc:08x} "
-              f"{zlib.crc32(np.asarray(res_vote.u_preds, np.int32).tobytes()):08x}")
+              f"{zlib.crc32(np.asarray(res_vote.u_preds, np.int32).tobytes()):08x} "
+              f"zw {zw_crc:08x}")
     if dump_dir:
         np.save(os.path.join(dump_dir, f"labels_{process_id}.npy"),
                 res.labels)
@@ -167,6 +210,7 @@ def worker(coordinator: str, num_processes: int, process_id: int,
         with open(os.path.join(dump_dir,
                                f"vote_names_{process_id}.txt"), "w") as f:
             f.write("\n".join(res_vote.cand_names))
+        np.save(os.path.join(dump_dir, f"zw_{process_id}.npy"), zw_built)
     print(digest, flush=True)
     return digest
 

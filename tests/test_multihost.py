@@ -110,3 +110,26 @@ def test_multihost_smoke_matches_single_process(tmp_path):
     assert set(got_names) == set(want_vote.cand_names)
     got_preds = np.load(tmp_path / "vote_preds_0.npy")
     assert adjusted_rand_score(want_vote.u_preds, got_preds) > 0.99
+
+    # pod vocabulary build: per-shard encode + per-name reduce have no
+    # cross-shard collectives, so the multihost [D, V] matrix matches the
+    # single-process build numerically
+    from scripts.multihost_smoke import _toy_text_encoder
+    from scd_tpu.naming.zeroshot import build_zeroshot_weights
+
+    fwd, tok, tvars = _toy_text_encoder()
+
+    def encode_text(texts):
+        import jax.numpy as jnp
+
+        return np.asarray(fwd(tvars, jnp.asarray(tok(texts))))
+
+    encode_text.forward = fwd
+    encode_text.variables = tvars
+    encode_text.tokenize = tok
+    want_zw = build_zeroshot_weights(
+        encode_text, [f"word {i}" for i in range(37)],
+        ["a photo of a {}.", "art of the {}."], names_per_batch=16,
+        mesh=make_mesh(MeshConfig(data=0, model=1)))
+    got_zw = np.load(tmp_path / "zw_0.npy")
+    np.testing.assert_allclose(got_zw, want_zw, atol=1e-6)
