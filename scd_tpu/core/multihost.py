@@ -93,6 +93,17 @@ def replicate_to_mesh(mesh: Mesh, tree):
     return jax.tree_util.tree_map(put, tree)
 
 
+def put_global(x, sharding):
+    """Place a FULL host value onto a (possibly multi-process) sharding:
+    each process materializes its addressable shards by slicing its own
+    identical full copy.  Works for ANY PartitionSpec (replicated, row,
+    column), unlike ``replicate_to_mesh``; single-process it is just a
+    sliced ``device_put``."""
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def host_fetch(arr) -> np.ndarray:
     """Fetch a (possibly non-fully-addressable) array to host numpy on
     EVERY process.  No-op beyond ``np.asarray`` in single-process runs."""

@@ -27,9 +27,12 @@ def topk_names(clip_feats, zeroshot_weights, k: int, scale: float = 100.0,
     """Per-image top-k vocabulary names. Returns (idx [N,k] i32, vals [N,k])."""
     import jax.numpy as jnp
 
+    from scd_tpu.core.multihost import host_fetch
+
     vals, idx = classify_topk(jnp.asarray(clip_feats), jnp.asarray(zeroshot_weights),
                               k, scale=scale, apply_softmax=apply_softmax)
-    return np.asarray(idx), np.asarray(vals)
+    # host_fetch: np.asarray when addressable; all-process gather on a pod
+    return host_fetch(idx), host_fetch(vals)
 
 
 def _most_common(values: np.ndarray) -> List[Tuple[int, int]]:

@@ -132,13 +132,25 @@ def classify_topk_sharded(feats, weights, k: int, mesh: Mesh,
 
     Per-shard top-k candidates are globally merged; softmax uses the exact
     global normalizer (max-subtracted logsumexp psum'd across shards).
+
+    Multi-controller: host inputs must be the identical full value on
+    every process (each host materializes its own devices' shards);
+    already-global arrays pass through.
     """
     n_shards = mesh.shape[model_axis]
     v = weights.shape[1]
     assert v % n_shards == 0, f"V={v} not divisible by {n_shards} shards"
 
+    from scd_tpu.core.multihost import is_multiprocess, put_global
+
+    def _place(x, spec):
+        sh = NamedSharding(mesh, spec)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x  # global already; jit reshards to the spec if needed
+        if is_multiprocess():
+            return put_global(x, sh)
+        return jax.device_put(x, sh)
+
     fn = _sharded_topk_fn(mesh, k, float(scale), bool(apply_softmax),
                           model_axis)
-    feats = jax.device_put(feats, NamedSharding(mesh, P()))
-    weights = jax.device_put(weights, NamedSharding(mesh, P(None, model_axis)))
-    return fn(feats, weights)
+    return fn(_place(feats, P()), _place(weights, P(None, model_axis)))

@@ -152,7 +152,7 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     from scd_tpu.core.multihost import host_fetch, replicate_to_mesh
     from scd_tpu.naming.loop import voting_loop
 
-    n_vocab = 23
+    n_vocab = 24
     dim = feats_host.shape[1]
     zw = np.random.default_rng(11).standard_normal(
         (dim, n_vocab)).astype(np.float32)
@@ -189,6 +189,20 @@ def worker(coordinator: str, num_processes: int, process_id: int,
         mesh=mesh)
     zw_crc = zlib.crc32(np.round(zw_built, 5).tobytes())
 
+    # vocabulary-sharded top-k on a (data x model) mesh: the [D, V]
+    # weights split over the model axis (which spans processes here), the
+    # per-shard candidates merge and the softmax normalizer psums across
+    # shards — the cross-process collective pattern of the [N, 68k]
+    # naming stage
+    from scd_tpu.ops.topk import classify_topk_sharded
+
+    mesh_dm = make_mesh(MeshConfig(data=num_processes
+                                   * devices_per_proc // 2, model=2))
+    tvals, tidx2 = classify_topk_sharded(feats_host, zw, 4, mesh_dm)
+    from scd_tpu.core.multihost import host_fetch
+
+    topk_crc = zlib.crc32(host_fetch(tidx2).astype(np.int32).tobytes())
+
     feats_crc = zlib.crc32(np.round(feats_host, 4).tobytes())
     digest = (f"MULTIHOST {res.inertia:.4f} "
               f"{zlib.crc32(res.labels.astype(np.int32).tobytes()):08x} "
@@ -199,7 +213,7 @@ def worker(coordinator: str, num_processes: int, process_id: int,
               f"{zlib.crc32(res_con.labels.astype(np.int32).tobytes()):08x} "
               f"vote {vote_crc:08x} "
               f"{zlib.crc32(np.asarray(res_vote.u_preds, np.int32).tobytes()):08x} "
-              f"zw {zw_crc:08x}")
+              f"zw {zw_crc:08x} topk {topk_crc:08x}")
     if dump_dir:
         np.save(os.path.join(dump_dir, f"labels_{process_id}.npy"),
                 res.labels)

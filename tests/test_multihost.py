@@ -94,7 +94,7 @@ def test_multihost_smoke_matches_single_process(tmp_path):
                             ClusterConfig(n_clusters=3, n_init=2,
                                           max_iterations=10),
                             mesh=make_mesh(MeshConfig(data=0, model=1)))
-    n_vocab = 23
+    n_vocab = 24
     zw = np.random.default_rng(11).standard_normal(
         (feats.shape[1], n_vocab)).astype(np.float32)
     zw /= np.linalg.norm(zw, axis=0, keepdims=True)
