@@ -116,9 +116,14 @@ def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
 
     ``mesh``: shard the rows over the mesh's ``data`` axis (padded for an
     even split; padded rows are masked out of seeding and sums).  Uses the
-    auto-partitioning XLA ops — a pallas_call is opaque to GSPMD."""
+    auto-partitioning XLA ops — a pallas_call is opaque to GSPMD.
+
+    Multi-controller: ``x`` is THIS PROCESS's row shard; the returned
+    labels cover the GLOBAL rows on every host (so the estimate_k
+    objective's ``targets``/``mask_lab`` must be the global arrays)."""
     import jax.numpy as jnp
 
+    from scd_tpu.core.multihost import host_fetch
     from scd_tpu.cluster.kmeans import _device_f32, _stage_rows
 
     if mesh is not None:
@@ -140,7 +145,7 @@ def fit_kmeans_dynamic_k(key, x: np.ndarray, k_active: int, max_k: int,
     labels, inertia = _dynk_run(key, x_j, jnp.asarray(int(k_active)), max_k,
                                 max_iterations, n_init, fused=bool(fused),
                                 n_valid=n_valid)
-    return np.asarray(labels)[:n], float(inertia)
+    return host_fetch(labels)[:n], float(inertia)
 
 
 def _normalized_device(all_feats):
