@@ -175,14 +175,32 @@ def labelled_acc_objective_dynamic(all_feats: np.ndarray,
     whole search then runs SPMD (the E-step distance matmul and the
     one-hot M-step segment sums partition by rows; XLA all-reduces the
     per-shard center sums), so a 1M-row search scales across chips with
-    no code change to the probes."""
+    no code change to the probes.
+
+    Multi-controller: ``all_feats`` is THIS PROCESS's row shard (evenly
+    divisible over the local devices) while ``targets``/``mask_lab`` are
+    the GLOBAL arrays on every host — the returned labels cover the
+    global rows."""
     import jax
 
     # normalize AND stage to device ONCE: the search probes the objective
     # ~3+log2(max_k) times, and re-uploading [N, D] per probe (or
     # np.asarray-fetching a device-resident input, CLAUDE.md rule 3)
     # costs seconds per probe through the ~50 MB/s tunnel
-    all_feats = _normalized_device(all_feats)
+    from scd_tpu.core.multihost import is_multiprocess
+
+    if mesh is not None and is_multiprocess():
+        # assemble the GLOBAL row-sharded array from this process's shard
+        # first — normalizing to a process-local device array would make
+        # _stage_rows treat each host's DIFFERENT local rows as the same
+        # global value
+        from scd_tpu.core.multihost import rows_from_process_local
+
+        staged, _n = rows_from_process_local(
+            mesh, np.asarray(all_feats, np.float32))
+        all_feats = _normalized_device(staged)
+    else:
+        all_feats = _normalized_device(all_feats)
     mask_lab = np.asarray(mask_lab, bool)
     targets = np.asarray(targets, np.int64)
 

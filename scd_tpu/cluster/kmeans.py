@@ -53,6 +53,15 @@ def _device_f32(x) -> jnp.ndarray:
     return jnp.asarray(np.asarray(x, dtype=np.float32))
 
 
+def _row_weights(n: int, n_valid) -> jnp.ndarray:
+    """[N] f32 row weights from a validity spec: a scalar count (padded
+    rows are the suffix) or a [N] 0/1 mask (padded rows anywhere — the
+    ragged multi-controller layout)."""
+    if getattr(n_valid, "ndim", 0) == 1:
+        return n_valid.astype(jnp.float32)
+    return (jnp.arange(n) < n_valid).astype(jnp.float32)
+
+
 def _put_replicated(x, mesh, dtype=np.float32):
     """Device copy of a side input (labelled feats/labels), replicated on
     every device.  Single-process: plain ``_device_f32``-style put (jit
@@ -163,7 +172,7 @@ def _lloyd_loop(x: jnp.ndarray, centers0: jnp.ndarray, k: int,
 def _fit_kmeans_device(key: jax.Array, x: jnp.ndarray, n_valid: jnp.ndarray,
                        k: int, max_iter: int, tol: float, n_init: int,
                        fused: bool = False, mesh=None):
-    row_w = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
+    row_w = _row_weights(x.shape[0], n_valid)
 
     def one_restart(sub):
         centers0 = kmeans_plus_plus(sub, x, k, n_valid=n_valid)
@@ -220,6 +229,16 @@ def _stage_rows(x: np.ndarray, mesh):
 
     ctx = MeshContext(mesh)
     if isinstance(x, jax.Array):
+        import jax as _jax
+
+        if (x.is_fully_addressable and _jax.process_count() > 1
+                and any(d.process_index != _jax.process_index()
+                        for d in np.asarray(mesh.devices).flat)):
+            raise ValueError(
+                "process-LOCAL device array fed to a multi-process mesh: "
+                "each host's different rows would be placed as if they "
+                "were the same global value — assemble the global array "
+                "first (core.multihost.rows_from_process_local)")
         x = _device_f32(x)
         n = x.shape[0]
         target = -(-max(n, 1) // ctx.n_data) * ctx.n_data
@@ -231,22 +250,56 @@ def _stage_rows(x: np.ndarray, mesh):
     if is_multiprocess():
         # multi-controller convention: the numpy input is THIS PROCESS's
         # row shard (each host feeds its own slice; a plain device_put
-        # would need every shard addressable from one process)
-        return rows_from_process_local(mesh, np.asarray(x, np.float32))
+        # would need every shard addressable from one process).  Ragged
+        # shards must go through _stage_rows_ragged.
+        arr, n = rows_from_process_local(mesh, np.asarray(x, np.float32))
+        return arr, n
     padded, n = pad_rows(np.asarray(x, np.float32), ctx.n_data)
     return ctx.put_rows(padded), n
+
+
+def _stage_rows_ragged(x, mesh):
+    """Like ``_stage_rows`` but tolerant of ragged multi-controller shards
+    (local rows not a multiple of the per-process device count): pads are
+    interleaved per process, so validity is a MASK, not a prefix count.
+
+    Returns (x_j, n_valid_spec, n_count, valid_host):
+    - ``n_valid_spec``: what the jitted fitters take — a scalar count
+      (prefix semantics) or a row-sharded [N] f32 mask;
+    - ``n_count``: python int of real rows (for result sizing);
+    - ``valid_host``: host bool [N] to extract real labels, or None when
+      validity is the prefix."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scd_tpu.core.multihost import (is_multiprocess, put_global,
+                                        rows_from_process_local)
+
+    if is_multiprocess() and not isinstance(x, jax.Array):
+        local = np.asarray(x, np.float32)
+        arr, valid = rows_from_process_local(mesh, local, pad=True)
+        n_global = arr.shape[0]
+        if valid is None:
+            return arr, jnp.asarray(n_global), n_global, None
+        mask_dev = put_global(
+            valid.astype(np.float32),
+            NamedSharding(mesh, P(mesh.axis_names[0])))
+        return arr, mask_dev, int(valid.sum()), valid
+    x_j, n = _stage_rows(x, mesh)
+    return x_j, jnp.asarray(n), n, None
 
 
 def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
                mesh=None) -> KMeansResult:
     """Plain unsupervised k-means (reference baseline at ``main_unsup.py:362``).
-    Pass ``mesh`` to shard the instance axis over multiple chips."""
+    Pass ``mesh`` to shard the instance axis over multiple chips.  Ragged
+    multi-controller shards are padded per process and masked out of
+    seeding/sums (``_stage_rows_ragged``)."""
     if mesh is not None:
-        x_j, n = _stage_rows(x, mesh)
-        n_valid = jnp.asarray(n)
+        x_j, n_valid, n, valid_host = _stage_rows_ragged(x, mesh)
     else:
         x_j = _device_f32(x)
-        n_valid = jnp.asarray(x_j.shape[0])
+        n = x_j.shape[0]
+        n_valid, valid_host = jnp.asarray(n), None
     labels, inertia, centers, n_iter = _fit_kmeans_device(
         key, x_j, n_valid, cfg.n_clusters, cfg.max_iterations,
         cfg.tolerance, cfg.n_init,
@@ -255,8 +308,10 @@ def fit_kmeans(key: jax.Array, x: np.ndarray, cfg: ClusterConfig,
     from scd_tpu.core.multihost import host_fetch
 
     # host_fetch: np.asarray single-process; all-process gather on a pod
-    return KMeansResult(host_fetch(labels)[:int(n_valid)],
-                        host_fetch(centers), float(inertia), int(n_iter))
+    lab = host_fetch(labels)
+    lab = lab[valid_host] if valid_host is not None else lab[:n]
+    return KMeansResult(lab, host_fetch(centers), float(inertia),
+                        int(n_iter))
 
 
 @partial(jax.jit, static_argnames=("k", "n_l_classes", "max_iter", "n_init",
@@ -265,7 +320,7 @@ def _fit_sskm_device(key: jax.Array, u: jnp.ndarray, l: jnp.ndarray,
                      l_labels: jnp.ndarray, n_valid: jnp.ndarray,
                      k: int, n_l_classes: int, max_iter: int, tol: float,
                      n_init: int, fused: bool = False, mesh=None):
-    row_w = (jnp.arange(u.shape[0]) < n_valid).astype(jnp.float32)
+    row_w = _row_weights(u.shape[0], n_valid)
 
     # Labelled structure is constant across iterations and restarts.
     l_sums, l_counts = segment_sums(l, l_labels, k)
@@ -305,14 +360,15 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
     PROCESS's row shard of the unlabelled set; ``l_feats``/``l_targets``
     must be the IDENTICAL full labelled set on every process (they
     replicate to all devices); results come back replicated on every host.
+    Ragged multi-controller shards are padded per process and masked out
+    of seeding/sums (``_stage_rows_ragged``).
     """
     if mesh is not None:
-        u, n_u = _stage_rows(u_feats, mesh)
-        n_valid = jnp.asarray(n_u)
+        u, n_valid, n_u, valid_host = _stage_rows_ragged(u_feats, mesh)
     else:
         u = _device_f32(u_feats)
         n_u = u.shape[0]
-        n_valid = jnp.asarray(n_u)
+        n_valid, valid_host = jnp.asarray(n_u), None
     l = _put_replicated(l_feats, mesh)
     l_targets = np.asarray(l_targets).astype(np.int64)
     classes, l_mapped = np.unique(l_targets, return_inverse=True)
@@ -329,8 +385,9 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
         fused=_use_fused(u.shape[1], cfg.n_clusters, cfg.fused_mesh),
         mesh=mesh)
 
-    all_labels = np.concatenate([l_mapped.astype(np.int32),
-                                 host_fetch(u_labels)[:n_u]])
+    u_lab = host_fetch(u_labels)
+    u_lab = u_lab[valid_host] if valid_host is not None else u_lab[:n_u]
+    all_labels = np.concatenate([l_mapped.astype(np.int32), u_lab])
     return KMeansResult(all_labels, host_fetch(centers), float(inertia),
                         int(n_iter))
 
@@ -339,7 +396,7 @@ def fit_sskm(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
 def _fit_from_labels_device(x: jnp.ndarray, init_labels: jnp.ndarray,
                             n_valid: jnp.ndarray, k: int, max_iter: int,
                             tol: float, fused: bool = False, mesh=None):
-    row_w = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
+    row_w = _row_weights(x.shape[0], n_valid)
     sums, counts = segment_sums(x, init_labels, k, weights=row_w)
     centers0 = sums / jnp.maximum(counts, 1.0)[:, None]
     return _lloyd_loop(x, centers0, k, max_iter, tol, row_w, fused=fused,

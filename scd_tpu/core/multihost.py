@@ -53,28 +53,54 @@ def initialize(coordinator: Optional[str] = None,
                                    process_id=process_id)
 
 
-def rows_from_process_local(mesh: Mesh, local_rows: np.ndarray):
+def rows_from_process_local(mesh: Mesh, local_rows: np.ndarray,
+                            pad: bool = False):
     """Global array sharded over the mesh ``data`` axis from per-process
-    row shards.  Every process must contribute the same row count (the
-    even-sharding contract; pad locally with ``core.mesh.pad_rows`` against
-    the PER-PROCESS multiple ``n_data // process_count`` first if needed).
-    Returns (global_array, n_global_rows)."""
+    row shards.  Every process must contribute the same row count.
+
+    ``pad=False`` (exact contract): local rows must divide the per-process
+    device count; returns (global_array, n_global_rows).  Do NOT hand-pad
+    around the error — zero rows would enter seeding/sums as valid points
+    and the gathered labels would interleave phantom rows mid-array; use
+    ``pad=True`` instead, or trim to an even shard.
+
+    ``pad=True`` (ragged contract, what ``fit_kmeans``/``fit_sskm`` use):
+    each process zero-pads its slice up to the per-process multiple and the
+    return is (global_array, valid_mask) — a host bool [N_global] marking
+    the real rows (pads sit at the END of each process's contiguous block,
+    so the mask is periodic and identical on every host).  valid_mask is
+    None when no padding was needed."""
     local_rows = np.asarray(local_rows)
     n_local = local_rows.shape[0]
     data_axis = mesh.axis_names[0]
     n_data = mesh.shape[data_axis]
-    per_proc_devices = n_data // jax.process_count()
-    if n_data % jax.process_count() or n_local % max(per_proc_devices, 1):
+    n_proc = jax.process_count()
+    per_proc_devices = max(n_data // n_proc, 1)
+    if n_data % n_proc:
         raise ValueError(
-            f"uneven multihost layout: data axis {n_data} over "
-            f"{jax.process_count()} processes with {n_local} local rows — "
-            f"local rows must divide by {per_proc_devices} "
-            "(pad with core.mesh.pad_rows first)")
-    n_global = n_local * jax.process_count()
+            f"data axis {n_data} does not divide over {n_proc} processes")
+    pad_rows = (-n_local) % per_proc_devices
+    if pad_rows and not pad:
+        raise ValueError(
+            f"uneven multihost layout: {n_local} local rows over "
+            f"{per_proc_devices} local devices — trim to a multiple, or "
+            "call with pad=True (hand-padding would corrupt results: "
+            "pads would count as valid rows)")
+    if pad_rows:
+        local_rows = np.concatenate([
+            local_rows,
+            np.zeros((pad_rows,) + local_rows.shape[1:], local_rows.dtype)])
+    n_local_padded = n_local + pad_rows
+    n_global = n_local_padded * n_proc
     sharding = NamedSharding(mesh, P(data_axis))
     arr = jax.make_array_from_process_local_data(
         sharding, local_rows, (n_global,) + local_rows.shape[1:])
-    return arr, n_global
+    if not pad:
+        return arr, n_global
+    if not pad_rows:
+        return arr, None
+    valid = (np.arange(n_global) % n_local_padded) < n_local
+    return arr, valid
 
 
 def replicate_to_mesh(mesh: Mesh, tree):

@@ -38,11 +38,23 @@ def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
     """Sample ``k`` centers from ``x`` [N, D] (f32).
 
     ``pre_centers`` [P, D] pins the first P centers (P static).  ``n_valid``
-    masks padded rows of ``x`` out of the sampling distribution.
+    masks padded rows of ``x`` out of the sampling distribution — a scalar
+    count (pads are the row suffix) or a [N] 0/1 mask (pads anywhere, the
+    ragged multi-controller layout).  The first-point draw consumes the
+    same randint either way and picks the r-th VALID row, so the scalar
+    and equivalent-prefix-mask forms are bit-identical.
     """
     n, d = x.shape
     x = x.astype(jnp.float32)
-    row_valid = (jnp.arange(n) < (n if n_valid is None else n_valid))
+    if n_valid is None:
+        row_valid = jnp.ones((n,), bool)
+        n_valid_count = n
+    elif getattr(n_valid, "ndim", 0) == 1:
+        row_valid = n_valid.astype(bool)
+        n_valid_count = row_valid.sum()
+    else:
+        row_valid = jnp.arange(n) < n_valid
+        n_valid_count = n_valid
 
     if pre_centers is not None and pre_centers.shape[0] == 0:
         pre_centers = None  # empty pin set == unsupervised seeding
@@ -54,7 +66,9 @@ def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
         start = p
     else:
         key, sub = jax.random.split(key)
-        first = jax.random.randint(sub, (), 0, n if n_valid is None else n_valid)
+        r = jax.random.randint(sub, (), 0, n_valid_count)
+        # index of the (r+1)-th valid row; == r itself for prefix masks
+        first = jnp.argmax(jnp.cumsum(row_valid) >= r + 1)
         centers = centers.at[0].set(x[first])
         d2 = jnp.sum((x - x[first]) ** 2, axis=1)
         start = 1

@@ -112,8 +112,13 @@ def make_sharded_image_encoder(forward: Callable, variables, mesh):
         else:
             images = np.asarray(images)
             if is_multiprocess():
-                # multi-controller: the host batch is THIS PROCESS's shard
-                return rows_from_process_local(mesh, images)
+                # multi-controller: the host batch is THIS PROCESS's
+                # shard.  Ragged tails (every real dataset's last batch)
+                # pad per process, so the valid spec is a MASK, not a
+                # prefix count.
+                staged, valid = rows_from_process_local(mesh, images,
+                                                        pad=True)
+                return staged, (staged.shape[0] if valid is None else valid)
         n = images.shape[0]
         target = -(-n // n_shards) * n_shards
         if target != n:
@@ -121,17 +126,25 @@ def make_sharded_image_encoder(forward: Callable, variables, mesh):
             images = (jnp.pad if on_device else np.pad)(images, pad)
         return jax.device_put(images, rows), n
 
+    def _take_valid(arr, n_or_mask):
+        # prefix count (int) or interleaved-pad bool mask (ragged pod tail)
+        if isinstance(n_or_mask, np.ndarray):
+            return arr[n_or_mask]
+        return arr[:n_or_mask]
+
     def encode(images):
         # accepts either a raw host batch or a (staged, n_valid) pair from
         # ``stage`` (the _prefetched contract)
         staged, n = images if isinstance(images, tuple) else stage(images)
-        return host_fetch(fwd(variables, staged))[:n]
+        return _take_valid(host_fetch(fwd(variables, staged)), n)
 
     def encode_sharded(images):
         """Device-resident variant: returns the (row-sharded global
-        features, n_valid) WITHOUT a host fetch — the handoff for
+        features, valid_spec) WITHOUT a host fetch — the handoff for
         composing with the mesh clusterers (features never leave the
-        chips between stages)."""
+        chips between stages).  valid_spec is an int row count, or — for
+        ragged multi-controller batches — a host bool mask consumers
+        must apply after their own host fetch."""
         staged, n = images if isinstance(images, tuple) else stage(images)
         return fwd(variables, staged), n
 

@@ -170,12 +170,12 @@ def build_clip_encoder(variables, cfg, mesh=None) -> Callable:
 
 
 def _pad_tail(batch: np.ndarray, batch_size: int) -> np.ndarray:
-    """Zero-pad a ragged tail batch up to ``batch_size`` rows."""
-    n = len(batch)
-    if n == batch_size:
-        return batch
-    return np.concatenate(
-        [batch, np.zeros((batch_size - n,) + batch.shape[1:], batch.dtype)])
+    """Zero-pad a ragged tail batch up to ``batch_size`` rows
+    (``core.mesh.pad_rows`` with the batch size as the multiple —
+    tails are always <= one batch)."""
+    from scd_tpu.core.mesh import pad_rows
+
+    return pad_rows(np.asarray(batch), batch_size)[0]
 
 
 def iter_image_batches(path: str, batch_size: int, image_size: int = 224,

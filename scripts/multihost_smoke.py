@@ -140,6 +140,24 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     res2 = fit_kmeans(jax.random.PRNGKey(2), staged_feats,
                       ClusterConfig(n_clusters=3, n_init=2,
                                     max_iterations=10), mesh=mesh)
+    # ragged shards: per-process rows NOT a multiple of the local device
+    # count — encode pads+masks per process (bitwise-equal features to a
+    # single-process run), and fit_kmeans masks the pads out of
+    # seeding/sums and returns labels for the real rows only
+    g_rag = np.random.default_rng(21).standard_normal(
+        (54, 16, 16, 3)).astype(np.float32)
+    n_rag = g_rag.shape[0] // num_processes  # 27 rows over 4 devices
+    feats_rag = enc(g_rag[process_id * n_rag:(process_id + 1) * n_rag])
+    assert feats_rag.shape[0] == n_rag * num_processes
+    ragenc_crc = zlib.crc32(np.round(feats_rag, 4).tobytes())
+    xr, _yr = global_blobs(n_global=60, d=16, k=4, seed=22)
+    n_r = 60 // num_processes  # 30 rows over 4 devices
+    res_rag = fit_kmeans(jax.random.PRNGKey(6),
+                         xr[process_id * n_r:(process_id + 1) * n_r],
+                         ClusterConfig(n_clusters=4, n_init=2,
+                                       max_iterations=15), mesh=mesh)
+    assert res_rag.labels.shape[0] == 60
+
     # naming stages compose on top — the full SCD flow at pod scale:
     # device top-k of every image's vocabulary logits (features stay
     # row-sharded, the [D, V] vocabulary replicates), then the voting
@@ -213,7 +231,9 @@ def worker(coordinator: str, num_processes: int, process_id: int,
               f"{zlib.crc32(res_con.labels.astype(np.int32).tobytes()):08x} "
               f"vote {vote_crc:08x} "
               f"{zlib.crc32(np.asarray(res_vote.u_preds, np.int32).tobytes()):08x} "
-              f"zw {zw_crc:08x} topk {topk_crc:08x}")
+              f"zw {zw_crc:08x} topk {topk_crc:08x} "
+              f"ragenc {ragenc_crc:08x} ragkm {res_rag.inertia:.3f} "
+              f"{zlib.crc32(res_rag.labels.astype(np.int32).tobytes()):08x}")
     if dump_dir:
         np.save(os.path.join(dump_dir, f"labels_{process_id}.npy"),
                 res.labels)

@@ -72,6 +72,33 @@ def test_kpp_pre_centers(blobs):
     np.testing.assert_allclose(centers[:2], pre, rtol=1e-6)
 
 
+def test_kpp_mask_prefix_bit_equal(blobs):
+    """A [N] validity MASK (the ragged multi-controller layout) whose
+    valid rows are a prefix must reproduce the scalar-count path
+    bit-for-bit: same randint draw, same r-th-valid-row selection."""
+    import jax.numpy as jnp
+
+    X, _y = blobs
+    n_valid = len(X) - 7
+    key = jax.random.PRNGKey(3)
+    by_count = np.asarray(kmeans_plus_plus(key, X, 4,
+                                           n_valid=jnp.asarray(n_valid)))
+    mask = jnp.asarray((np.arange(len(X)) < n_valid).astype(np.float32))
+    by_mask = np.asarray(kmeans_plus_plus(key, X, 4, n_valid=mask))
+    np.testing.assert_array_equal(by_count, by_mask)
+
+    # interleaved invalid rows never get sampled
+    rng = np.random.default_rng(0)
+    holes = rng.choice(len(X), 9, replace=False)
+    m2 = np.ones(len(X), np.float32)
+    m2[holes] = 0.0
+    centers = np.asarray(kmeans_plus_plus(key, X, 6,
+                                          n_valid=jnp.asarray(m2)))
+    invalid_rows = np.asarray(X)[holes]
+    d = ((centers[:, None, :] - invalid_rows[None, :, :]) ** 2).sum(-1)
+    assert d.min() > 1e-12  # no center sits exactly on a masked row
+
+
 def test_fit_kmeans_blobs(blobs):
     X, y = blobs
     cfg = ClusterConfig(n_clusters=4, n_init=4, max_iterations=50)

@@ -133,3 +133,11 @@ def test_multihost_smoke_matches_single_process(tmp_path):
         mesh=make_mesh(MeshConfig(data=0, model=1)))
     got_zw = np.load(tmp_path / "zw_0.npy")
     np.testing.assert_allclose(got_zw, want_zw, atol=1e-6)
+
+    # ragged shards: the per-process pads must be invisible — the pod's
+    # encode of 2x27 rows (27 % 4 != 0) is bitwise the single-process
+    # encode of the same 54 images (crc over rounded values)
+    g_rag = np.random.default_rng(21).standard_normal(
+        (54, 16, 16, 3)).astype(np.float32)
+    want_rag = f"{zlib.crc32(np.round(enc(g_rag), 4).tobytes()):08x}"
+    assert fields[fields.index("ragenc") + 1] == want_rag
