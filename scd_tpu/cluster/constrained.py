@@ -81,7 +81,12 @@ def _fit_constrained_sinkhorn(key, u, l, l_labels, k: int, n_l_classes: int,
     n_u = u.shape[0]
     if n_valid is None:
         n_valid = jnp.asarray(n_u)
-    row_mask = jnp.arange(n_u) < n_valid  # padded sharding rows carry no mass
+    # padded sharding rows carry no mass; n_valid is a scalar count
+    # (suffix pads) or a [N] 0/1 mask (ragged multi-controller pads)
+    if getattr(n_valid, "ndim", 0) == 1:
+        row_mask = n_valid.astype(bool)
+    else:
+        row_mask = jnp.arange(n_u) < n_valid
     row_w = row_mask.astype(jnp.float32)
     l_sums, l_counts, l_centers = _labelled_stats(l, l_labels, k, n_l_classes)
 
@@ -269,16 +274,14 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
             "backend (the exact MCF solver is a host algorithm over the "
             "full cost matrix); mesh=None stays a process-local run")
     n_u = int(u_feats.shape[0])  # no np.asarray: would FETCH a device array
+    valid_host = None
     if mesh is not None and cfg.constrained_backend == "sinkhorn":
         # staging (pad + shard + upload) only pays off for the sinkhorn
         # loop; the MCF path below rebuilds unpadded anyway, and a ~300 MB
         # upload through the tunnel is not free
-        from scd_tpu.cluster.kmeans import _stage_rows
+        from scd_tpu.cluster.kmeans import _stage_rows_ragged
 
-        u, n_staged = _stage_rows(u_feats, mesh)
-        if multiproc:
-            n_u = n_staged  # global row count (local shape is one shard)
-        n_valid = jnp.asarray(n_u)
+        u, n_valid, n_u, valid_host = _stage_rows_ragged(u_feats, mesh)
     else:
         u = _device_f32(u_feats)
         n_valid = None
@@ -301,8 +304,10 @@ def fit_constrained(key: jax.Array, u_feats: np.ndarray, l_feats: np.ndarray,
             cfg.sinkhorn_epsilon, cfg.sinkhorn_iters, n_valid=n_valid,
             local_trials=_resolve_local_trials(cfg, k))
         if bool(feasible):
-            all_labels = np.concatenate([l_mapped.astype(np.int32),
-                                         host_fetch(labels)[:n_u]])
+            u_lab = host_fetch(labels)
+            u_lab = (u_lab[valid_host] if valid_host is not None
+                     else u_lab[:n_u])
+            all_labels = np.concatenate([l_mapped.astype(np.int32), u_lab])
             return KMeansResult(all_labels, host_fetch(centers),
                                 float(inertia), int(n_iter))
         # fall through to the exact backend if the OT repair didn't converge

@@ -412,15 +412,16 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
     Lloyd run from the label centroids, no k-means++ restarts.
 
     Multi-controller: ``x``/``init_labels`` are THIS PROCESS's row shards
-    (same rows, same order); results replicate to every host."""
+    (same rows, same order; ragged counts pad+mask); results replicate to
+    every host."""
     from scd_tpu.core.multihost import (host_fetch, is_multiprocess,
                                         rows_from_process_local)
 
+    valid_host = None
     if mesh is not None and is_multiprocess():
-        x_j, n = _stage_rows(x, mesh)  # raises on uneven local shards
+        x_j, n_valid, n, valid_host = _stage_rows_ragged(x, mesh)
         lab_j, _ = rows_from_process_local(
-            mesh, np.asarray(init_labels, np.int32))
-        n_valid = jnp.asarray(n)
+            mesh, np.asarray(init_labels, np.int32), pad=True)
     elif mesh is not None:
         x_j, n = _stage_rows(x, mesh)
         lab = np.full(x_j.shape[0], 0, np.int32)
@@ -439,5 +440,7 @@ def fit_kmeans_from_labels(x: np.ndarray, init_labels: np.ndarray,
         cfg.tolerance,
         fused=_use_fused(x_j.shape[1], cfg.n_clusters, cfg.fused_mesh),
         mesh=mesh)
-    return KMeansResult(host_fetch(labels)[:n], host_fetch(centers),
-                        float(inertia), int(n_iter))
+    lab = host_fetch(labels)
+    lab = lab[valid_host] if valid_host is not None else lab[:n]
+    return KMeansResult(lab, host_fetch(centers), float(inertia),
+                        int(n_iter))

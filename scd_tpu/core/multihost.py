@@ -64,12 +64,14 @@ def rows_from_process_local(mesh: Mesh, local_rows: np.ndarray,
     and the gathered labels would interleave phantom rows mid-array; use
     ``pad=True`` instead, or trim to an even shard.
 
-    ``pad=True`` (ragged contract, what ``fit_kmeans``/``fit_sskm`` use):
-    each process zero-pads its slice up to the per-process multiple and the
-    return is (global_array, valid_mask) — a host bool [N_global] marking
-    the real rows (pads sit at the END of each process's contiguous block,
-    so the mask is periodic and identical on every host).  valid_mask is
-    None when no padding was needed."""
+    ``pad=True`` (ragged contract, what ``fit_kmeans``/``fit_sskm`` and the
+    dp encoder use): per-process row counts may differ arbitrarily — a
+    tiny count-allgather establishes every process's share, each local
+    slice zero-pads to the common (device-multiple) width, and the return
+    is (global_array, valid_mask) — a host bool [N_global] marking the
+    real rows (pads sit at the END of each process's contiguous block),
+    identical on every host.  valid_mask is None when no padding was
+    needed."""
     local_rows = np.asarray(local_rows)
     n_local = local_rows.shape[0]
     data_axis = mesh.axis_names[0]
@@ -79,27 +81,45 @@ def rows_from_process_local(mesh: Mesh, local_rows: np.ndarray,
     if n_data % n_proc:
         raise ValueError(
             f"data axis {n_data} does not divide over {n_proc} processes")
-    pad_rows = (-n_local) % per_proc_devices
-    if pad_rows and not pad:
-        raise ValueError(
-            f"uneven multihost layout: {n_local} local rows over "
-            f"{per_proc_devices} local devices — trim to a multiple, or "
-            "call with pad=True (hand-padding would corrupt results: "
-            "pads would count as valid rows)")
-    if pad_rows:
+    if not pad:
+        if n_local % per_proc_devices:
+            raise ValueError(
+                f"uneven multihost layout: {n_local} local rows over "
+                f"{per_proc_devices} local devices — trim to a multiple, "
+                "or call with pad=True (hand-padding would corrupt "
+                "results: pads would count as valid rows)")
+        n_global = n_local * n_proc
+        sharding = NamedSharding(mesh, P(data_axis))
+        arr = jax.make_array_from_process_local_data(
+            sharding, local_rows, (n_global,) + local_rows.shape[1:])
+        return arr, n_global
+
+    # ragged: gather every process's count (one tiny collective), pad all
+    # slices to the common device-multiple width, mask the pads
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        counts = np.asarray(multihost_utils.process_allgather(
+            np.asarray([n_local], np.int64))).reshape(-1)
+    else:
+        counts = np.asarray([n_local], np.int64)
+    width = int(counts.max())
+    width += (-width) % per_proc_devices
+    width = max(width, per_proc_devices)
+    if width != n_local:
         local_rows = np.concatenate([
             local_rows,
-            np.zeros((pad_rows,) + local_rows.shape[1:], local_rows.dtype)])
-    n_local_padded = n_local + pad_rows
-    n_global = n_local_padded * n_proc
+            np.zeros((width - n_local,) + local_rows.shape[1:],
+                     local_rows.dtype)])
+    n_global = width * n_proc
     sharding = NamedSharding(mesh, P(data_axis))
     arr = jax.make_array_from_process_local_data(
         sharding, local_rows, (n_global,) + local_rows.shape[1:])
-    if not pad:
-        return arr, n_global
-    if not pad_rows:
+    if (counts == width).all():
         return arr, None
-    valid = (np.arange(n_global) % n_local_padded) < n_local
+    valid = np.zeros(n_global, bool)
+    for p, c in enumerate(counts):
+        valid[p * width:p * width + int(c)] = True
     return arr, valid
 
 

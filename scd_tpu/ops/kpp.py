@@ -31,6 +31,26 @@ def auto_local_trials(k: int) -> int:
     return 2 + int(np.log(k))
 
 
+def _valid_spec(n: int, n_valid):
+    """(row_valid bool [N], count, last_valid_index) from a validity spec:
+    None (all valid), a scalar count (pads are the row suffix), or a [N]
+    0/1 mask (pads anywhere — the ragged multi-controller layout)."""
+    if n_valid is None:
+        return jnp.ones((n,), bool), n, n - 1
+    if getattr(n_valid, "ndim", 0) == 1:
+        m = n_valid.astype(bool)
+        return m, m.sum(), (n - 1) - jnp.argmax(m[::-1])
+    return jnp.arange(n) < n_valid, n_valid, n_valid - 1
+
+
+def _first_valid_draw(sub, row_valid, count):
+    """Uniform draw over valid rows: randint(count) then the r-th valid
+    row — identical bits to a direct randint index when the valid rows
+    are a prefix."""
+    r = jax.random.randint(sub, (), 0, count)
+    return jnp.argmax(jnp.cumsum(row_valid) >= r + 1)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
                      pre_centers: Optional[jnp.ndarray] = None,
@@ -46,15 +66,7 @@ def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
     """
     n, d = x.shape
     x = x.astype(jnp.float32)
-    if n_valid is None:
-        row_valid = jnp.ones((n,), bool)
-        n_valid_count = n
-    elif getattr(n_valid, "ndim", 0) == 1:
-        row_valid = n_valid.astype(bool)
-        n_valid_count = row_valid.sum()
-    else:
-        row_valid = jnp.arange(n) < n_valid
-        n_valid_count = n_valid
+    row_valid, n_valid_count, _last = _valid_spec(n, n_valid)
 
     if pre_centers is not None and pre_centers.shape[0] == 0:
         pre_centers = None  # empty pin set == unsupervised seeding
@@ -66,9 +78,7 @@ def kmeans_plus_plus(key: jax.Array, x: jnp.ndarray, k: int,
         start = p
     else:
         key, sub = jax.random.split(key)
-        r = jax.random.randint(sub, (), 0, n_valid_count)
-        # index of the (r+1)-th valid row; == r itself for prefix masks
-        first = jnp.argmax(jnp.cumsum(row_valid) >= r + 1)
+        first = _first_valid_draw(sub, row_valid, n_valid_count)
         centers = centers.at[0].set(x[first])
         d2 = jnp.sum((x - x[first]) ** 2, axis=1)
         start = 1
@@ -109,7 +119,7 @@ def kmeans_plus_plus_local_trials(key: jax.Array, x: jnp.ndarray, k: int,
     n, d = x.shape
     x = x.astype(jnp.float32)
     t = n_local_trials or auto_local_trials(k)
-    row_valid = (jnp.arange(n) < (n if n_valid is None else n_valid))
+    row_valid, n_valid_count, last = _valid_spec(n, n_valid)
 
     if pre_centers is not None and pre_centers.shape[0] == 0:
         pre_centers = None
@@ -121,8 +131,7 @@ def kmeans_plus_plus_local_trials(key: jax.Array, x: jnp.ndarray, k: int,
         start = p
     else:
         key, sub = jax.random.split(key)
-        first = jax.random.randint(sub, (), 0,
-                                   n if n_valid is None else n_valid)
+        first = _first_valid_draw(sub, row_valid, n_valid_count)
         centers = centers.at[0].set(x[first])
         d2 = jnp.sum((x - x[first]) ** 2, axis=1)
         start = 1
@@ -139,7 +148,6 @@ def kmeans_plus_plus_local_trials(key: jax.Array, x: jnp.ndarray, k: int,
         # lands past the end, and on padded inputs row n-1 is a zero pad
         # row — seeding a phantom origin center
         r = jax.random.uniform(sub, (t,)) * pot
-        last = (n if n_valid is None else n_valid) - 1
         cand = jnp.clip(jnp.searchsorted(jnp.cumsum(d2), r), 0, last)
         dists = pairwise_sqdist(x, x[cand])  # [N, T]
         new_d2 = jnp.where(row_valid[:, None],

@@ -236,6 +236,94 @@ def extract_features_multi(encoders: Dict[str, Callable], dataset,
             for k, v in feats.items()}
 
 
+class _RowRange:
+    """Index-window view over a 3/4-tuple dataset (decode-on-access)."""
+
+    def __init__(self, ds, lo: int, hi: int):
+        self._ds, self._lo, self._hi = ds, lo, hi
+
+    def __len__(self) -> int:
+        return self._hi - self._lo
+
+    def __getitem__(self, i: int):
+        return self._ds[self._lo + i]
+
+
+def extract_features_pod(encoders: Dict[str, Callable], dataset,
+                         train_classes: Sequence[int],
+                         batch_size: int = 256, num_workers: int = 8,
+                         normalize: bool = True
+                         ) -> Dict[str, Dict[str, np.ndarray]]:
+    """Multi-controller extraction: each process DECODES only its
+    contiguous shard of the dataset; the mesh encoders reassemble global
+    batches on device (``rows_from_process_local`` inside ``.stage``
+    tolerates unequal per-process counts); features and metadata come
+    back identical on every host, row-aligned with the single-process
+    extraction order.
+
+    Host image decode — the real-dataset bottleneck — scales linearly
+    with hosts, and every chip in the pod encodes a slice of every
+    batch.  Metadata (targets/mask_lab) comes from the dataset's
+    host-side arrays, which every process holds in full (only image
+    DECODE is sharded).  Requires multi-process mesh encoders
+    (``make_sharded_image_encoder``)."""
+    import jax
+
+    rank, n_proc = jax.process_index(), jax.process_count()
+    n = len(dataset)
+    share = -(-n // n_proc)  # contiguous equal shares; tail procs ragged
+    lo, hi = min(rank * share, n), min(rank * share + share, n)
+    n_batches = -(-share // batch_size)
+
+    # per-(batch, process) REAL row counts — identical on every host
+    starts = np.minimum(np.arange(n_proc) * share, n)
+    stops = np.minimum(starts + share, n)
+    counts = np.clip((stops - starts)[None, :]
+                     - np.arange(n_batches)[:, None] * batch_size,
+                     0, batch_size).astype(np.int64)
+
+    it = iter(iterate_batches(_RowRange(dataset, lo, hi), batch_size,
+                              num_workers=num_workers))
+    img_shape = None
+    feats: Dict[str, np.ndarray] = {}
+    for b in range(n_batches):
+        cnt = int(counts[b, rank])
+        if cnt:
+            images, _labels, _uq, _m = next(it)
+            assert len(images) == cnt, (len(images), cnt)
+            img_shape = images.shape[1:]
+        else:
+            if img_shape is None:  # this process owns no rows at all
+                img_shape = np.asarray(dataset[0][0]).shape
+            images = np.zeros((0,) + tuple(img_shape), np.float32)
+        # global row ids of this batch, in the gathered (process-block)
+        # order the encoder returns
+        idxs = np.concatenate([
+            np.arange(starts[p] + b * batch_size,
+                      starts[p] + b * batch_size + counts[b, p])
+            for p in range(n_proc)])
+        for k, enc in encoders.items():
+            f = np.asarray(enc(images), np.float32)
+            if normalize:
+                f = f / np.maximum(
+                    np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            if k not in feats:
+                feats[k] = np.empty((n, f.shape[1]), np.float32)
+            feats[k][idxs] = f
+
+    targets = np.asarray(dataset.targets, np.int64)
+    mask_lab = (np.asarray(dataset.mask_lab, bool)
+                if hasattr(dataset, "mask_lab")
+                else np.zeros(n, bool))
+    meta = {
+        "targets": targets.astype(np.float64),
+        "mask_lab": mask_lab,
+        # remapped ids: Old classes are 0..n_lab-1 (extract_features note)
+        "mask_cls": targets < len(train_classes),
+    }
+    return {k: {"all_feats": v, **meta} for k, v in feats.items()}
+
+
 def make_shared_extractor(feat_encode, clip_encode, dataset,
                           train_classes: Sequence[int], batch_size: int,
                           num_workers: int,
@@ -260,8 +348,18 @@ def make_shared_extractor(feat_encode, clip_encode, dataset,
             encoders = {k: by_key[k] for k in sorted(want)}
             if encoders.get("clip") is encoders.get("feat"):
                 encoders.pop("clip")  # same tower: run once, alias below
-            memo.update(extract_features_multi(
-                encoders, dataset, train_classes, batch_size, num_workers))
+            from scd_tpu.core.multihost import is_multiprocess
+
+            if is_multiprocess() and all(
+                    hasattr(e, "mesh") for e in encoders.values()):
+                # pod: each process decodes only its dataset shard
+                memo.update(extract_features_pod(
+                    encoders, dataset, train_classes, batch_size,
+                    num_workers))
+            else:
+                memo.update(extract_features_multi(
+                    encoders, dataset, train_classes, batch_size,
+                    num_workers))
             if "clip" in want and "clip" not in memo:
                 memo["clip"] = memo["feat"]
         return memo[key]
@@ -338,11 +436,33 @@ def _pipeline_mesh(cfg: PipelineConfig):
     return make_mesh(cfg.mesh)
 
 
+def _pod_shard(x: np.ndarray) -> np.ndarray:
+    """THIS PROCESS's contiguous share of a host array that is replicated
+    on every host — the slicing half of the multi-controller fitter
+    contract (a numpy row input to a mesh fitter is the process's shard;
+    feeding the full replicated array would duplicate every row
+    ``process_count`` times).  Ragged tails are fine: the fitters
+    pad+mask unequal shares."""
+    import jax
+
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return x
+    share = -(-len(x) // n_proc)
+    lo = min(jax.process_index() * share, len(x))
+    return x[lo:lo + share]
+
+
 def run_clustering(cfg: PipelineConfig, feats: Dict[str, np.ndarray]
                    ) -> Dict[str, np.ndarray]:
     """Cluster per config (reference ``main_unsup.py:334-364``).  Returns the
     reference's cluster_result contract: all_preds (None for KM), u_preds,
-    u_targets, mask."""
+    u_targets, mask.
+
+    Multi-controller: ``feats`` is the replicated full feature dict (the
+    pod extraction's output); the unlabelled rows slice per process
+    (``_pod_shard``) before entering the mesh fitters, labelled side
+    inputs stay full, and the fitters gather global results back."""
     c = cfg.cluster
     mesh = _pipeline_mesh(cfg)
     all_feats = feats["all_feats"]
@@ -354,20 +474,25 @@ def run_clustering(cfg: PipelineConfig, feats: Dict[str, np.ndarray]
     l_targets, u_targets = targets[mask_lab], targets[~mask_lab]
     mask = mask_cls[~mask_lab]
 
+    from scd_tpu.core.multihost import is_multiprocess
+
+    u_in = (_pod_shard(u_feats) if mesh is not None and is_multiprocess()
+            else u_feats)
+
     key = jax.random.PRNGKey(c.seed)
     if c.algorithm == "KM":
-        res = fit_kmeans(key, u_feats, c, mesh=mesh)
+        res = fit_kmeans(key, u_in, c, mesh=mesh)
         preds = res.labels
         all_preds = np.full(len(all_feats), -1, np.int64)
         all_preds[~mask_lab] = preds
     elif c.algorithm == "SSKM":
-        res = fit_sskm(key, u_feats, l_feats, l_targets, c, mesh=mesh)
+        res = fit_sskm(key, u_in, l_feats, l_targets, c, mesh=mesh)
         all_preds = np.empty(len(all_feats), np.int64)
         all_preds[mask_lab] = res.labels[:mask_lab.sum()]
         all_preds[~mask_lab] = res.labels[mask_lab.sum():]
         preds = all_preds[~mask_lab]
     elif c.algorithm == "ConSSKM":
-        res = fit_constrained(key, u_feats, l_feats, l_targets, c,
+        res = fit_constrained(key, u_in, l_feats, l_targets, c,
                               mesh=mesh)
         all_preds = np.empty(len(all_feats), np.int64)
         all_preds[mask_lab] = res.labels[:mask_lab.sum()]

@@ -68,8 +68,46 @@ def global_blobs(n_global: int = 256, d: int = 16, k: int = 5,
     return x, labels
 
 
+def pipeline_worker(dump_dir: str) -> str:
+    """Run the ENTIRE unsup pipeline (synthetic dataset) under the
+    multi-controller rig: extraction decodes only this process's dataset
+    shard (``extract_features_pod``), clustering shards the unlabelled
+    rows over the pod (``_pod_shard`` -> mesh fitters), vocabulary/top-k/
+    voting/metrics replicate.  Prints one PIPELINE digest line every
+    process must agree on."""
+    import jax
+
+    from scd_tpu.core.config import (ClusterConfig, DataConfig,
+                                     FeatureConfig, MeshConfig,
+                                     NamingConfig, PipelineConfig)
+    from scd_tpu.pipelines.unsup import run_unsup
+
+    cache = os.path.join(dump_dir or "/tmp/scd_mh",
+                         f"cache_p{jax.process_index()}")
+    cfg = PipelineConfig(
+        data=DataConfig(dataset_name="synthetic", cache_dir=cache),
+        feature=FeatureConfig(feat_model="synthetic"),
+        cluster=ClusterConfig(algorithm="SSKM", n_clusters=10, n_init=3,
+                              max_iterations=20),
+        naming=NamingConfig(corpus="synthetic", topk=5, num_common_vote=5,
+                            num_common_linear=3),
+        mesh=MeshConfig(data=0, model=1),
+    )
+    res = run_unsup(cfg)
+    all_acc, old_acc, new_acc = res["cluster_acc"]
+    digest = ("PIPELINE "
+              f"acc {all_acc:.4f}/{old_acc:.4f}/{new_acc:.4f} "
+              f"iou {res['iou']:.4f} "
+              f"sacc {res['history'][-1]['sacc_all_All']:.4f} "
+              f"names {zlib.crc32(','.join(res['voting'].cand_names).encode()):08x} "
+              f"preds {zlib.crc32(np.asarray(res['voting'].u_preds, np.int32).tobytes()):08x}")
+    print(digest, flush=True)
+    return digest
+
+
 def worker(coordinator: str, num_processes: int, process_id: int,
-           devices_per_proc: int, dump_dir: str = "") -> str:
+           devices_per_proc: int, dump_dir: str = "",
+           pipeline: bool = False) -> str:
     # the script lives in scripts/; the package root is its parent
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if root not in sys.path:
@@ -84,6 +122,9 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     from scd_tpu.core.multihost import initialize
 
     initialize(coordinator, num_processes, process_id)
+
+    if pipeline:
+        return pipeline_worker(dump_dir)
 
     from scd_tpu.core.config import ClusterConfig, MeshConfig
     from scd_tpu.core.mesh import make_mesh
@@ -250,7 +291,7 @@ def worker(coordinator: str, num_processes: int, process_id: int,
 
 
 def launch(num_processes: int, devices_per_proc: int,
-           dump_dir: str = "") -> int:
+           dump_dir: str = "", pipeline: bool = False) -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
@@ -262,7 +303,8 @@ def launch(num_processes: int, devices_per_proc: int,
              "--num_processes", str(num_processes),
              "--process_id", str(i),
              "--devices_per_proc", str(devices_per_proc),
-             "--dump_dir", dump_dir],
+             "--dump_dir", dump_dir]
+            + (["--pipeline"] if pipeline else []),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for i in range(num_processes)]
@@ -270,7 +312,8 @@ def launch(num_processes: int, devices_per_proc: int,
     ok = True
     for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
-        lines = [ln for ln in out.splitlines() if ln.startswith("MULTIHOST")]
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith(("MULTIHOST", "PIPELINE"))]
         if p.returncode != 0 or not lines:
             print(f"[launch] worker {i} failed (rc={p.returncode}):\n"
                   + out[-2000:], file=sys.stderr)
@@ -295,11 +338,15 @@ def main(argv=None):
     p.add_argument("--devices_per_proc", type=int, default=4)
     p.add_argument("--dump_dir", type=str, default="",
                    help="save each worker's labels_<pid>.npy here")
+    p.add_argument("--pipeline", action="store_true",
+                   help="run the FULL unsup pipeline (synthetic) instead "
+                        "of the stage micro-smoke")
     args = p.parse_args(argv)
     if args.launch:
-        sys.exit(launch(args.launch, args.devices_per_proc, args.dump_dir))
+        sys.exit(launch(args.launch, args.devices_per_proc, args.dump_dir,
+                        pipeline=args.pipeline))
     worker(args.coordinator, args.num_processes, args.process_id,
-           args.devices_per_proc, args.dump_dir)
+           args.devices_per_proc, args.dump_dir, pipeline=args.pipeline)
 
 
 if __name__ == "__main__":

@@ -141,3 +141,45 @@ def test_multihost_smoke_matches_single_process(tmp_path):
         (54, 16, 16, 3)).astype(np.float32)
     want_rag = f"{zlib.crc32(np.round(enc(g_rag), 4).tobytes()):08x}"
     assert fields[fields.index("ragenc") + 1] == want_rag
+
+
+def test_multihost_full_pipeline_matches_single_process(tmp_path, capsys):
+    """The ENTIRE unsup pipeline (synthetic) under the 2-process rig:
+    extraction decodes per-process dataset shards
+    (``extract_features_pod``), clustering shards rows over the pod,
+    naming/metrics replicate.  Every worker must print the same PIPELINE
+    digest, and the result must match a single-process run of the
+    identical config (same accuracy/IoU/sACC and the same voted name
+    set; per-image predictions may differ only at collective
+    reduction-order level)."""
+    from scd_tpu.core.config import (ClusterConfig, DataConfig,
+                                     FeatureConfig, MeshConfig,
+                                     NamingConfig, PipelineConfig)
+    from scd_tpu.pipelines.unsup import run_unsup
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/multihost_smoke.py", "--launch", "2",
+         "--devices_per_proc", "4", "--pipeline",
+         "--dump_dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=540, cwd=".")
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+    fields = proc.stdout.split("PIPELINE ")[1].split()
+    accs = [float(v) for v in fields[fields.index("acc") + 1].split("/")]
+    iou = float(fields[fields.index("iou") + 1])
+    sacc = float(fields[fields.index("sacc") + 1])
+
+    cfg = PipelineConfig(
+        data=DataConfig(dataset_name="synthetic",
+                        cache_dir=str(tmp_path / "single")),
+        feature=FeatureConfig(feat_model="synthetic"),
+        cluster=ClusterConfig(algorithm="SSKM", n_clusters=10, n_init=3,
+                              max_iterations=20),
+        naming=NamingConfig(corpus="synthetic", topk=5, num_common_vote=5,
+                            num_common_linear=3),
+        mesh=MeshConfig(data=0, model=1),
+    )
+    res = run_unsup(cfg)
+    np.testing.assert_allclose(accs, res["cluster_acc"], atol=0.02)
+    np.testing.assert_allclose(iou, res["iou"], atol=0.05)
+    np.testing.assert_allclose(
+        sacc, res["history"][-1]["sacc_all_All"], atol=0.02)
