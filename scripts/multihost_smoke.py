@@ -68,22 +68,22 @@ def global_blobs(n_global: int = 256, d: int = 16, k: int = 5,
     return x, labels
 
 
-def pipeline_worker(dump_dir: str) -> str:
-    """Run the ENTIRE unsup pipeline (synthetic dataset) under the
+def pipeline_worker(dump_dir: str, kind: str = "unsup") -> str:
+    """Run an ENTIRE pipeline (synthetic dataset) under the
     multi-controller rig: extraction decodes only this process's dataset
     shard (``extract_features_pod``), clustering shards the unlabelled
     rows over the pod (``_pod_shard`` -> mesh fitters), vocabulary/top-k/
-    voting/metrics replicate.  Prints one PIPELINE digest line every
-    process must agree on."""
+    voting/metrics replicate.  ``kind``: unsup | ptsup (the latter adds
+    the UB/LB bound evaluators and pinned labelled names).  Prints one
+    PIPELINE digest line every process must agree on."""
     import jax
 
     from scd_tpu.core.config import (ClusterConfig, DataConfig,
                                      FeatureConfig, MeshConfig,
                                      NamingConfig, PipelineConfig)
-    from scd_tpu.pipelines.unsup import run_unsup
 
     cache = os.path.join(dump_dir or "/tmp/scd_mh",
-                         f"cache_p{jax.process_index()}")
+                         f"cache_{kind}_p{jax.process_index()}")
     cfg = PipelineConfig(
         data=DataConfig(dataset_name="synthetic", cache_dir=cache),
         feature=FeatureConfig(feat_model="synthetic"),
@@ -93,21 +93,35 @@ def pipeline_worker(dump_dir: str) -> str:
                             num_common_linear=3),
         mesh=MeshConfig(data=0, model=1),
     )
-    res = run_unsup(cfg)
-    all_acc, old_acc, new_acc = res["cluster_acc"]
-    digest = ("PIPELINE "
-              f"acc {all_acc:.4f}/{old_acc:.4f}/{new_acc:.4f} "
-              f"iou {res['iou']:.4f} "
-              f"sacc {res['history'][-1]['sacc_all_All']:.4f} "
-              f"names {zlib.crc32(','.join(res['voting'].cand_names).encode()):08x} "
-              f"preds {zlib.crc32(np.asarray(res['voting'].u_preds, np.int32).tobytes()):08x}")
+    if kind == "ptsup":
+        from scd_tpu.pipelines.ptsup import run_ptsup
+
+        res = run_ptsup(cfg)
+        vote = res["voting"]
+        digest = ("PIPELINE "
+                  f"acc {res['cluster_acc'][0]:.4f} "
+                  f"lb {res['bounds']['lb'][0]:.4f} "
+                  f"ub {res['bounds']['ub'][0]:.4f} "
+                  f"names {zlib.crc32(','.join(vote.cand_names).encode()):08x} "
+                  f"preds {zlib.crc32(np.asarray(vote.u_preds, np.int32).tobytes()):08x}")
+    else:
+        from scd_tpu.pipelines.unsup import run_unsup
+
+        res = run_unsup(cfg)
+        all_acc, old_acc, new_acc = res["cluster_acc"]
+        digest = ("PIPELINE "
+                  f"acc {all_acc:.4f}/{old_acc:.4f}/{new_acc:.4f} "
+                  f"iou {res['iou']:.4f} "
+                  f"sacc {res['history'][-1]['sacc_all_All']:.4f} "
+                  f"names {zlib.crc32(','.join(res['voting'].cand_names).encode()):08x} "
+                  f"preds {zlib.crc32(np.asarray(res['voting'].u_preds, np.int32).tobytes()):08x}")
     print(digest, flush=True)
     return digest
 
 
 def worker(coordinator: str, num_processes: int, process_id: int,
            devices_per_proc: int, dump_dir: str = "",
-           pipeline: bool = False) -> str:
+           pipeline: str = "") -> str:
     # the script lives in scripts/; the package root is its parent
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if root not in sys.path:
@@ -124,7 +138,7 @@ def worker(coordinator: str, num_processes: int, process_id: int,
     initialize(coordinator, num_processes, process_id)
 
     if pipeline:
-        return pipeline_worker(dump_dir)
+        return pipeline_worker(dump_dir, pipeline)
 
     from scd_tpu.core.config import ClusterConfig, MeshConfig
     from scd_tpu.core.mesh import make_mesh
@@ -291,7 +305,7 @@ def worker(coordinator: str, num_processes: int, process_id: int,
 
 
 def launch(num_processes: int, devices_per_proc: int,
-           dump_dir: str = "", pipeline: bool = False) -> int:
+           dump_dir: str = "", pipeline: str = "") -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
@@ -304,7 +318,7 @@ def launch(num_processes: int, devices_per_proc: int,
              "--process_id", str(i),
              "--devices_per_proc", str(devices_per_proc),
              "--dump_dir", dump_dir]
-            + (["--pipeline"] if pipeline else []),
+            + (["--pipeline", pipeline] if pipeline else []),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         for i in range(num_processes)]
@@ -338,9 +352,10 @@ def main(argv=None):
     p.add_argument("--devices_per_proc", type=int, default=4)
     p.add_argument("--dump_dir", type=str, default="",
                    help="save each worker's labels_<pid>.npy here")
-    p.add_argument("--pipeline", action="store_true",
-                   help="run the FULL unsup pipeline (synthetic) instead "
-                        "of the stage micro-smoke")
+    p.add_argument("--pipeline", nargs="?", const="unsup", default="",
+                   choices=["", "unsup", "ptsup"],
+                   help="run a FULL pipeline (synthetic) instead of the "
+                        "stage micro-smoke: --pipeline [unsup|ptsup]")
     args = p.parse_args(argv)
     if args.launch:
         sys.exit(launch(args.launch, args.devices_per_proc, args.dump_dir,

@@ -143,30 +143,29 @@ def test_multihost_smoke_matches_single_process(tmp_path):
     assert fields[fields.index("ragenc") + 1] == want_rag
 
 
-def test_multihost_full_pipeline_matches_single_process(tmp_path, capsys):
-    """The ENTIRE unsup pipeline (synthetic) under the 2-process rig:
-    extraction decodes per-process dataset shards
-    (``extract_features_pod``), clustering shards rows over the pod,
-    naming/metrics replicate.  Every worker must print the same PIPELINE
-    digest, and the result must match a single-process run of the
-    identical config (same accuracy/IoU/sACC and the same voted name
-    set; per-image predictions may differ only at collective
-    reduction-order level)."""
+import pytest
+
+
+@pytest.mark.parametrize("kind", ["unsup", "ptsup"])
+def test_multihost_full_pipeline_matches_single_process(tmp_path, capsys,
+                                                        kind):
+    """An ENTIRE pipeline (synthetic) under the 2-process rig: extraction
+    decodes per-process dataset shards (``extract_features_pod``),
+    clustering shards rows over the pod, naming/metrics replicate.  Every
+    worker must print the same PIPELINE digest, and the result must match
+    a single-process run of the identical config (metrics within
+    collective reduction-order tolerance)."""
     from scd_tpu.core.config import (ClusterConfig, DataConfig,
                                      FeatureConfig, MeshConfig,
                                      NamingConfig, PipelineConfig)
-    from scd_tpu.pipelines.unsup import run_unsup
 
     proc = subprocess.run(
         [sys.executable, "scripts/multihost_smoke.py", "--launch", "2",
-         "--devices_per_proc", "4", "--pipeline",
+         "--devices_per_proc", "4", "--pipeline", kind,
          "--dump_dir", str(tmp_path)],
         capture_output=True, text=True, timeout=540, cwd=".")
     assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
     fields = proc.stdout.split("PIPELINE ")[1].split()
-    accs = [float(v) for v in fields[fields.index("acc") + 1].split("/")]
-    iou = float(fields[fields.index("iou") + 1])
-    sacc = float(fields[fields.index("sacc") + 1])
 
     cfg = PipelineConfig(
         data=DataConfig(dataset_name="synthetic",
@@ -178,8 +177,28 @@ def test_multihost_full_pipeline_matches_single_process(tmp_path, capsys):
                             num_common_linear=3),
         mesh=MeshConfig(data=0, model=1),
     )
-    res = run_unsup(cfg)
-    np.testing.assert_allclose(accs, res["cluster_acc"], atol=0.02)
-    np.testing.assert_allclose(iou, res["iou"], atol=0.05)
-    np.testing.assert_allclose(
-        sacc, res["history"][-1]["sacc_all_All"], atol=0.02)
+    if kind == "unsup":
+        from scd_tpu.pipelines.unsup import run_unsup
+
+        res = run_unsup(cfg)
+        accs = [float(v)
+                for v in fields[fields.index("acc") + 1].split("/")]
+        np.testing.assert_allclose(accs, res["cluster_acc"], atol=0.02)
+        np.testing.assert_allclose(
+            float(fields[fields.index("iou") + 1]), res["iou"], atol=0.05)
+        np.testing.assert_allclose(
+            float(fields[fields.index("sacc") + 1]),
+            res["history"][-1]["sacc_all_All"], atol=0.02)
+    else:
+        from scd_tpu.pipelines.ptsup import run_ptsup
+
+        res = run_ptsup(cfg)
+        np.testing.assert_allclose(
+            float(fields[fields.index("acc") + 1]),
+            res["cluster_acc"][0], atol=0.02)
+        np.testing.assert_allclose(
+            float(fields[fields.index("lb") + 1]),
+            res["bounds"]["lb"][0], atol=0.5)
+        np.testing.assert_allclose(
+            float(fields[fields.index("ub") + 1]),
+            res["bounds"]["ub"][0], atol=0.5)
