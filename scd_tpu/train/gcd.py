@@ -170,6 +170,10 @@ def make_gcd_state(vit_cfg: ViTConfig, cfg: TrainConfig, rng: jax.Array,
 
     def loss_fn(p, batch):
         images = batch["images"]  # [n_views*B, H, W, C], view-major
+        if images.ndim == 5:
+            # multi-controller layout [n_views, B, H, W, C] (stage_pod_batch
+            # shards the batch axis); flatten back to view-major
+            images = images.reshape((-1,) + images.shape[2:])
         lab = batch["labels"]  # [B]
         mask_lab = batch["mask_lab"]  # [B] bool
         feats = backbone.apply({"params": p["backbone"]}, images)
@@ -201,19 +205,56 @@ def make_gcd_state(vit_cfg: ViTConfig, cfg: TrainConfig, rng: jax.Array,
         return params, opt_state, jax.jit(step)
 
     # ---- sharded: params tp over 'model', batch dp over 'data'
+    from scd_tpu.core.multihost import is_multiprocess, put_global
+
     param_specs = jax.tree_util.tree_map_with_path(
         lambda path, v: NamedSharding(mesh, _tp_spec(
             tuple(getattr(k, "key", k) for k in path), v)),
         params)
-    params = jax.device_put(params, param_specs)
-    # opt-state shardings are inferred by jit from the param shardings
-    batch_sharding = {"images": NamedSharding(mesh, P("data")),
+    if is_multiprocess():
+        # every host built identical params from the same rng; each
+        # materializes its own devices' shards (device_put can't target
+        # non-addressable devices)
+        params = jax.tree_util.tree_map(
+            lambda v, s: put_global(np.asarray(v), s), params, param_specs)
+    else:
+        params = jax.device_put(params, param_specs)
+    # opt-state shardings are inferred by jit from the param shardings.
+    # Multi-controller batches arrive as [n_views, B, ...] globals from
+    # stage_pod_batch (batch axis = dim 1); single-controller keeps the
+    # flat view-major layout
+    imgspec = P(None, "data") if is_multiprocess() else P("data")
+    batch_sharding = {"images": NamedSharding(mesh, imgspec),
                       "labels": NamedSharding(mesh, P("data")),
                       "mask_lab": NamedSharding(mesh, P("data"))}
     step_sharded = jax.jit(step,
                            in_shardings=(param_specs, None, batch_sharding),
                            out_shardings=None)
     return params, opt_state, step_sharded
+
+
+def stage_pod_batch(mesh: Mesh, batch: Dict[str, np.ndarray],
+                    n_views: int) -> Dict[str, Any]:
+    """Assemble a GLOBAL train batch from THIS PROCESS's local batch shard
+    (multi-controller training): local view-major images
+    [n_views*B_local, H, W, C] become one global [n_views, B_global, ...]
+    array sharded over ``data`` on the batch axis (the step flattens back
+    to view-major); labels/mask_lab row-shard.  Every process must
+    contribute the same B_local, divisible by its device count."""
+    from scd_tpu.core.multihost import rows_from_process_local
+
+    imgs = np.asarray(batch["images"])
+    bl = imgs.shape[0] // n_views
+    local5 = imgs.reshape((n_views, bl) + imgs.shape[1:])
+    sh = NamedSharding(mesh, P(None, "data"))
+    images = jax.make_array_from_process_local_data(
+        sh, local5,
+        (n_views, bl * jax.process_count()) + imgs.shape[1:])
+    labels, _ = rows_from_process_local(
+        mesh, np.asarray(batch["labels"]))
+    mask, _ = rows_from_process_local(
+        mesh, np.asarray(batch["mask_lab"]))
+    return {"images": images, "labels": labels, "mask_lab": mask}
 
 
 class GCDTrainer:

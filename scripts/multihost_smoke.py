@@ -119,6 +119,64 @@ def pipeline_worker(dump_dir: str, kind: str = "unsup") -> str:
     return digest
 
 
+def make_train_batches(n_steps: int = 3, b_global: int = 16,
+                       n_views: int = 2, size: int = 16, seed: int = 9):
+    """Deterministic global GCD train batches every process regenerates."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_steps):
+        out.append({
+            "images": rng.standard_normal(
+                (n_views * b_global, size, size, 3)).astype(np.float32),
+            "labels": rng.integers(0, 4, b_global).astype(np.int32),
+            "mask_lab": (rng.random(b_global) < 0.5),
+        })
+    return out
+
+
+def train_worker(num_processes: int, process_id: int) -> str:
+    """GCD training steps under the multi-controller rig: tensor-parallel
+    params materialize per host (put_global), each process feeds its
+    batch shard (stage_pod_batch), the InfoNCE/SupCon global-batch
+    semantics ride GSPMD collectives.  Prints a TRAIN digest of the loss
+    trajectory every process must agree on."""
+    import jax
+
+    from scd_tpu.core.config import MeshConfig, TrainConfig
+    from scd_tpu.core.mesh import make_mesh
+    from scd_tpu.core.multihost import host_fetch
+    from scd_tpu.models.vit import ViTConfig
+    from scd_tpu.train.gcd import make_gcd_state, stage_pod_batch
+
+    mesh = make_mesh(MeshConfig(data=0, model=2))
+    vit_cfg = ViTConfig(image_size=16, patch_size=8, width=32, depth=2,
+                        heads=4)
+    cfg = TrainConfig(lr=0.05, n_views=2, proj_dim=32, grad_from_block=1,
+                      batch_size=16)
+    params, opt_state, step = make_gcd_state(
+        vit_cfg, cfg, jax.random.PRNGKey(0), total_steps=10, mesh=mesh)
+
+    losses = []
+    n_views = cfg.n_views
+    for batch in make_train_batches(n_views=n_views):
+        bl = len(batch["labels"]) // num_processes
+        lo = process_id * bl
+        local = {
+            "images": np.concatenate([
+                batch["images"][v * len(batch["labels"]) + lo:
+                                v * len(batch["labels"]) + lo + bl]
+                for v in range(n_views)]),
+            "labels": batch["labels"][lo:lo + bl],
+            "mask_lab": batch["mask_lab"][lo:lo + bl],
+        }
+        params, opt_state, metrics = step(
+            params, opt_state, stage_pod_batch(mesh, local, n_views))
+        losses.append(float(host_fetch(metrics["loss"])))
+    digest = "TRAIN " + " ".join(f"{v:.5f}" for v in losses)
+    print(digest, flush=True)
+    return digest
+
+
 def worker(coordinator: str, num_processes: int, process_id: int,
            devices_per_proc: int, dump_dir: str = "",
            pipeline: str = "") -> str:
@@ -137,6 +195,8 @@ def worker(coordinator: str, num_processes: int, process_id: int,
 
     initialize(coordinator, num_processes, process_id)
 
+    if pipeline == "train":
+        return train_worker(num_processes, process_id)
     if pipeline:
         return pipeline_worker(dump_dir, pipeline)
 
@@ -327,7 +387,7 @@ def launch(num_processes: int, devices_per_proc: int,
     for i, p in enumerate(procs):
         out, _ = p.communicate(timeout=600)
         lines = [ln for ln in out.splitlines()
-                 if ln.startswith(("MULTIHOST", "PIPELINE"))]
+                 if ln.startswith(("MULTIHOST", "PIPELINE", "TRAIN"))]
         if p.returncode != 0 or not lines:
             print(f"[launch] worker {i} failed (rc={p.returncode}):\n"
                   + out[-2000:], file=sys.stderr)
@@ -353,9 +413,10 @@ def main(argv=None):
     p.add_argument("--dump_dir", type=str, default="",
                    help="save each worker's labels_<pid>.npy here")
     p.add_argument("--pipeline", nargs="?", const="unsup", default="",
-                   choices=["", "unsup", "ptsup"],
-                   help="run a FULL pipeline (synthetic) instead of the "
-                        "stage micro-smoke: --pipeline [unsup|ptsup]")
+                   choices=["", "unsup", "ptsup", "train"],
+                   help="run a FULL pipeline (synthetic) or GCD train "
+                        "steps instead of the stage micro-smoke: "
+                        "--pipeline [unsup|ptsup|train]")
     args = p.parse_args(argv)
     if args.launch:
         sys.exit(launch(args.launch, args.devices_per_proc, args.dump_dir,

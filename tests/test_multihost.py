@@ -146,6 +146,43 @@ def test_multihost_smoke_matches_single_process(tmp_path):
 import pytest
 
 
+def test_multihost_gcd_train_matches_single_process():
+    """GCD train steps across 2 processes (tp params via put_global,
+    per-process batch shards via stage_pod_batch): the loss trajectory
+    must agree across hosts exactly (the digest contract) and match a
+    single-process run of the identical global batches up to collective
+    reduction order."""
+    import jax
+    import jax.numpy as jnp
+
+    from scripts.multihost_smoke import make_train_batches
+    from scd_tpu.core.config import MeshConfig, TrainConfig
+    from scd_tpu.core.mesh import make_mesh
+    from scd_tpu.models.vit import ViTConfig
+    from scd_tpu.train.gcd import make_gcd_state
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/multihost_smoke.py", "--launch", "2",
+         "--devices_per_proc", "4", "--pipeline", "train"],
+        capture_output=True, text=True, timeout=540, cwd=".")
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+    got = [float(v) for v in proc.stdout.split("TRAIN ")[1].split("'")[0].split()]
+
+    mesh = make_mesh(MeshConfig(data=0, model=2))
+    vit_cfg = ViTConfig(image_size=16, patch_size=8, width=32, depth=2,
+                        heads=4)
+    cfg = TrainConfig(lr=0.05, n_views=2, proj_dim=32, grad_from_block=1,
+                      batch_size=16)
+    params, opt_state, step = make_gcd_state(
+        vit_cfg, cfg, jax.random.PRNGKey(0), total_steps=10, mesh=mesh)
+    want = []
+    for batch in make_train_batches(n_views=cfg.n_views):
+        params, opt_state, metrics = step(
+            params, opt_state, {k: jnp.asarray(v) for k, v in batch.items()})
+        want.append(float(metrics["loss"]))
+    np.testing.assert_allclose(got, want, rtol=2e-3)
+
+
 @pytest.mark.parametrize("kind", ["unsup", "ptsup"])
 def test_multihost_full_pipeline_matches_single_process(tmp_path, capsys,
                                                         kind):
