@@ -74,6 +74,21 @@ def _swapped_loss_per_head(logits: jnp.ndarray, targets: jnp.ndarray,
     return per_head / n_terms
 
 
+def _put(a, dtype=None, sharding=None):
+    """Batch staging: ``jnp.asarray`` single-controller (async H2D, jit
+    reshards per its in_shardings).  Multi-controller with a target
+    ``sharding``: assemble the global array explicitly from this host's
+    identical full copy (``put_global``) — jit rejects numpy inputs
+    against non-replicated shardings, and a committed local array would
+    conflict with the global spec."""
+    from scd_tpu.core.multihost import is_multiprocess, put_global
+
+    a = np.asarray(a, dtype) if dtype is not None else np.asarray(a)
+    if sharding is not None and is_multiprocess():
+        return put_global(a, sharding)
+    return jnp.asarray(a)
+
+
 def _shard_setup(mesh: Mesh, params):
     """dp+tp shardings for an e2e trainer: backbone parameters carry the
     same tensor-parallel specs as the GCD trainer (qkv/fc1 out-sharded,
@@ -86,7 +101,18 @@ def _shard_setup(mesh: Mesh, params):
     param_specs = jax.tree_util.tree_map_with_path(
         lambda path, v: NamedSharding(mesh, _tp_spec(
             tuple(getattr(k, "key", k) for k in path), v)), params)
-    params = jax.device_put(params, param_specs)
+    from scd_tpu.core.multihost import is_multiprocess, put_global
+
+    if is_multiprocess():
+        # multi-controller: every host built identical params from the
+        # same rng; materialize each host's own shards (device_put can't
+        # target non-addressable devices).  Batch inputs stay host numpy
+        # — jit's in_shardings assembles them globally (every process
+        # passes the identical full batch).
+        params = jax.tree_util.tree_map(
+            lambda v, s: put_global(np.asarray(v), s), params, param_specs)
+    else:
+        params = jax.device_put(params, param_specs)
     return params, param_specs, NamedSharding(mesh, P("data"))
 
 
@@ -226,6 +252,7 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
         final_lr=min_lr)
     tx = optax.chain(optax.add_decayed_weights(weight_decay),
                      optax.sgd(schedule, momentum=momentum))
+    dp = None
     if mesh is not None:
         # shard BEFORE tx.init so the optimizer state inherits the specs
         params, param_specs, dp = _shard_setup(mesh, params)
@@ -259,6 +286,7 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, head_loss + per_head, loss
 
+    vdp = None
     if mesh is None:
         step = jax.jit(_step)
     else:
@@ -288,13 +316,15 @@ def train_uno_e2e(key: jax.Array, views, labels: np.ndarray = None,
 
     def epoch_fn(epoch):
         nonlocal opt_state
-        head_loss = jnp.zeros((num_heads,), jnp.float32)
+        head_loss = _put(np.zeros((num_heads,), np.float32),
+                         sharding=(None if mesh is None
+                                   else NamedSharding(mesh, P())))
         losses = []
         for bv, lab, m in batches(epoch, rng):
             state["params"], opt_state, head_loss, loss = step(
                 state["params"], opt_state, head_loss,
-                jnp.asarray(bv, jnp.float32), jnp.asarray(lab),
-                jnp.asarray(m))
+                _put(bv, np.float32, vdp), _put(lab, None, dp),
+                _put(m, None, dp))
             losses.append(loss)
         # ONE fetch for the epoch: per-head tracker + stacked losses
         head_loss_h = np.asarray(head_loss)
@@ -374,6 +404,7 @@ def train_autonovel_e2e(key: jax.Array, images,
     tx = optax.chain(optax.add_decayed_weights(weight_decay),
                      optax.inject_hyperparams(optax.sgd)(
                          learning_rate=lr, momentum=momentum))
+    dp = None
     if mesh is not None:
         params, param_specs, dp = _shard_setup(mesh, params)
     opt_state = tx.init(params)
@@ -431,8 +462,8 @@ def train_autonovel_e2e(key: jax.Array, images,
         for x, x_bar, lab, m in batches(epoch, rng):
             state["params"], opt_state, loss = step(
                 state["params"], opt_state,
-                jnp.asarray(x, jnp.float32), jnp.asarray(x_bar, jnp.float32),
-                jnp.asarray(lab), jnp.asarray(m), jnp.float32(w))
+                _put(x, np.float32, dp), _put(x_bar, np.float32, dp),
+                _put(lab, None, dp), _put(m, None, dp), np.float32(w))
             losses.append(loss)
         return {"loss": _epoch_mean(losses), "rampup_w": w}
 

@@ -119,6 +119,17 @@ def pipeline_worker(dump_dir: str, kind: str = "unsup") -> str:
     return digest
 
 
+def _uno_fixture(n: int = 32, n_cls: int = 4):
+    """Deterministic UNO-e2e data every process regenerates identically."""
+    rng = np.random.default_rng(5)
+    imgs = rng.standard_normal((n, 16, 16, 3)).astype(np.float32)
+    views = np.stack([imgs, imgs + 0.01 * rng.standard_normal(
+        imgs.shape).astype(np.float32)])
+    u_labels = (np.arange(n) % n_cls).astype(np.int64)
+    u_mask = np.arange(n) % 2 == 0
+    return views, u_labels, u_mask
+
+
 def make_train_batches(n_steps: int = 3, b_global: int = 16,
                        n_views: int = 2, size: int = 16, seed: int = 9):
     """Deterministic global GCD train batches every process regenerates."""
@@ -173,6 +184,21 @@ def train_worker(num_processes: int, process_id: int) -> str:
             params, opt_state, stage_pod_batch(mesh, local, n_views))
         losses.append(float(host_fetch(metrics["loss"])))
     digest = "TRAIN " + " ".join(f"{v:.5f}" for v in losses)
+
+    # UNO v2 e2e on the same rig: every process passes the identical full
+    # arrays (the e2e trainers' in-memory contract); jit's in_shardings
+    # assembles the global batch from each host's copy
+    from scd_tpu.train.baselines_e2e import train_uno_e2e
+
+    views, u_labels, u_mask = _uno_fixture()
+    imgs = views[0]
+    _state, predict, hist = train_uno_e2e(
+        jax.random.PRNGKey(1), views, u_labels, u_mask, 2, 2, vit_cfg,
+        num_heads=2, epochs=2, batch_size=16, lr=0.05, warmup_epochs=1,
+        seed=3, mesh=mesh)
+    preds_crc = zlib.crc32(predict(imgs).astype(np.int32).tobytes())
+    digest += (f" uno {hist[0]['loss']:.5f} {hist[-1]['loss']:.5f} "
+               f"{preds_crc:08x}")
     print(digest, flush=True)
     return digest
 

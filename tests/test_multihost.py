@@ -166,7 +166,8 @@ def test_multihost_gcd_train_matches_single_process():
          "--devices_per_proc", "4", "--pipeline", "train"],
         capture_output=True, text=True, timeout=540, cwd=".")
     assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
-    got = [float(v) for v in proc.stdout.split("TRAIN ")[1].split("'")[0].split()]
+    fields = proc.stdout.split("TRAIN ")[1].split("'")[0].split()
+    got = [float(v) for v in fields[:fields.index("uno")]]
 
     mesh = make_mesh(MeshConfig(data=0, model=2))
     vit_cfg = ViTConfig(image_size=16, patch_size=8, width=32, depth=2,
@@ -181,6 +182,21 @@ def test_multihost_gcd_train_matches_single_process():
             params, opt_state, {k: jnp.asarray(v) for k, v in batch.items()})
         want.append(float(metrics["loss"]))
     np.testing.assert_allclose(got, want, rtol=2e-3)
+
+    # UNO v2 e2e on the same rig: single-process rerun of the identical
+    # data/config must match the per-epoch loss trajectory
+    from scripts.multihost_smoke import _uno_fixture
+    from scd_tpu.train.baselines_e2e import train_uno_e2e
+
+    views, u_labels, u_mask = _uno_fixture()
+    _state, predict, hist = train_uno_e2e(
+        jax.random.PRNGKey(1), views, u_labels, u_mask, 2, 2, vit_cfg,
+        num_heads=2, epochs=2, batch_size=16, lr=0.05, warmup_epochs=1,
+        seed=3, mesh=mesh)
+    uno_got = [float(fields[fields.index("uno") + 1]),
+               float(fields[fields.index("uno") + 2])]
+    np.testing.assert_allclose(
+        uno_got, [hist[0]["loss"], hist[-1]["loss"]], rtol=2e-3)
 
 
 @pytest.mark.parametrize("kind", ["unsup", "ptsup"])
