@@ -199,6 +199,14 @@ def train_worker(num_processes: int, process_id: int) -> str:
     preds_crc = zlib.crc32(predict(imgs).astype(np.int32).tobytes())
     digest += (f" uno {hist[0]['loss']:.5f} {hist[-1]['loss']:.5f} "
                f"{preds_crc:08x}")
+
+    # AutoNovel e2e: same rig, same staging contract
+    from scd_tpu.train.baselines_e2e import train_autonovel_e2e
+
+    _s2, _p2, hist_an = train_autonovel_e2e(
+        jax.random.PRNGKey(2), views[0], views[1], u_labels, u_mask, 2, 2,
+        vit_cfg, epochs=2, batch_size=16, lr=0.05, seed=3, mesh=mesh)
+    digest += f" an {hist_an[0]['loss']:.5f} {hist_an[-1]['loss']:.5f}"
     print(digest, flush=True)
     return digest
 

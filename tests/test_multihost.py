@@ -198,6 +198,17 @@ def test_multihost_gcd_train_matches_single_process():
     np.testing.assert_allclose(
         uno_got, [hist[0]["loss"], hist[-1]["loss"]], rtol=2e-3)
 
+    # AutoNovel e2e on the same rig
+    from scd_tpu.train.baselines_e2e import train_autonovel_e2e
+
+    _s2, _p2, hist_an = train_autonovel_e2e(
+        jax.random.PRNGKey(2), views[0], views[1], u_labels, u_mask, 2, 2,
+        vit_cfg, epochs=2, batch_size=16, lr=0.05, seed=3, mesh=mesh)
+    an_got = [float(fields[fields.index("an") + 1]),
+              float(fields[fields.index("an") + 2])]
+    np.testing.assert_allclose(
+        an_got, [hist_an[0]["loss"], hist_an[-1]["loss"]], rtol=2e-3)
+
 
 @pytest.mark.parametrize("kind", ["unsup", "ptsup"])
 def test_multihost_full_pipeline_matches_single_process(tmp_path, capsys,
