@@ -557,8 +557,12 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
     [N] (0/1) drops rows from sums/counts/inertia — the caller's padded
     sharding rows; labels for masked rows are still the plain argmin.
 
-    ``estep_passes``: 3 (default) = full bf16x3 cross-term (f32-class
-    accuracy); 2 drops the (x_lo . c_hi) MXU pass.  Measured on v5e at
+    ``estep_passes``: 3 (default) = full bf16x3 cross-term (label parity
+    with the XLA oracle down to ~0.02 squared-distance margins on real
+    hardware — the dropped x_lo.c_lo term plus hi/lo rounding carry
+    std ~2^-18*sqrt(sum x_i^2 c_i^2), and XLA's own f32 matmul on TPU is
+    the same bf16 decomposition; exact-f32-class in interpret mode);
+    2 drops the (x_lo . c_hi) MXU pass.  Measured on v5e at
     N=65k, D=768, K=100: 2435 iters/s (3-pass) vs 2659 (2-pass, +9%) with
     1.000000 label agreement on class-structured data — the M-step matmul
     and VPU work bound the kernel more than the third cross-term pass, so
@@ -572,7 +576,13 @@ def fused_em_step_pallas(x: jnp.ndarray, c: jnp.ndarray,
     M-step one.  Labels match f32 wherever the distance margin exceeds
     bf16 resolution (~0.4% relative); sums/inertia carry the rounding
     (~1e-3 relative on unit-scale data — see the near-tie parity tests).
-    Off by default pending hardware measurement of the bandwidth win.
+    Measured on the real chip (round 4, N=65536, D=768, K=100->128):
+    3931 iters/s vs 2365 for the 3-pass f32-stream default — +66%, ~51%
+    MFU on useful FLOPs (2NKD E + 2NKD M) — confirming the kernel is
+    HBM-bound on the x stream.  Stays off by default because the label
+    contract loosens to 0.25 squared-distance margins (bf16 x storage);
+    enable per-fit when the feature distribution has been parity-checked
+    (the pipelines' CLIP/DINO features pass at 1.000000 agreement).
 
     ``block_n``: None (default) picks the largest VMEM-safe block via
     ``fused_em_block_n`` — at D=768 that is 1024 up to K=512 (the

@@ -251,7 +251,12 @@ def test_fused_em_near_tie_margins():
     centers, displaced by controlled squared-distance margins.
 
     - 3-pass bf16x3 (the default) must match the XLA f32 argmin down to
-      margins ~1e-3 (f32-class accuracy);
+      margins ~1e-3 in INTERPRET mode (real f32 host math; this checks
+      the hi/lo decomposition algebra).  On the real MXU the honest
+      contract is 0.02 — both the kernel and the XLA oracle run bf16-
+      decomposed passes there, and round-4 hardware runs observed flips
+      just above 1e-3 at d=768 — see
+      ``test_pallas_on_tpu.py::test_fused_em_fast_variants_on_chip_near_ties``;
     - 2-pass and x_bf16 round x to bf16 for the cross term, so their
       decision boundary blurs by ~|2*c*dx| ~ 0.01*|x||c|: they must match
       at margins >= 0.25 and are ALLOWED to flip below — the documented
