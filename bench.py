@@ -146,11 +146,21 @@ def init_backend(max_tries: int = 4, base_sleep_s: float = 5.0) -> float:
         f"backend init failed after {max_tries} attempts") from last
 
 
-def _timed_slope(make_run, k_lo: int, k_hi: int, *args, reps: int = 2):
+def _timed_slope(make_run, k_lo: int, k_hi: int, *args, reps: int = 2,
+                 _depth: int = 0):
     """Two-point timing: ``make_run(k)`` builds a jitted scan of k chained
     iterations returning one scalar.  Returns seconds per iteration as the
     slope between the two scan lengths, cancelling the fixed per-dispatch
-    tunnel round-trip (~33 ms) exactly."""
+    tunnel round-trip (~33 ms) exactly.
+
+    When the signal (times[k_hi] - times[k_lo]) is under the tunnel's
+    timing noise the raw slope can come out ~0 or even NEGATIVE (observed
+    round 4: the 0.5 ms constrained E-step at dk=16 gave -0.16 ms/iter).
+    Guard: if the gap is below a 10 ms noise floor or non-positive, retry
+    with k_hi scaled 8x (one extra compile, only on the stages fast enough
+    to need it); after 2 retries fall back to times[k_hi]/k_hi, which
+    includes the dispatch overhead and so under-reports throughput rather
+    than fabricating it — and is always positive."""
     times = []
     for k in (k_lo, k_hi):
         run = make_run(k)
@@ -162,7 +172,13 @@ def _timed_slope(make_run, k_lo: int, k_hi: int, *args, reps: int = 2):
             float(run(*args))
             best = min(best, time.perf_counter() - t0)
         times.append(best)
-    return (times[1] - times[0]) / (k_hi - k_lo)
+    gap = times[1] - times[0]
+    if gap <= 0.010:  # noise-dominated: the RTT jitter is a few ms
+        if _depth < 2:
+            return _timed_slope(make_run, k_lo, k_lo + (k_hi - k_lo) * 8,
+                                *args, reps=reps + 1, _depth=_depth + 1)
+        return times[1] / k_hi  # conservative positive fallback
+    return gap / (k_hi - k_lo)
 
 
 def _fresh(base, key):
