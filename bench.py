@@ -147,7 +147,7 @@ def init_backend(max_tries: int = 4, base_sleep_s: float = 5.0) -> float:
 
 
 def _timed_slope(make_run, k_lo: int, k_hi: int, *args, reps: int = 2,
-                 _depth: int = 0):
+                 _depth: int = 0, _t_lo: float | None = None):
     """Two-point timing: ``make_run(k)`` builds a jitted scan of k chained
     iterations returning one scalar.  Returns seconds per iteration as the
     slope between the two scan lengths, cancelling the fixed per-dispatch
@@ -160,9 +160,14 @@ def _timed_slope(make_run, k_lo: int, k_hi: int, *args, reps: int = 2,
     with k_hi scaled 8x (one extra compile, only on the stages fast enough
     to need it); after 2 retries fall back to times[k_hi]/k_hi, which
     includes the dispatch overhead and so under-reports throughput rather
-    than fabricating it — and is always positive."""
+    than fabricating it — and is always positive.  Retries reuse the
+    already-measured k_lo timing (``_t_lo``) so each retry pays exactly
+    one extra compile (the new k_hi), not two."""
     times = []
     for k in (k_lo, k_hi):
+        if k == k_lo and _t_lo is not None:
+            times.append(_t_lo)
+            continue
         run = make_run(k)
         val = float(run(*args))  # compile + warm
         assert np.isfinite(val)
@@ -176,7 +181,8 @@ def _timed_slope(make_run, k_lo: int, k_hi: int, *args, reps: int = 2,
     if gap <= 0.010:  # noise-dominated: the RTT jitter is a few ms
         if _depth < 2:
             return _timed_slope(make_run, k_lo, k_lo + (k_hi - k_lo) * 8,
-                                *args, reps=reps + 1, _depth=_depth + 1)
+                                *args, reps=reps + 1, _depth=_depth + 1,
+                                _t_lo=times[0])
         return times[1] / k_hi  # conservative positive fallback
     return gap / (k_hi - k_lo)
 

@@ -111,19 +111,21 @@ def test_fused_em_fast_variants_on_chip_near_ties():
     the Mosaic-compiled counterpart of
     ``test_pallas_kernels.py::test_fused_em_near_tie_margins``, plus
     class-structured agreement at bench scale.  The margin contracts
-    (3-pass: 0.02; 2-pass / x_bf16: 0.25 in squared-distance units at
+    (3-pass: 5e-3; 2-pass / x_bf16: 0.25 in squared-distance units at
     unit-scale data) are what a pipeline must check before flipping a
     faster default.
 
-    The 3-pass hardware contract is 0.02, NOT the interpret-mode 1e-3:
+    The 3-pass hardware contract is 5e-3, NOT the interpret-mode 1e-3:
     on the real MXU both the kernel and the XLA f32 oracle evaluate the
     cross term as bf16 passes (XLA default f32 matmul precision on TPU is
     the same bf16x3 decomposition), each carrying a dropped/rounded-term
     error of std ~2^-18 * sqrt(sum x_i^2 c_i^2) ~ 2e-4 here, so their
     squared-distance DIFFERENCE sees ~1e-3 tails — round-4 hardware run
-    observed flips just above 1e-3.  0.02 squared-distance at |x| ~ 30 is
-    a ~2e-5 relative gap: far below anything Lloyd/SSKM can act on, and
-    the class-structured 1.000000 agreement below covers real data."""
+    observed flips just above 1e-3 (max observed |margin| 1.3e-3).  5e-3
+    keeps ~4x headroom over that while still catching any regression in
+    the bf16x3 decomposition itself; at |x| ~ 30 it is a ~5e-6 relative
+    gap, far below anything Lloyd/SSKM can act on, and the
+    class-structured 1.000000 agreement below covers real data."""
     import jax
     import jax.numpy as jnp
 
@@ -143,7 +145,7 @@ def test_fused_em_fast_variants_on_chip_near_ties():
          ).astype(np.float32)
     lab_ref = np.asarray(estep_assign(jnp.asarray(x), c)[0])
 
-    for kw, min_margin in [(dict(estep_passes=3), 0.02),
+    for kw, min_margin in [(dict(estep_passes=3), 5e-3),
                            (dict(estep_passes=2), 0.25),
                            (dict(x_bf16=True), 0.25)]:
         lab, *_ = fused_em_step_pallas(jnp.asarray(x), c, block_n=128, **kw)
