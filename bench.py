@@ -252,23 +252,50 @@ def bench_kmeans_iter(n: int = 65536, d: int = 768, k: int = 100,
     loop runs: on TPU that is the fused Pallas E+M kernel (one streaming
     pass over x instead of two), with K padded to the 128-lane width.
 
-    ``em_kwargs`` selects kernel variants for the precision-vs-speed
-    sweep: ``{"estep_passes": 2}`` (drop the third cross-term MXU pass)
-    or ``{"x_bf16": True}`` (bf16 HBM storage of x — halves the dominant
-    stream).  Parity contracts for both live in
+    Data is class-structured (k gaussian clusters — the regime the
+    pipelines cluster: CLIP/DINO features with class structure, not pure
+    noise); kernel time is data-independent, so only the ``estep='auto'``
+    probe outcome depends on this choice.
+
+    ``em_kwargs=None`` (the headline) measures the LIBRARY DEFAULT:
+    ``ClusterConfig.estep='auto'`` runs its parity probe on the actual
+    features and picks the x_bf16 fast path only on full label agreement
+    (``cluster.kmeans._resolve_estep``; VERDICT r4 item 1).  Explicit
+    kwargs select variants for the precision-vs-speed sweep:
+    ``{"estep_passes": 3}`` (exact), ``{"estep_passes": 2}``,
+    ``{"x_bf16": True}``.  Parity contracts live in
     ``tests/test_pallas_on_tpu.py::test_fused_em_fast_variants...``."""
     import jax
     import jax.numpy as jnp
 
     from scd_tpu.ops.em import em_iteration
 
-    em_kwargs = em_kwargs or {}
+    def gen_x(key):
+        kx, kc, ka = jax.random.split(key, 3)
+        ctrs = 3.0 * jax.random.normal(kc, (k, d), jnp.float32)
+        assign = jax.random.randint(ka, (n,), 0, k)
+        return ctrs[assign] + 0.5 * jax.random.normal(kx, (n, d),
+                                                      jnp.float32)
+
+    if em_kwargs is None:
+        from scd_tpu.cluster.kmeans import _resolve_estep, _use_fused
+        from scd_tpu.core.config import ClusterConfig
+
+        cfg = ClusterConfig(n_clusters=k)  # estep defaults to "auto"
+        fused = _use_fused(d, k, cfg.fused_mesh)
+        x_probe = jax.jit(gen_x)(jax.random.PRNGKey(2))
+        passes, xbf = _resolve_estep(cfg, fused, x_probe,
+                                     jnp.asarray(n), n, None)
+        em_kwargs = {"estep_passes": passes, "x_bf16": xbf}
+        print(f"[bench] kmeans estep auto probe resolved -> "
+              f"passes={passes} x_bf16={xbf}", file=sys.stderr)
+        del x_probe
 
     def make_run(k_iters):
         @jax.jit
         def run(key):
-            kx, kc = jax.random.split(key)
-            x = jax.random.normal(kx, (n, d), jnp.float32)
+            kg, kc = jax.random.split(key)
+            x = gen_x(kg)
 
             def body(c, _):
                 # exactly the library Lloyd-loop iteration incl. the
@@ -937,7 +964,13 @@ def main():
                       "tests/test_models_extra.py)")
         secondary(
             "kmeans_iters_per_sec", 300, lambda: bench_kmeans_iter()[0],
-            lambda km: f"kmeans_em_iter (N=65536,D=768,K=100->128pad): "
+            lambda km: f"kmeans_em_iter DEFAULT path (estep='auto' parity "
+                       f"probe; N=65536,D=768,K=100->128pad): "
+                       f"{km:.2f} iters/sec")
+        secondary(
+            "kmeans_iters_per_sec_exact", 300,
+            lambda: bench_kmeans_iter(em_kwargs={"estep_passes": 3})[0],
+            lambda km: f"kmeans_em_iter exact 3-pass variant: "
                        f"{km:.2f} iters/sec")
         secondary(
             "kmeans_iters_per_sec_2pass", 300,

@@ -81,6 +81,17 @@ class ClusterConfig:
     # as an operational escape hatch; the VMEM-feasibility guard
     # (fused_em_block_n) still applies to every "on" outcome.
     fused_mesh: object = "auto"  # "auto" | True | False
+    # E-step precision/bandwidth variant of the fused Pallas kernel
+    # (kmeans/SSKM/from-labels Lloyd loops; the XLA fallback path ignores
+    # it).  "exact": 3-pass bf16x3 cross term (label parity with the XLA
+    # oracle).  "x_bf16": stream x from HBM as bf16 — measured +66% EM
+    # throughput on v5e (pallas_kernels.fused_em_step_pallas docstring).
+    # "2pass": drop the third cross-term MXU pass (+9%).  "auto" (default):
+    # run ONE probe EM iteration on the actual features comparing x_bf16
+    # vs exact labels and take the fast path only on full agreement,
+    # logging the decision (kmeans._resolve_estep); near-tie-heavy
+    # distributions stay exact.  SCD_ESTEP env var overrides when set.
+    estep: str = "auto"  # auto | exact | x_bf16 | 2pass
 
 
 @dataclass(frozen=True)

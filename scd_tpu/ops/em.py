@@ -69,7 +69,8 @@ def em_iteration(x: jnp.ndarray, centers: jnp.ndarray, k: int,
 
 def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray,
                          row_w: jnp.ndarray, mesh,
-                         interpret: Optional[bool] = None
+                         interpret: Optional[bool] = None,
+                         estep_passes: int = 3, x_bf16: bool = False
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                     jnp.ndarray]:
     """Fused Pallas E+M over a mesh via ``shard_map``.
@@ -85,6 +86,8 @@ def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray,
 
     ``x`` [N, D] row-sharded (N divisible by the data-axis size),
     ``centers`` [K, D] replicated, ``row_w`` [N] row-sharded.
+    ``estep_passes`` / ``x_bf16`` select the kernel's precision-vs-
+    bandwidth variants exactly as in ``em_iteration``.
     """
     from functools import partial as _partial
 
@@ -115,7 +118,8 @@ def em_iteration_sharded(x: jnp.ndarray, centers: jnp.ndarray,
               **_check_off)
     def _run(xs, cs, rw):
         lab, sums, counts, inertia = fused_em_step_pallas(
-            xs, cs, row_mask=rw, interpret=interpret)
+            xs, cs, row_mask=rw, interpret=interpret,
+            estep_passes=estep_passes, x_bf16=x_bf16)
         return (lab, jax.lax.psum(sums, axis), jax.lax.psum(counts, axis),
                 jax.lax.psum(inertia, axis))
 

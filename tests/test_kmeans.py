@@ -184,3 +184,88 @@ def test_mstep_farthest_never_donates_padded_rows():
     # clusters 1 and 2 are empty; donors must come from the 4 real points
     for row in new[1:]:
         assert np.linalg.norm(row - np.array([10.0, 10.0])) < 1.0, row
+
+
+def test_resolve_estep_dispatch(monkeypatch):
+    """ClusterConfig.estep -> (estep_passes, x_bf16) mapping (VERDICT r4
+    item 1): explicit modes map directly, the XLA fallback is always
+    exact, and SCD_ESTEP overrides the config."""
+    import jax.numpy as jnp
+
+    from scd_tpu.cluster.kmeans import _device_f32, _resolve_estep
+
+    monkeypatch.delenv("SCD_ESTEP", raising=False)
+    x = _device_f32(np.random.default_rng(0)
+                    .standard_normal((64, 8)).astype(np.float32))
+    nv = jnp.asarray(64)
+
+    def res(mode, fused=True):
+        cfg = ClusterConfig(n_clusters=4, estep=mode)
+        return _resolve_estep(cfg, fused, x, nv, 64, None)
+
+    assert res("exact") == (3, False)
+    assert res("2pass") == (2, False)
+    assert res("x_bf16") == (3, True)
+    # not fused (CPU backend / VMEM-infeasible): variants are moot
+    assert res("x_bf16", fused=False) == (3, False)
+    assert res("auto", fused=False) == (3, False)
+    with pytest.raises(ValueError):
+        res("fast")
+    # env override beats the config
+    monkeypatch.setenv("SCD_ESTEP", "2pass")
+    assert res("x_bf16") == (2, False)
+
+
+def test_estep_auto_probe_enables_on_separated_data():
+    """'auto' probes x_bf16 vs exact labels on the actual features and
+    takes the fast path on full agreement; the resulting fit matches the
+    exact fit on class-structured data (the pipelines' regime)."""
+    from scd_tpu.cluster.kmeans import _ESTEP_PROBE_MEMO
+
+    rng = np.random.default_rng(0)
+    C = 5.0 * rng.standard_normal((8, 32)).astype(np.float32)
+    y = rng.integers(0, 8, 600)
+    X = (C[y] + 0.3 * rng.standard_normal((600, 32))).astype(np.float32)
+
+    _ESTEP_PROBE_MEMO.clear()
+    kw = dict(n_clusters=8, n_init=2, max_iterations=8, fused_mesh=True)
+    auto = fit_kmeans(jax.random.PRNGKey(0), X, ClusterConfig(**kw))
+    assert _ESTEP_PROBE_MEMO == {((600, 32), 8, False): (3, True)}
+    exact = fit_kmeans(jax.random.PRNGKey(0), X,
+                       ClusterConfig(estep="exact", **kw))
+    np.testing.assert_array_equal(auto.labels, exact.labels)
+    # centers/inertia carry only the documented bf16-storage rounding
+    assert auto.inertia == pytest.approx(exact.inertia, rel=5e-3)
+
+
+def test_estep_auto_probe_refuses_tie_dominated_data():
+    """Tie-DOMINATED data must keep the exact path: every point near the
+    midplane of two close centers flips ~half the rows under bf16
+    storage.  Individual flips here are sub-resolution ties (margins
+    ~1e-3 of the distance scale), but a 49% flip fraction blows the
+    probe's 2% bound — when a large share of the data is boundary-
+    ambiguous the clustering itself is resolution-sensitive, so the
+    probe stays exact rather than let storage precision pick sides."""
+    import jax.numpy as jnp
+
+    from scd_tpu.cluster.kmeans import (_ESTEP_PROBE_MEMO, _device_f32,
+                                        _resolve_estep)
+
+    rng = np.random.default_rng(5)
+    d = 768
+    c0 = rng.standard_normal(d).astype(np.float32)
+    c1 = c0 + 0.8 * rng.standard_normal(d).astype(np.float32)
+    mid, delta = (c0 + c1) / 2, np.linalg.norm(c1 - c0)
+    u = (c1 - c0) / delta
+    margins = np.concatenate([-np.logspace(-2, -1, 100),
+                              np.logspace(-2, -1, 100)]).astype(np.float32)
+    pts = mid[None] + (margins / (2 * delta))[:, None] * u[None]
+    # rows 0 / n-1 are the strided probe centers (k=2)
+    X = np.concatenate([c0[None], pts, c1[None]]).astype(np.float32)
+
+    _ESTEP_PROBE_MEMO.clear()
+    cfg = ClusterConfig(n_clusters=2, fused_mesh=True)
+    got = _resolve_estep(cfg, True, _device_f32(X),
+                         jnp.asarray(X.shape[0]), X.shape[0], None)
+    assert got == (3, False)
+    assert _ESTEP_PROBE_MEMO[((X.shape[0], d), 2, False)] == (3, False)

@@ -121,7 +121,12 @@ def test_fused_shard_map_em_matches_xla(mesh):
 
     X, y = make_blobs(n_samples=512, n_features=32, centers=8, seed=7)
     cfg = ClusterConfig(n_clusters=8, n_init=2, max_iterations=10)
-    cfg_fused = dataclasses.replace(cfg, fused_mesh=True)
+    # estep pinned exact: this test isolates the shard_map+psum plumbing,
+    # so fused and XLA must run identical math (the auto probe would
+    # enable x_bf16 here, whose documented sums rounding breaks the
+    # rel=1e-4 inertia check; the variant itself is covered in
+    # test_kmeans.py::test_estep_auto_probe_*)
+    cfg_fused = dataclasses.replace(cfg, fused_mesh=True, estep="exact")
     fused = fit_kmeans(jax.random.PRNGKey(0), X, cfg_fused, mesh=mesh)
     xla = fit_kmeans(jax.random.PRNGKey(0), X, cfg, mesh=mesh)
     assert nmi(fused.labels, xla.labels) > 0.99
@@ -159,3 +164,24 @@ def test_fused_dispatch_config_and_env(monkeypatch):
 
     infeasible = fused_em_block_n(1 << 14, 1 << 14) is None
     assert _use_fused(1 << 14, 1 << 14) is (not infeasible)
+
+
+def test_estep_auto_probe_on_mesh(mesh):
+    """The 'auto' estep probe's mesh branch (em_iteration_sharded on both
+    variants) enables x_bf16 on separated blobs and the resulting fit
+    keeps label parity with the exact fused fit."""
+    import dataclasses
+
+    from scd_tpu.cluster.kmeans import _ESTEP_PROBE_MEMO
+
+    X, y = make_blobs(n_samples=512, n_features=32, centers=8, seed=11)
+    base = ClusterConfig(n_clusters=8, n_init=2, max_iterations=8,
+                         fused_mesh=True)
+    _ESTEP_PROBE_MEMO.clear()
+    auto = fit_kmeans(jax.random.PRNGKey(0), X, base, mesh=mesh)
+    (probe_key, probe_val), = _ESTEP_PROBE_MEMO.items()
+    assert probe_key[2] is True  # mesh branch taken
+    assert probe_val == (3, True)
+    exact = fit_kmeans(jax.random.PRNGKey(0), X,
+                       dataclasses.replace(base, estep="exact"), mesh=mesh)
+    np.testing.assert_array_equal(auto.labels, exact.labels)

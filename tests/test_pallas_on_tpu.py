@@ -199,3 +199,38 @@ def test_fused_em_large_k_in_scan_compiles_on_chip():
     agree = float((np.asarray(lab0) == np.asarray(lab_ref)).mean())
     assert agree > 0.999, agree  # bf16x3 vs f32 argmin at close distances
     assert float(ines[1]) <= float(ines[0])  # Lloyd monotonicity
+
+
+def test_estep_auto_probe_on_chip_enables_fast_path():
+    """The estep='auto' parity probe on the REAL chip (VERDICT r4 item 1):
+    on unit-normalized class-structured features at pipeline-like scale
+    (the pipelines L2-normalize CLIP/DINO features) the x_bf16 fast path
+    must be enabled — round-5 hardware measurement: 0.17% flips, every
+    flip an exact-margin <= 2.3e-4 tie at scale ~1 — and the resulting
+    fit must keep clustering parity with an exact-pinned fit.  This is
+    the contract behind BENCH_r05's default-path kmeans_iters_per_sec."""
+    import jax
+    import numpy as np
+
+    from scd_tpu.cluster.kmeans import _ESTEP_PROBE_MEMO, fit_kmeans
+    from scd_tpu.core.config import ClusterConfig
+    from scd_tpu.metrics.cluster import cluster_acc
+
+    rng = np.random.default_rng(7)
+    k, d, n = 50, 768, 16384
+    C = 3.0 * rng.standard_normal((k, d)).astype(np.float32)
+    y = rng.integers(0, k, n)
+    X = (C[y] + 0.5 * rng.standard_normal((n, d))).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+
+    _ESTEP_PROBE_MEMO.clear()
+    kw = dict(n_clusters=k, n_init=2, max_iterations=10)
+    auto = fit_kmeans(jax.random.PRNGKey(0), X, ClusterConfig(**kw))
+    assert _ESTEP_PROBE_MEMO.get(((n, d), k, False)) == (3, True), \
+        _ESTEP_PROBE_MEMO
+    exact = fit_kmeans(jax.random.PRNGKey(0), X,
+                       ClusterConfig(estep="exact", **kw))
+    agree = float((auto.labels == exact.labels).mean())
+    assert agree >= 0.995, agree  # drift only at tie-band points
+    assert cluster_acc(y, auto.labels) > 0.95
+    assert cluster_acc(y, exact.labels) > 0.95
