@@ -367,6 +367,41 @@ def make_shared_extractor(feat_encode, clip_encode, dataset,
     return extract
 
 
+class _LazyProxy:
+    """Call/attribute proxy that builds its target on first use — keeps
+    encoder CONSTRUCTION (model init, checkpoint load) off the path of
+    fully-cached pipeline re-entries while the call sites stay oblivious.
+    ``encode_text``'s ``.forward``/``.variables``/``.tokenize`` attributes
+    (the mesh zeroshot build uses them) resolve through ``__getattr__``."""
+
+    def __init__(self, get):
+        self._get = get
+
+    def __call__(self, *a, **kw):
+        return self._get()(*a, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._get(), name)
+
+
+def lazy_encoders(factory) -> Tuple[Callable, Callable, Callable]:
+    """(feat_encode, clip_encode, encode_text) proxies over ``factory()``
+    (a ``build_encoders`` thunk), built at most once and only when an
+    encoder is actually invoked — i.e. on a cache miss.  The reference
+    re-enters from cache but still pays ``clip.load`` + ``torch.hub``
+    model construction every run (``main_unsup.py:237-264``); here a
+    warm-cache run touches no weights at all."""
+    memo: list = []
+
+    def built():
+        if not memo:
+            memo.append(factory())
+        return memo[0]
+
+    return (_LazyProxy(lambda: built()[0]), _LazyProxy(lambda: built()[1]),
+            _LazyProxy(lambda: built()[2]))
+
+
 def load_shared_features(cfg: PipelineConfig, cache: ArtifactCache,
                          feat_encode, clip_encode, dataset,
                          train_classes: Sequence[int]) -> Tuple[Dict, Dict]:

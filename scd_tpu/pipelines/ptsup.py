@@ -164,8 +164,11 @@ def run_ptsup(cfg: PipelineConfig) -> Dict:
     from scd_tpu.pipelines.common import _pipeline_mesh
 
     mesh = _pipeline_mesh(cfg)
-    feat_encode, clip_encode, encode_text = build_encoders(cfg, extras,
-                                                           mesh=mesh)
+    # lazy: fully-cached re-entries construct no models (see run_unsup)
+    from scd_tpu.pipelines.common import lazy_encoders
+
+    feat_encode, clip_encode, encode_text = lazy_encoders(
+        lambda: build_encoders(cfg, extras, mesh=mesh))
 
     # single shared dataset pass for both encoders, cache-miss-aware
     # (pipelines.common.load_shared_features)

@@ -265,8 +265,15 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
     from scd_tpu.pipelines.common import _pipeline_mesh
 
     mesh = _pipeline_mesh(cfg)
-    feat_encode, clip_encode, encode_text = build_encoders(cfg, extras,
-                                                           mesh=mesh)
+    # encoders build lazily: a fully-cached re-entry (features + zeroshot
+    # imported or from a prior run — the reference's own cache protocol,
+    # main_unsup.py:294-311, 387-395) never constructs a model or loads
+    # weights, so it runs asset-free (the reference still pays
+    # clip.load + torch.hub on every re-entry)
+    from scd_tpu.pipelines.common import lazy_encoders
+
+    feat_encode, clip_encode, encode_text = lazy_encoders(
+        lambda: build_encoders(cfg, extras, mesh=mesh))
 
     # One dataset pass feeds BOTH encoders (the reference iterates twice,
     # main_unsup.py:297-311 — decode/transform/H2D paid twice); each
@@ -316,9 +323,13 @@ def run_unsup(cfg: PipelineConfig) -> Dict:
 
     def metrics_cb(it: int, preds: np.ndarray, cand_names) -> Dict:
         print(f"iter: {it}")
-        return print_acc_block("vote", u_targets, preds, mask, cidx_to_cname,
-                               cand_names, name_similarity=name_sim,
-                               eval_soft=eval_soft)
+        out = print_acc_block("vote", u_targets, preds, mask, cidx_to_cname,
+                              cand_names, name_similarity=name_sim,
+                              eval_soft=eval_soft)
+        # the per-iteration voted-name list is the loop's actual state —
+        # history carries it for diagnostics and the composed-oracle test
+        out["cand_names"] = list(cand_names)
+        return out
 
     result = voting_loop(nouns, name_idx_u, clip_u_feats, zw, u_preds,
                          cfg.cluster.n_clusters, cfg.naming,
