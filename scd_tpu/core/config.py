@@ -149,6 +149,14 @@ class FeatureConfig:
     # see models/vit.py ViTConfig.dense_int8).  Inference-only throughput
     # knob; off by default pending measured feature-parity evidence.
     dense_int8: bool = False
+    # tanh-approx GELU for the DINO-family EXTRACTION towers (CLIP towers
+    # use QuickGELU natively).  Exact-erf gelu upcasts the VPU chain to
+    # f32 and taxes the tower ~21% on v5e (models/vit.py Mlp); the tanh
+    # approximation deviates <0.3% abs — below the bf16 compute dtype's
+    # own rounding floor the towers already run at (parity pinned in
+    # tests/test_models_extra.py) — so extraction defaults to it.  Set
+    # False for bit-level erf parity with the torch reference towers.
+    gelu_tanh: bool = True
 
 
 @dataclass(frozen=True)

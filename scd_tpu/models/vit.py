@@ -90,18 +90,32 @@ class Int8Dense(nn.Module):
     Weights quantize per OUTPUT channel (symmetric, amax/127), activations
     per TOKEN row, both in-graph: the weight-quant ops are loop-invariant
     inside the extraction scan and the activation pass is O(N*D) VPU work
-    against an O(N*D*F) MXU matmul.  The int8x int8 -> int32 dot lowers to
-    the MXU's double-rate path on TPU.  Param names/shapes match nn.Dense
-    (``kernel``/``bias``) so checkpoints load identically."""
+    against an O(N*D*F) MXU matmul.  Param names/shapes match nn.Dense
+    (``kernel``/``bias``) so checkpoints load identically.
+
+    On TPU the matmul+dequant+bias runs as ONE Pallas kernel
+    (``ops.pallas_kernels.dense_w8a8_pallas``): XLA's own int8 dot
+    lowering does NOT reach the MXU int8 path on this backend (measured
+    0.42x the bf16 rate — the reason r4's --int8 knob LOST 14%), while
+    the Mosaic kernel does, with the int32 accumulator and f32 dequant
+    kept in VMEM.  Off-TPU (and for untileable shapes) the XLA graph
+    below is the exact reference semantics the kernel is tested against.
+
+    ``out_dtype``: the kernel writes this dtype straight out of the
+    epilogue (an f32 [N, F] round-trip would cost more HBM than the int8
+    matmul saves); None keeps the legacy f32 output."""
 
     features: int
     use_bias: bool = True
+    out_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (in_dim, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
         x32 = x.astype(jnp.float32)
         w32 = kernel.astype(jnp.float32)
         s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True),
@@ -111,21 +125,48 @@ class Int8Dense(nn.Module):
                           1e-12) / 127.0  # [..., 1]
         xq = jnp.round(
             jnp.clip(x32 / s_x, -127.0, 127.0)).astype(jnp.int8)
+
+        out_dtype = self.out_dtype or jnp.float32
+        if jax.default_backend() == "tpu":
+            from scd_tpu.ops.pallas_kernels import (dense_w8a8_pallas,
+                                                    w8a8_block_sizes)
+
+            lead = x.shape[:-1]
+            n = int(np.prod(lead)) if lead else 1
+            if w8a8_block_sizes(n, in_dim, self.features) is not None:
+                y = dense_w8a8_pallas(
+                    xq.reshape(n, in_dim), wq, s_x.reshape(n, 1), s_w,
+                    bias if bias is not None
+                    else jnp.zeros((self.features,), jnp.float32),
+                    out_dtype=out_dtype)
+                return y.reshape(*lead, self.features)
+
         y = jax.lax.dot_general(
             xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         y = y.astype(jnp.float32) * s_x * s_w
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,))
+        if bias is not None:
             y = y + bias
-        return y
+        return y.astype(out_dtype)
 
 
-def _dense(cfg: "ViTConfig", features: int, name: str):
-    """nn.Dense or its int8-quantized drop-in, per ``cfg.dense_int8``."""
-    if cfg.dense_int8:
-        return Int8Dense(features, name=name)
+def _dense(cfg: "ViTConfig", features: int, name: str,
+           int8_site: bool = True):
+    """nn.Dense or its int8-quantized drop-in, per ``cfg.dense_int8``.
+
+    ``int8_site=False`` keeps a layer bf16 even under dense_int8:
+    quantization only pays where the int8 kernel's win exceeds the
+    activation-quantization chain's cost.  Measured r5 on v5e (ViT-B
+    shapes, N=25216, sound harness): qkv 285us int8 vs 554us bf16 and
+    fc1 453 vs 739 are clear wins even after the ~110us quant chain;
+    proj (768->768) is 181 vs 185 — a wash that the quant chain turns
+    into a loss — and fc2's 3072-wide input makes ITS quant chain ~4x
+    dearer (619+~440 vs 739).  So only qkv/fc1 quantize."""
+    if cfg.dense_int8 and int8_site:
+        # the kernel epilogue writes the compute dtype directly — the
+        # callers' .astype(compute_dtype) becomes a no-op instead of an
+        # f32 [N, F] HBM round-trip
+        return Int8Dense(features, name=name, out_dtype=cfg.compute_dtype)
     return nn.Dense(features, dtype=cfg.compute_dtype, name=name)
 
 
@@ -138,7 +179,7 @@ class Mlp(nn.Module):
         hidden = int(c.width * c.mlp_ratio)
         # cast back to the compute dtype: Int8Dense returns f32 and a
         # f32 residual/activation stream would double HBM traffic
-        x = _dense(c, hidden, "fc1")(x).astype(c.compute_dtype)
+        x = _dense(c, hidden, "fc1")(x).astype(c.compute_dtype)  # int8 site
         # exact-erf gelu is the DINO parity default but taxes the tower
         # ~21% on v5e (measured at ViT-B/16 b128: 2480 imgs/s exact vs
         # 2997 with gelu_tanh / 3016 with a sigmoid activation — the erf
@@ -150,7 +191,9 @@ class Mlp(nn.Module):
             x = quick_gelu(x)
         else:
             x = nn.gelu(x, approximate=c.gelu_tanh)
-        x = _dense(c, c.width, "fc2")(x).astype(c.compute_dtype)
+        # fc2: its 4*width input makes the quant chain cost ~4x the win
+        x = _dense(c, c.width, "fc2", int8_site=False)(x).astype(
+            c.compute_dtype)
         return x
 
 
@@ -204,7 +247,9 @@ class Attention(nn.Module):
             out = jax.nn.dot_product_attention(
                 heads(q), heads(k), heads(v), mask=mask)
         out = out.reshape(B, L, D)
-        return _dense(c, c.width, "proj")(out).astype(c.compute_dtype)
+        # proj: 768->768 int8 is a measured wash before quant-chain cost
+        return _dense(c, c.width, "proj", int8_site=False)(out).astype(
+            c.compute_dtype)
 
 
 class Block(nn.Module):
@@ -290,12 +335,13 @@ class VisionTransformer(nn.Module):
                 bc = dataclasses.replace(c,
                                          dense_int8=i < c.dense_int8_until)
             x = block_cls(bc, name=f"block_{i}")(x)
-        if c.pre_post_norm:
-            x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
-                             name="ln_post")(x[:, :1])[:, 0]
-        else:
-            x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
-                             name="norm")(x)[:, 0]
+        # final norm on the CLS row only: LayerNorm is per-token, so
+        # norm(x)[:, 0] == norm(x[:, :1])[:, 0] exactly — the DINO
+        # reference norms all 197 tokens and keeps 1
+        # (vision_transformer.py forward); the other 196 are dead work
+        final = "ln_post" if c.pre_post_norm else "norm"
+        x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
+                         name=final)(x[:, :1])[:, 0]
 
         if c.output_proj is not None:
             proj = self.param("proj", nn.initializers.normal(c.width ** -0.5),

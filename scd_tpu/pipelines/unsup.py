@@ -171,7 +171,8 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
                 if name == "gcd" else cfg.data.dino_weights)
         cfg_fn, normalize = vit_feat_cfgs[name]
         vit_cfg = cfg_fn(compute_dtype=jnp.bfloat16,
-                         dense_int8=cfg.feature.dense_int8)
+                         dense_int8=cfg.feature.dense_int8,
+                         gelu_tanh=cfg.feature.gelu_tanh)
         sd = torch.load(path, map_location="cpu")
         dino_vars = load_dino_weights(sd, vit_cfg)
         dino = VisionTransformer(vit_cfg)

@@ -9,8 +9,11 @@ cd "$(dirname "$0")/.."
 
 {
   echo "== on-chip suite $(date -u +%FT%TZ) =="
+  # kernel-level Mosaic parity + composed jit paths (SSKM / constrained
+  # sinkhorn / vocab top-k) — interpret-mode CPU tests cannot see
+  # Mosaic lowering or scoped-VMEM failures (VERDICT r4 item 8)
   SCD_TEST_PLATFORM=axon timeout 3600 python -m pytest \
-      tests/test_pallas_on_tpu.py -q -rA 2>&1
+      tests/test_pallas_on_tpu.py tests/test_composed_on_tpu.py -q -rA 2>&1
   echo "exit=$?"
 } | tee "AXON_SUITE_r${R}.txt"
 

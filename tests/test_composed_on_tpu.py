@@ -1,0 +1,108 @@
+"""On-chip smokes of the COMPOSED jitted paths (VERDICT r4 item 8).
+
+``tests/test_pallas_on_tpu.py`` proves kernel-level Mosaic parity; this
+file asserts the composed programs the pipelines actually run — vmapped
+while_loop SSKM, the sinkhorn-constrained fitter, the vocabulary top-k —
+compile AND produce correct results on real hardware (interpret-mode CPU
+tests cannot see Mosaic lowering/VMEM failures; round 3's topk kernel
+OOMed scoped VMEM only on hardware).  Gated:
+
+    SCD_TEST_PLATFORM=axon python -m pytest tests/test_composed_on_tpu.py -q
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+_ON_TPU = os.environ.get("SCD_TEST_PLATFORM", "cpu") not in ("", "cpu")
+
+pytestmark = pytest.mark.skipif(
+    not _ON_TPU, reason="on-chip composed smokes need SCD_TEST_PLATFORM=axon")
+
+if _ON_TPU:  # enable cache before any compile
+    from scd_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
+def _blobs(n, d, k, seed, scale=5.0, noise=0.3):
+    rng = np.random.default_rng(seed)
+    C = scale * rng.standard_normal((k, d)).astype(np.float32)
+    y = rng.integers(0, k, n)
+    X = (C[y] + noise * rng.standard_normal((n, d))).astype(np.float32)
+    return X, y
+
+
+def test_fit_sskm_on_chip():
+    """The full SSKM program (k-means++ seeding + vmapped-restart
+    while_loop Lloyd + labelled pinning) on the real chip recovers
+    well-separated blobs."""
+    import jax
+
+    from scd_tpu.cluster import fit_sskm
+    from scd_tpu.core.config import ClusterConfig
+    from scd_tpu.metrics import evaluate_clustering
+
+    X, y = _blobs(4096, 768, 20, seed=3)
+    lab = np.zeros(len(y), bool)
+    lab[:1024] = True
+    res = fit_sskm(jax.random.PRNGKey(1), X[~lab], X[lab], y[lab],
+                   ClusterConfig(n_clusters=20, n_init=2,
+                                 max_iterations=20))
+    m = evaluate_clustering(np.concatenate([y[lab], y[~lab]]),
+                            np.asarray(res.labels))
+    assert m["acc"] > 0.95, m
+
+
+def test_fit_constrained_sinkhorn_on_chip():
+    """ConSSKM with the on-device sinkhorn track: size bounds hold and the
+    clustering recovers structure on hardware."""
+    import jax
+
+    from scd_tpu.cluster import fit_constrained
+    from scd_tpu.core.config import ClusterConfig
+    from scd_tpu.metrics import evaluate_clustering
+
+    X, y = _blobs(2048, 256, 8, seed=5)
+    lab = (y < 4) & (np.arange(len(y)) % 3 == 0)
+    n_u = int((~lab).sum())
+    lo, hi = n_u // 8 - 60, n_u // 8 + 80
+    res = fit_constrained(jax.random.PRNGKey(0), X[~lab], X[lab], y[lab],
+                          ClusterConfig(n_clusters=8, n_init=2,
+                                        max_iterations=8, size_min=lo,
+                                        size_max=hi,
+                                        constrained_backend="sinkhorn"))
+    u = res.labels[int(lab.sum()):]
+    sizes = np.bincount(u, minlength=8)
+    assert sizes.sum() == n_u
+    assert sizes.min() >= lo and sizes.max() <= hi
+    m = evaluate_clustering(y[~lab], u)
+    assert m["acc"] > 0.9, (m, sizes)
+
+
+def test_vocab_topk_on_chip_matches_xla():
+    """The streaming vocabulary top-k (the voting pipeline's per-image
+    name shortlist) against the XLA oracle at a vocab size that exercises
+    the streaming path."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.topk import _classify_topk_xla, classify_topk
+
+    kf, kw = jax.random.split(jax.random.PRNGKey(2))
+    feats = jax.random.normal(kf, (2048, 512), jnp.float32)
+    feats = feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
+    w = jax.random.normal(kw, (512, 20000), jnp.float32)
+    w = w / jnp.linalg.norm(w, axis=0, keepdims=True)
+    vals, idx = (np.asarray(a) for a in classify_topk(feats, w, 5))
+    vals_x, idx_x = (np.asarray(a) for a in _classify_topk_xla(feats, w, 5))
+    np.testing.assert_allclose(vals, vals_x, rtol=2e-4, atol=2e-5)
+    dis = idx != idx_x
+    # random 512-d x 20k logits produce a handful of exact/near ties at
+    # the k-th slot, where streaming and monolithic top-k legitimately
+    # order differently; any index mismatch must be such a tie
+    assert dis.mean() < 1e-3, dis.mean()
+    if dis.any():
+        np.testing.assert_allclose(vals[dis], vals_x[dis],
+                                   rtol=1e-4, atol=1e-6)

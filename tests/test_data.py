@@ -287,3 +287,60 @@ def test_loader_readahead_propagates_errors_and_allows_break():
     import time
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_image_shards_round_trip(tmp_path):
+    """write_image_shards + iterate_shard_batches reproduce the exact
+    batch stream (images/labels/uq_idxs/mask_lab), across shard
+    boundaries and ragged tails."""
+    import numpy as np
+
+    from scd_tpu.data.shards import (iterate_shard_batches, shard_manifest,
+                                     write_image_shards)
+
+    rng = np.random.default_rng(0)
+    n, h = 530, 8
+    images = rng.integers(0, 256, (n, h, h, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, n).astype(np.int64)
+    uqs = np.arange(n, dtype=np.int64)
+    mask = rng.random(n) < 0.5
+
+    def batches(bs):
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            yield images[s:e], labels[s:e], uqs[s:e], mask[s:e]
+
+    out = str(tmp_path / "shards")
+    write_image_shards(batches(96), out, shard_size=128)
+    man = shard_manifest(out)
+    assert man["n_images"] == n
+    assert [s["n"] for s in man["shards"]] == [128, 128, 128, 128, 18]
+
+    got = list(iterate_shard_batches(out, batch_size=64))
+    assert [len(b[0]) for b in got] == [64] * 8 + [18]
+    np.testing.assert_array_equal(np.concatenate([b[0] for b in got]), images)
+    np.testing.assert_array_equal(np.concatenate([b[1] for b in got]), labels)
+    np.testing.assert_array_equal(np.concatenate([b[2] for b in got]), uqs)
+    np.testing.assert_array_equal(np.concatenate([b[3] for b in got]), mask)
+
+    # per-process slicing covers every shard exactly once
+    parts = [list(iterate_shard_batches(out, 64, process_shard=(i, 2)))
+             for i in range(2)]
+    tot = sum(len(b[0]) for p in parts for b in p)
+    assert tot == n
+    np.testing.assert_array_equal(
+        np.concatenate([b[2] for p in parts for b in p]), uqs)
+
+
+def test_image_shards_reject_float(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from scd_tpu.data.shards import write_image_shards
+
+    def batches():
+        yield (np.zeros((4, 8, 8, 3), np.float32), np.zeros(4, np.int64),
+               np.arange(4), np.zeros(4, bool))
+
+    with _pytest.raises(ValueError, match="uint8"):
+        write_image_shards(batches(), str(tmp_path / "s"))

@@ -382,3 +382,42 @@ def test_em_iteration_fused_pads_k_like_xla():
     np.testing.assert_allclose(np.asarray(sums_f), np.asarray(sums_x),
                                atol=1e-3)
     np.testing.assert_allclose(float(in_f), float(in_x), rtol=1e-4)
+
+
+def test_dense_w8a8_pallas_matches_xla_reference():
+    """Interpret-mode W8A8 kernel vs the XLA int8 graph in Int8Dense:
+    identical int32 accumulation and dequant math — equal to within one
+    f32 ulp (the epilogue's mul-add may or may not contract to an FMA
+    between the two compilers) — incl. a non-block-multiple N exercising
+    row padding."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.pallas_kernels import dense_w8a8_pallas
+
+    rng = np.random.default_rng(0)
+    n, d, f = 300, 128, 256
+    xq = jnp.asarray(rng.integers(-127, 128, (n, d)).astype(np.int8))
+    wq = jnp.asarray(rng.integers(-127, 128, (d, f)).astype(np.int8))
+    sx = jnp.asarray((0.003 + 0.001 * rng.random((n, 1))).astype(np.float32))
+    sw = jnp.asarray((0.001 + 0.002 * rng.random((1, f))).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+
+    y_k = dense_w8a8_pallas(xq, wq, sx, sw, b, block_n=128, block_f=128,
+                            out_dtype=jnp.float32, interpret=True)
+
+    y_ref = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y_ref = y_ref.astype(jnp.float32) * sx * sw + b
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-7, atol=2e-6)
+
+
+def test_w8a8_block_sizes_guard():
+    from scd_tpu.ops.pallas_kernels import w8a8_block_sizes
+
+    assert w8a8_block_sizes(25216, 768, 3072) is not None
+    assert w8a8_block_sizes(25216, 768, 2304) is not None
+    # non-128-lane dims cannot tile
+    assert w8a8_block_sizes(1024, 100, 3072) is None
+    assert w8a8_block_sizes(1024, 768, 1000) is None

@@ -234,3 +234,41 @@ def test_estep_auto_probe_on_chip_enables_fast_path():
     assert agree >= 0.995, agree  # drift only at tie-band points
     assert cluster_acc(y, auto.labels) > 0.95
     assert cluster_acc(y, exact.labels) > 0.95
+
+
+def test_dense_w8a8_pallas_on_chip_matches_xla():
+    """Mosaic-compiled W8A8 dense (the kernel that makes --int8 a real
+    win: XLA's own int8 dot lowering measured 0.42x the bf16 rate on this
+    backend while the Mosaic int8 MXU path exceeds it) against the XLA
+    int8 reference semantics at a ViT fc1 shape, bf16 out-cast equality."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.pallas_kernels import dense_w8a8_pallas
+
+    rng = np.random.default_rng(1)
+    n, d, f = 1000, 768, 3072  # non-block-multiple N: exercises padding
+    xq = jnp.asarray(rng.integers(-127, 128, (n, d)).astype(np.int8))
+    wq = jnp.asarray(rng.integers(-127, 128, (d, f)).astype(np.int8))
+    sx = jnp.asarray((0.003 + 0.001 * rng.random((n, 1))).astype(np.float32))
+    sw = jnp.asarray((0.001 + 0.002 * rng.random((1, f))).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+
+    y_k = np.asarray(dense_w8a8_pallas(xq, wq, sx, sw, b,
+                                       out_dtype=jnp.bfloat16))
+
+    @jax.jit
+    def ref(xq, wq, sx, sw, b):
+        y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * sx * sw + b).astype(jnp.bfloat16)
+
+    y_x = np.asarray(ref(xq, wq, sx, sw, b))
+    # int32 accumulation is exact on both paths; the f32 epilogue may
+    # differ by one ulp (FMA contraction), which the bf16 out-cast can
+    # round either way on boundary values — require near-total equality
+    eq = (y_k == y_x).mean()
+    assert eq > 0.9999, eq
+    np.testing.assert_allclose(y_k.astype(np.float32),
+                               y_x.astype(np.float32), rtol=1e-2,
+                               atol=1e-3)
