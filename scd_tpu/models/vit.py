@@ -129,17 +129,31 @@ class Int8Dense(nn.Module):
         out_dtype = self.out_dtype or jnp.float32
         if jax.default_backend() == "tpu":
             from scd_tpu.ops.pallas_kernels import (dense_w8a8_pallas,
-                                                    w8a8_block_sizes)
+                                                    dense_w8a8_pallas_3d,
+                                                    w8a8_block_sizes,
+                                                    w8a8_block_sizes_3d)
 
-            lead = x.shape[:-1]
-            n = int(np.prod(lead)) if lead else 1
-            if w8a8_block_sizes(n, in_dim, self.features) is not None:
-                y = dense_w8a8_pallas(
-                    xq.reshape(n, in_dim), wq, s_x.reshape(n, 1), s_w,
-                    bias if bias is not None
-                    else jnp.zeros((self.features,), jnp.float32),
-                    out_dtype=out_dtype)
-                return y.reshape(*lead, self.features)
+            zero_b = jnp.zeros((self.features,), jnp.float32)
+            if x.ndim == 3:
+                # rank-3 kernel: flattening (B, L) at non-tile-aligned L
+                # (ViT L=197) costs a relayout copy of x AND the output
+                # per call — measured 4x the GEMM itself (see
+                # _w8a8_kernel3)
+                bb, ll = x.shape[0], x.shape[1]
+                if w8a8_block_sizes_3d(bb, ll, in_dim,
+                                       self.features) is not None:
+                    return dense_w8a8_pallas_3d(
+                        xq, wq, s_x, s_w,
+                        bias if bias is not None else zero_b,
+                        out_dtype=out_dtype)
+            elif x.ndim == 2:
+                n = x.shape[0]
+                if w8a8_block_sizes(n, in_dim, self.features) is not None:
+                    y = dense_w8a8_pallas(
+                        xq, wq, s_x, s_w,
+                        bias if bias is not None else zero_b,
+                        out_dtype=out_dtype)
+                    return y
 
         y = jax.lax.dot_general(
             xq, wq, (((x.ndim - 1,), (0,)), ((), ())),

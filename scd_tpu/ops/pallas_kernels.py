@@ -653,6 +653,81 @@ def _w8a8_kernel(xq_ref, wq_ref, sx_ref, sw_ref, b_ref, o_ref):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+def _w8a8_kernel3(xq_ref, wq_ref, sx_ref, sw_ref, b_ref, o_ref):
+    # rank-3 x block [bb, L, D]: contraction on D, bb/L stay — each of the
+    # bb [L, D] @ [D, bf] matmuls runs on the MXU without EVER flattening
+    # (B, L) on the host side, which at L=197 (not tile-aligned) costs a
+    # full relayout copy of x AND the [N, F] output per dense call —
+    # measured 1.73 ms vs 0.44 for the same GEMM fed 2-D (r5, v5e)
+    acc = jax.lax.dot_general(
+        xq_ref[...], wq_ref[...], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx_ref[...] * sw_ref[...] + b_ref[...]
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def w8a8_block_sizes_3d(b: int, l: int, d: int, f: int):
+    """(block_b, block_f) for the rank-3 W8A8 kernel, or None when the
+    shape cannot tile.  block_b divides B; the VMEM budget mirrors
+    :func:`w8a8_block_sizes` with the [bb, L, bf] accumulator dominating."""
+    if d % 128 or f % 128:
+        return None
+    for bb in (8, 4, 2, 1):
+        if b % bb:
+            continue
+        for bf in range(min(f, 1024), 127, -128):
+            if f % bf:
+                continue
+            vmem = (2 * bb * l * d       # int8 x block, double-buffered
+                    + 2 * d * bf         # int8 w block, double-buffered
+                    + bb * l * bf * 4    # int32 accumulator
+                    + 2 * bb * l * bf * 2  # out block, double-buffered
+                    + bb * l * 4 + bf * 8)
+            # 10 MB, NOT the 16 MB scoped limit: Mosaic's real stack
+            # charge ran ~1.4x this estimate on hardware (bb=8 estimated
+            # 13.7M, actual 19.70M -> scoped-VMEM OOM; r5 measured)
+            if vmem <= 10 * 1024 * 1024:
+                return bb, bf
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "block_f",
+                                             "out_dtype", "interpret"))
+def dense_w8a8_pallas_3d(xq: jnp.ndarray, wq: jnp.ndarray, s_x: jnp.ndarray,
+                         s_w: jnp.ndarray, bias: jnp.ndarray,
+                         block_b: int = None, block_f: int = None,
+                         out_dtype=jnp.bfloat16, interpret: bool = False
+                         ) -> jnp.ndarray:
+    """Rank-3 variant of :func:`dense_w8a8_pallas`: ``xq [B, L, D] i8 @
+    wq [D, F] i8`` -> ``[B, L, F]`` with the dequant epilogue fused, and
+    NO host-side (B, L) flatten — see ``_w8a8_kernel3`` for why that
+    matters at non-tile-aligned L.  ``s_x`` is [B, L, 1]."""
+    b, l, d = xq.shape
+    f = wq.shape[1]
+    if block_b is None or block_f is None:
+        bs = w8a8_block_sizes_3d(b, l, d, f)
+        if bs is None:
+            raise ValueError(f"dense_w8a8_pallas_3d cannot tile B={b} "
+                             f"L={l} D={d} F={f}; use the XLA path")
+        block_b, block_f = bs
+    return pl.pallas_call(
+        _w8a8_kernel3,
+        grid=(b // block_b, f // block_f),
+        in_specs=[
+            pl.BlockSpec((block_b, l, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((d, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((block_b, l, 1), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, block_f), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((1, 1, block_f), lambda i, j: (0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_b, l, block_f), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, l, f), out_dtype),
+        interpret=interpret,
+    )(xq, wq, s_x.reshape(b, l, 1),
+      s_w.reshape(1, 1, f).astype(jnp.float32),
+      bias.reshape(1, 1, f).astype(jnp.float32))
+
+
 def w8a8_block_sizes(n: int, d: int, f: int):
     """(block_n, block_f) for ``dense_w8a8_pallas`` or None when the shape
     cannot tile (d/f must be 128-lane multiples; block_f must divide f).

@@ -421,3 +421,36 @@ def test_w8a8_block_sizes_guard():
     # non-128-lane dims cannot tile
     assert w8a8_block_sizes(1024, 100, 3072) is None
     assert w8a8_block_sizes(1024, 768, 1000) is None
+
+
+def test_dense_w8a8_pallas_3d_matches_xla_reference():
+    """Rank-3 W8A8 kernel (no host-side (B, L) flatten — the flatten at
+    non-tile-aligned L costs relayout copies worth 4x the GEMM) vs the
+    rank-3 XLA int8 dot, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.pallas_kernels import (dense_w8a8_pallas_3d,
+                                            w8a8_block_sizes_3d)
+
+    rng = np.random.default_rng(0)
+    b, l, d, f = 4, 13, 128, 256  # odd L: the exact case the kernel is for
+    xq = jnp.asarray(rng.integers(-127, 128, (b, l, d)).astype(np.int8))
+    wq = jnp.asarray(rng.integers(-127, 128, (d, f)).astype(np.int8))
+    sx = jnp.asarray((0.003 + 0.001 * rng.random((b, l, 1))
+                      ).astype(np.float32))
+    sw = jnp.asarray((0.001 + 0.002 * rng.random((1, f))).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+
+    y_k = dense_w8a8_pallas_3d(xq, wq, sx, sw, bias, block_b=2, block_f=128,
+                               out_dtype=jnp.float32, interpret=True)
+    y_ref = jax.lax.dot_general(xq, wq, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+    y_ref = (y_ref.astype(jnp.float32) * sx * sw.reshape(1, 1, f)
+             + bias.reshape(1, 1, f))
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref),
+                               rtol=2e-7, atol=2e-6)
+
+    assert w8a8_block_sizes_3d(128, 197, 768, 3072) is not None
+    assert w8a8_block_sizes_3d(128, 197, 100, 3072) is None
+    assert w8a8_block_sizes_3d(127, 197, 768, 3072) == (1, 1024)  # B prime
