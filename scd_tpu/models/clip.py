@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scd_tpu.models.vit import Block, ViTConfig, VisionTransformer
+from scd_tpu.models.vit import (Block, ViTConfig, VisionTransformer,
+                                seq_pad_target)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +71,13 @@ class TextTransformer(nn.Module):
                             # extraction (see ViTConfig.dense_int8)
                             dense_int8=c.vision.dense_int8,
                             compute_dtype=c.compute_dtype)
+        # tile-align the sequence for the int8 path (77 -> 80; see
+        # ViTConfig.pad_seq_to).  No key mask needed: pad rows sit at the
+        # END and the causal mask already hides keys j > i from every
+        # real query; EOT pooling below indexes tokens < L only.
+        pad_to = seq_pad_target(blk_cfg, L)
+        if pad_to > L:
+            x = jnp.pad(x, ((0, 0), (0, pad_to - L), (0, 0)))
         for i in range(c.text_depth):
             x = Block(blk_cfg, name=f"block_{i}")(x, causal=True)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,

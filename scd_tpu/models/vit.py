@@ -70,6 +70,19 @@ class ViTConfig:
     # MXU path while trainable blocks keep exact bf16 gradients (the
     # frozen blocks' cotangents are dead code XLA eliminates).
     dense_int8_until: Optional[int] = None
+    # Token-sequence padding for the int8 path.  ViT-B/16's L=197 is not
+    # sublane-tile aligned (f32 tiles are (8,128), bf16 (16,128)), so a
+    # [B, L, D] -> [B*L, D] flatten costs a full relayout copy of the
+    # activations AND the dense output per quantized layer — measured r5
+    # on v5e: 1.73 ms vs 0.44 ms for the SAME W8A8 GEMM fed 2-D.  Padding
+    # L up to a multiple of 16 (197 -> 208, +5.6% FLOPs) makes the
+    # flatten a free bitcast and lets every int8 site ride the fast 2-D
+    # Pallas kernel (272 vs 158 TFLOP/s for the rank-3 one).  Pad KEYS
+    # are masked to -inf in attention, so real-token outputs are
+    # mathematically identical (exp(-inf)=0 exactly; only the contraction
+    # length changes).  "auto" = pad to a multiple of 16 iff the int8
+    # path is active; an int forces that length; 0/None never pads.
+    pad_seq_to: Any = "auto"
 
     @property
     def grid(self) -> int:
@@ -84,6 +97,16 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def seq_pad_target(cfg: "ViTConfig", real_len: int) -> int:
+    """Resolve ``cfg.pad_seq_to`` (see its comment) for a concrete
+    sequence length; returns the padded length (>= real_len)."""
+    p = cfg.pad_seq_to
+    if p == "auto":
+        int8_on = cfg.dense_int8 or cfg.dense_int8_until is not None
+        return -(-real_len // 16) * 16 if int8_on else real_len
+    return max(int(p or 0), real_len)
+
+
 class Int8Dense(nn.Module):
     """Dense with W8A8 dynamic quantization for the MXU's int8 path.
 
@@ -93,13 +116,21 @@ class Int8Dense(nn.Module):
     against an O(N*D*F) MXU matmul.  Param names/shapes match nn.Dense
     (``kernel``/``bias``) so checkpoints load identically.
 
-    On TPU the matmul+dequant+bias runs as ONE Pallas kernel
-    (``ops.pallas_kernels.dense_w8a8_pallas``): XLA's own int8 dot
-    lowering does NOT reach the MXU int8 path on this backend (measured
-    0.42x the bf16 rate — the reason r4's --int8 knob LOST 14%), while
-    the Mosaic kernel does, with the int32 accumulator and f32 dequant
-    kept in VMEM.  Off-TPU (and for untileable shapes) the XLA graph
-    below is the exact reference semantics the kernel is tested against.
+    On TPU the whole layer — activation quantization, int8 matmul,
+    dequant, bias, optional activation — runs as ONE Pallas kernel
+    (``ops.pallas_kernels.dense_w8a8_fusedq_pallas``), because BOTH
+    halves of the naive design lose on this hardware (all measured r5
+    on v5e):  XLA's own int8 dot lowering does not reach the MXU int8
+    path (0.42x the bf16 rate — why r4's --int8 knob LOST 14%), and a
+    kernel fed PRE-quantized activations pays an XLA-side quant chain
+    whose HBM round-trips (abs-max + round + int8 x / f32 s_x per
+    layer) turn per-GEMM wins into an 18% tower loss.  The fused kernel
+    reads bf16 activations directly — the same HBM traffic as the bf16
+    dense it replaces — and quantizes in VMEM.  Off-TPU (and for
+    untileable shapes) the XLA graph below is the reference semantics
+    the kernels are tested against (quantization-boundary rounding may
+    differ by 1 ulp of s_x between compilers — parity contracts are
+    step-bounded, not bitwise; see tests/test_pallas_kernels.py).
 
     ``out_dtype``: the kernel writes this dtype straight out of the
     epilogue (an f32 [N, F] round-trip would cost more HBM than the int8
@@ -108,6 +139,13 @@ class Int8Dense(nn.Module):
     features: int
     use_bias: bool = True
     out_dtype: Any = None
+    # Epilogue activation fused into the kernel (None | "quick_gelu" |
+    # "gelu_tanh" | "gelu"): XLA fuses GELU into its own matmul
+    # epilogues, so an int8 fc1 WITHOUT this pays a separate elementwise
+    # HBM pass over the [N, 4*width] output the bf16 dense never pays
+    # (~0.4 ms/ViT-B block — most of the r5-measured int8 tower gap).
+    # Fallback paths apply the same activation outside the kernel.
+    act: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -116,52 +154,93 @@ class Int8Dense(nn.Module):
                             (in_dim, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        lead = x.shape[:-1]
         x32 = x.astype(jnp.float32)
         w32 = kernel.astype(jnp.float32)
         s_w = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True),
                           1e-12) / 127.0  # [1, out]
         wq = jnp.round(w32 / s_w).astype(jnp.int8)
+
+        out_dtype = self.out_dtype or jnp.float32
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            from scd_tpu.ops.pallas_kernels import (
+                dense_w8a8_fusedq_pallas, dense_w8a8_pallas,
+                dense_w8a8_pallas_3d, w8a8_block_sizes, w8a8_block_sizes_3d,
+                w8a8_fusedq_block_sizes)
+            zero_b = jnp.zeros((self.features,), jnp.float32)
+            # Primary path: the fused-activation-quant kernel.  x streams
+            # in as bf16 (exactly what the bf16 dense it replaces would
+            # read — XLA fuses the cast into the producing layernorm) and
+            # quantizes in VMEM, so the int8 path adds ZERO HBM traffic
+            # over bf16 while the MXU runs double-rate.  The XLA-side
+            # quant chain below (abs-max + round + int8/scale HBM
+            # round-trips per layer) measured r5 turned per-GEMM wins
+            # into an 18% tower LOSS — it survives only as the
+            # off-TPU/untileable-shape reference semantics.  Needs a 2-D
+            # tile-aligned view: [B, L, D] flattens freely when L % 16
+            # == 0 (ViTs opt in via ViTConfig.pad_seq_to, 197 -> 208).
+            xv = None
+            if x.ndim == 2:
+                xv = x
+            elif x.ndim == 3 and x.shape[1] % 16 == 0:
+                xv = x.reshape(-1, in_dim)
+            if xv is not None and w8a8_fusedq_block_sizes(
+                    xv.shape[0], in_dim, self.features) is not None:
+                y = dense_w8a8_fusedq_pallas(
+                    xv.astype(jnp.bfloat16), wq, s_w,
+                    bias if bias is not None else zero_b,
+                    out_dtype=out_dtype, act=self.act)
+                return y.reshape(*lead, self.features)
+            # flatten-first for the pre-quantized 2-D kernel: same
+            # alignment rule; flatten BEFORE quantizing so xq/s_x are
+            # born 2-D (the 2-D kernel runs ~1.7x the rank-3 one,
+            # 272 vs 158 TFLOP/s measured r5)
+            if (x.ndim == 3 and x.shape[1] % 16 == 0
+                    and w8a8_block_sizes(x.shape[0] * x.shape[1], in_dim,
+                                         self.features) is not None):
+                x32 = x32.reshape(-1, in_dim)
+
         s_x = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
                           1e-12) / 127.0  # [..., 1]
         xq = jnp.round(
             jnp.clip(x32 / s_x, -127.0, 127.0)).astype(jnp.int8)
 
-        out_dtype = self.out_dtype or jnp.float32
-        if jax.default_backend() == "tpu":
-            from scd_tpu.ops.pallas_kernels import (dense_w8a8_pallas,
-                                                    dense_w8a8_pallas_3d,
-                                                    w8a8_block_sizes,
-                                                    w8a8_block_sizes_3d)
-
-            zero_b = jnp.zeros((self.features,), jnp.float32)
-            if x.ndim == 3:
-                # rank-3 kernel: flattening (B, L) at non-tile-aligned L
-                # (ViT L=197) costs a relayout copy of x AND the output
-                # per call — measured 4x the GEMM itself (see
+        y = None
+        if on_tpu:
+            if (xq.ndim == 2 and w8a8_block_sizes(
+                    xq.shape[0], in_dim, self.features) is not None):
+                y = dense_w8a8_pallas(
+                    xq, wq, s_x, s_w,
+                    bias if bias is not None else zero_b,
+                    out_dtype=out_dtype)
+            elif xq.ndim == 3:
+                # rank-3 kernel: the fallback when L is NOT tile-aligned
+                # — flattening there costs a relayout copy of x AND the
+                # output per call, measured 4x the GEMM itself (see
                 # _w8a8_kernel3)
-                bb, ll = x.shape[0], x.shape[1]
+                bb, ll = xq.shape[0], xq.shape[1]
                 if w8a8_block_sizes_3d(bb, ll, in_dim,
                                        self.features) is not None:
-                    return dense_w8a8_pallas_3d(
+                    y = dense_w8a8_pallas_3d(
                         xq, wq, s_x, s_w,
                         bias if bias is not None else zero_b,
                         out_dtype=out_dtype)
-            elif x.ndim == 2:
-                n = x.shape[0]
-                if w8a8_block_sizes(n, in_dim, self.features) is not None:
-                    y = dense_w8a8_pallas(
-                        xq, wq, s_x, s_w,
-                        bias if bias is not None else zero_b,
-                        out_dtype=out_dtype)
-                    return y
 
-        y = jax.lax.dot_general(
-            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        y = y.astype(jnp.float32) * s_x * s_w
-        if bias is not None:
-            y = y + bias
-        return y.astype(out_dtype)
+        if y is None:
+            y = jax.lax.dot_general(
+                xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * s_x * s_w
+            if bias is not None:
+                y = y + bias
+            y = y.astype(out_dtype)
+        if self.act is not None:
+            # fallback paths apply the fused-path epilogue activation
+            # outside the kernel (same math, at out_dtype)
+            from scd_tpu.ops.pallas_kernels import _w8a8_act
+            y = _w8a8_act(y, self.act)
+        return y.reshape(*lead, self.features)
 
 
 def _dense(cfg: "ViTConfig", features: int, name: str,
@@ -191,9 +270,6 @@ class Mlp(nn.Module):
     def __call__(self, x):
         c = self.cfg
         hidden = int(c.width * c.mlp_ratio)
-        # cast back to the compute dtype: Int8Dense returns f32 and a
-        # f32 residual/activation stream would double HBM traffic
-        x = _dense(c, hidden, "fc1")(x).astype(c.compute_dtype)  # int8 site
         # exact-erf gelu is the DINO parity default but taxes the tower
         # ~21% on v5e (measured at ViT-B/16 b128: 2480 imgs/s exact vs
         # 2997 with gelu_tanh / 3016 with a sigmoid activation — the erf
@@ -201,21 +277,40 @@ class Mlp(nn.Module):
         # into the tanh approximation, whose deviation from exact gelu
         # (<~0.3% abs) sits at the bf16 compute dtype's own rounding
         # floor (tests/test_models_extra.py pins the closeness).
-        if c.quick_gelu:
-            x = quick_gelu(x)
+        # exact-erf gelu CANNOT fuse into the kernel (Mosaic has no erf
+        # lowering — NotImplementedError: erfc, verified r5), so it
+        # stays an outside op under int8 too
+        act = ("quick_gelu" if c.quick_gelu
+               else ("gelu_tanh" if c.gelu_tanh else None))
+        if c.dense_int8 and act is not None:
+            # activation fused into the int8 kernel epilogue (see
+            # Int8Dense.act); cast is a no-op (kernel writes compute
+            # dtype directly)
+            x = Int8Dense(hidden, name="fc1", out_dtype=c.compute_dtype,
+                          act=act)(x).astype(c.compute_dtype)
         else:
-            x = nn.gelu(x, approximate=c.gelu_tanh)
+            # cast back to the compute dtype: a f32 residual/activation
+            # stream would double HBM traffic
+            x = _dense(c, hidden, "fc1")(x).astype(c.compute_dtype)
+            if c.quick_gelu:
+                x = quick_gelu(x)
+            else:
+                x = nn.gelu(x, approximate=c.gelu_tanh)
         # fc2: its 4*width input makes the quant chain cost ~4x the win
         x = _dense(c, c.width, "fc2", int8_site=False)(x).astype(
             c.compute_dtype)
         return x
 
 
-def _manual_attention_bf16(q, k, v, scale, causal):
+def _manual_attention_bf16(q, k, v, scale, causal, key_valid=None):
     """Softmax attention with bf16 score storage; reductions accumulate in
     f32 (reading bf16 from HBM) so stability costs no extra traffic.
-    q/k/v: [B, L, H, d] -> [B, L, H, d]."""
+    q/k/v: [B, L, H, d] -> [B, L, H, d].  ``key_valid`` ([L] bool or None)
+    masks pad KEYS to -inf: exp(-inf)=0 exactly, so real-token outputs
+    are unchanged by sequence padding (see ViTConfig.pad_seq_to)."""
     s = jnp.einsum("blhd,bmhd->bhlm", q, k) * jnp.bfloat16(scale)  # bf16
+    if key_valid is not None:
+        s = jnp.where(key_valid[None, None, None, :], s, -jnp.inf)
     if causal:
         L = s.shape[-1]
         tri = jnp.tril(jnp.ones((L, L), jnp.bool_))
@@ -229,6 +324,11 @@ def _manual_attention_bf16(q, k, v, scale, causal):
 
 class Attention(nn.Module):
     cfg: ViTConfig
+    # real (unpadded) sequence length when the trunk runs with
+    # pad_seq_to padding: keys >= real_len are masked out so pad tokens
+    # never leak into real ones (module attribute, not a call arg, so
+    # the remat lift stays free of static_argnums)
+    real_len: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, causal: bool = False):
@@ -237,6 +337,9 @@ class Attention(nn.Module):
         head_dim = c.width // c.heads
         qkv = _dense(c, 3 * c.width, "qkv")(x).astype(c.compute_dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        key_valid = None
+        if self.real_len is not None and self.real_len < L:
+            key_valid = jnp.arange(L) < self.real_len
 
         def heads(t):
             return t.reshape(B, L, c.heads, head_dim)
@@ -253,11 +356,15 @@ class Attention(nn.Module):
             # ViT-B shapes: per-head 64-lane slicing forces relayouts and
             # the small [L, 64] matmuls underfill the MXU.)
             out = _manual_attention_bf16(heads(q), heads(k), heads(v),
-                                         float(head_dim) ** -0.5, causal)
+                                         float(head_dim) ** -0.5, causal,
+                                         key_valid=key_valid)
         else:
             mask = None
             if causal:
                 mask = jnp.tril(jnp.ones((L, L), jnp.bool_))[None, None]
+            if key_valid is not None:
+                km = key_valid[None, None, None, :]
+                mask = km if mask is None else jnp.logical_and(mask, km)
             out = jax.nn.dot_product_attention(
                 heads(q), heads(k), heads(v), mask=mask)
         out = out.reshape(B, L, D)
@@ -268,13 +375,15 @@ class Attention(nn.Module):
 
 class Block(nn.Module):
     cfg: ViTConfig
+    real_len: Optional[int] = None  # see Attention.real_len
 
     @nn.compact
     def __call__(self, x, causal: bool = False):
         c = self.cfg
         y = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
                          name="norm1")(x)
-        x = x + Attention(c, name="attn")(y, causal=causal)
+        x = x + Attention(c, real_len=self.real_len,
+                          name="attn")(y, causal=causal)
         y = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
                          name="norm2")(x)
         x = x + Mlp(c, name="mlp")(y)
@@ -337,6 +446,17 @@ class VisionTransformer(nn.Module):
                          (1, c.seq_len, c.width))
         x = x + interpolate_pos_embed(pos, gh).astype(x.dtype)
 
+        # pad the sequence to a tile-aligned length for the int8 path
+        # (see ViTConfig.pad_seq_to); pad keys are masked in attention,
+        # pad rows are dead work that never feeds back into real tokens
+        # (LN/MLP are per-token, the CLS readout is row 0)
+        real_len = x.shape[1]
+        pad_to = seq_pad_target(c, real_len)
+        rl = None
+        if pad_to > real_len:
+            x = jnp.pad(x, ((0, 0), (0, pad_to - real_len), (0, 0)))
+            rl = real_len
+
         if c.pre_post_norm:
             x = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
                              name="ln_pre")(x)
@@ -348,7 +468,7 @@ class VisionTransformer(nn.Module):
             if c.dense_int8_until is not None and not c.dense_int8:
                 bc = dataclasses.replace(c,
                                          dense_int8=i < c.dense_int8_until)
-            x = block_cls(bc, name=f"block_{i}")(x)
+            x = block_cls(bc, real_len=rl, name=f"block_{i}")(x)
         # final norm on the CLS row only: LayerNorm is per-token, so
         # norm(x)[:, 0] == norm(x[:, :1])[:, 0] exactly — the DINO
         # reference norms all 197 tokens and keeps 1

@@ -804,3 +804,116 @@ def dense_w8a8_pallas(xq: jnp.ndarray, wq: jnp.ndarray, s_x: jnp.ndarray,
     )(xq, wq, s_x, s_w.reshape(1, f).astype(jnp.float32),
       bias.reshape(1, f).astype(jnp.float32))
     return out[:n]
+
+
+def _w8a8_act(y, act):
+    """Epilogue activation at f32 (slightly better than the bf16-dtype
+    activation the unquantized Mlp computes — covered by tolerance)."""
+    if act == "quick_gelu":
+        return y * jax.nn.sigmoid(1.702 * y)
+    if act == "gelu_tanh":
+        return jax.nn.gelu(y, approximate=True)
+    if act == "gelu":
+        return jax.nn.gelu(y, approximate=False)
+    assert act is None, act
+    return y
+
+
+def _w8a8_fusedq_kernel(x_ref, wq_ref, sw_ref, b_ref, o_ref, *, act=None):
+    # Activation quantization IN VMEM: the x block spans the full
+    # contraction dim D, so per-row abs-max scales need nothing outside
+    # the block.  The kernel reads bf16 activations straight from HBM —
+    # the SAME traffic as a bf16 dense — and the MXU still runs the
+    # int8 double-rate path; the XLA-side quant chain (abs-max pass +
+    # round pass + int8/scale materialization per layer) disappears.
+    # The quantize VPU work recomputes once per column block j (x stays
+    # VMEM-resident across j — the index map is j-invariant), but at
+    # [block_n, D] it is ~microseconds against the MXU dot.
+    x = x_ref[...].astype(jnp.float32)
+    # divide (not multiply-by-reciprocal): 1/127 is inexact in binary and
+    # a 1-ulp scale difference flips round-to-nearest at quantization
+    # boundaries vs the XLA reference chain
+    s_x = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                      1e-12) / 127.0
+    xq = jnp.round(jnp.clip(x / s_x, -127.0, 127.0)).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s_x * sw_ref[...] + b_ref[...]
+    # fused activation: XLA fuses GELU into its own matmul epilogues, so
+    # without this the int8 path pays a separate elementwise HBM pass
+    # over the [N, F] output that the bf16 dense never pays (~0.4 ms per
+    # ViT-B block at fc1 width — most of the remaining int8-vs-bf16 gap
+    # measured r5)
+    y = _w8a8_act(y, act)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def w8a8_fusedq_block_sizes(n: int, d: int, f: int, x_bytes: int = 2):
+    """(block_n, block_f) for ``dense_w8a8_fusedq_pallas`` or None.  Same
+    shape rules as :func:`w8a8_block_sizes`; the x block is bf16 (2 B)
+    instead of int8 and an f32 quantized copy lives on the stack."""
+    if d % 128 or f % 128:
+        return None
+    for bn in (512, 256, 128):
+        for bf in range(min(f, 1024), 127, -128):
+            if f % bf:
+                continue
+            vmem = (2 * bn * d * x_bytes  # x block, double-buffered
+                    + bn * d * 5          # in-kernel f32 cast + int8 copy
+                    + 2 * d * bf          # int8 w block, double-buffered
+                    + bn * bf * 4         # int32 accumulator
+                    + bn * bf * 2         # out block (bf16 typical)
+                    + bn * 4 + bf * 8)
+            if vmem <= 12 * 1024 * 1024:
+                return bn, bf
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_f",
+                                             "out_dtype", "act",
+                                             "interpret"))
+def dense_w8a8_fusedq_pallas(x: jnp.ndarray, wq: jnp.ndarray,
+                             s_w: jnp.ndarray, bias: jnp.ndarray,
+                             block_n: int = None, block_f: int = None,
+                             out_dtype=jnp.bfloat16, act: str = None,
+                             interpret: bool = False) -> jnp.ndarray:
+    """W8A8 dense with the ACTIVATION quantization fused into the kernel:
+    ``x [N, D] bf16/f32 @ wq [D, F] i8 -> [N, F]``.
+
+    :func:`dense_w8a8_pallas` still pays an XLA-side quant chain per
+    layer (abs-max + round + int8 x / f32 s_x materialized in HBM) —
+    measured r5 on v5e it turns per-site GEMM wins into an 18% TOWER
+    loss.  Here x streams in at its own dtype and quantizes in VMEM
+    (see ``_w8a8_fusedq_kernel``), so the int8 path's HBM traffic
+    equals the bf16 dense it replaces.  Weights stay pre-quantized
+    outside (loop-invariant, and int8 weights halve weight traffic).
+
+    Semantics: identical to the XLA reference chain in
+    ``models/vit.py::Int8Dense`` computed at x's dtype (callers cast to
+    bf16 first so the quant sees exactly what a bf16 dense would)."""
+    n, d = x.shape
+    f = wq.shape[1]
+    if block_n is None or block_f is None:
+        bs = w8a8_fusedq_block_sizes(n, d, f, x.dtype.itemsize)
+        if bs is None:
+            raise ValueError(f"dense_w8a8_fusedq_pallas cannot tile N={n} "
+                             f"D={d} F={f}; use the XLA path")
+        block_n, block_f = bs
+    x = _pad_rows(x, block_n)
+    npad = x.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_w8a8_fusedq_kernel, act=act),
+        grid=(npad // block_n, f // block_f),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i, j: (i, 0)),
+            pl.BlockSpec((d, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_f), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_n, block_f), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((npad, f), out_dtype),
+        interpret=interpret,
+    )(x, wq, s_w.reshape(1, f).astype(jnp.float32),
+      bias.reshape(1, f).astype(jnp.float32))
+    return out[:n]

@@ -186,3 +186,86 @@ def test_vit_remat_matches_exact_values_and_grads():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_vit_seq_padding_preserves_features():
+    """pad_seq_to padding (the int8 tile-alignment trick, see
+    ViTConfig.pad_seq_to) must not change real-token outputs: pad keys
+    are masked to -inf (exp(-inf)=0 exactly), pad rows never feed back,
+    and the CLS readout is row 0.  Only the attention contraction length
+    changes, so parity is float-reassociation-tight, not bitwise."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.vit import ViTConfig, VisionTransformer, \
+        seq_pad_target
+
+    kw = dict(image_size=32, patch_size=8, width=64, depth=3, heads=4,
+              pre_post_norm=True, output_proj=32, quick_gelu=True,
+              patch_bias=False)
+    base = ViTConfig(pad_seq_to=0, **kw)          # L=17, never padded
+    padded = ViTConfig(pad_seq_to=32, **kw)       # forced pad 17 -> 32
+    m0, m1 = VisionTransformer(base), VisionTransformer(padded)
+    v = jax.jit(m0.init)(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3), jnp.float32))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    a = np.asarray(m0.apply(v, x))
+    b = np.asarray(m1.apply(v, x))  # identical param tree
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    # "auto" resolves to mult-of-16 iff the int8 path is active
+    assert seq_pad_target(ViTConfig(**kw), 197) == 197
+    assert seq_pad_target(ViTConfig(dense_int8=True, **kw), 197) == 208
+    assert seq_pad_target(
+        ViTConfig(dense_int8_until=2, **kw), 197) == 208
+    assert seq_pad_target(
+        dataclasses.replace(ViTConfig(dense_int8=True, **kw),
+                            pad_seq_to=0), 197) == 197
+
+
+def test_clip_text_padding_preserves_embeddings():
+    """Text-tower sequence padding (77 -> 80 under int8) rides the causal
+    mask alone: pad rows sit at the end, so no real query ever attends
+    to them.  Forced padding on the f32 tower must be output-identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.clip import CLIPConfig, CLIPModel
+    from scd_tpu.models.vit import ViTConfig
+
+    def cfg(pad):
+        return CLIPConfig(
+            vision=ViTConfig(image_size=32, patch_size=8, width=32, depth=1,
+                             heads=2, output_proj=16, pre_post_norm=True,
+                             quick_gelu=True, patch_bias=False,
+                             pad_seq_to=pad),
+            vocab_size=128, context_length=13, text_width=32, text_depth=2,
+            text_heads=2, embed_dim=16)
+
+    # The text tower builds its own block ViTConfig (pad_seq_to="auto"
+    # never pads with int8 off), so the no-pad-leak property is asserted
+    # structurally on Block: padded input, causal=True, real rows must
+    # be identical — the causal mask alone hides end-of-sequence pad
+    # keys from every real query.
+    from scd_tpu.models.vit import Block
+
+    c = ViTConfig(width=32, depth=1, heads=2, quick_gelu=True)
+    blk = Block(c)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 13, 32), jnp.float32)
+    v = jax.jit(blk.init)(jax.random.PRNGKey(1), x)
+    y0 = np.asarray(blk.apply(v, x, causal=True))
+    xp = jnp.pad(x, ((0, 0), (0, 3), (0, 0)))
+    y1 = np.asarray(blk.apply(v, xp, causal=True))[:, :13]
+    np.testing.assert_allclose(y0, y1, rtol=2e-6, atol=2e-6)
+
+    # and the full text tower end-to-end under forced vision padding
+    # still produces sane embeddings (smoke for the padded init path)
+    model = CLIPModel(cfg(32))
+    toks = jnp.asarray(np.random.default_rng(0).integers(
+        1, 128, (2, 13)), jnp.int32)
+    imgs = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), imgs, toks)
+    logits = np.asarray(model.apply(v, imgs, toks))
+    assert np.isfinite(logits).all()

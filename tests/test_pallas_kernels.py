@@ -454,3 +454,52 @@ def test_dense_w8a8_pallas_3d_matches_xla_reference():
     assert w8a8_block_sizes_3d(128, 197, 768, 3072) is not None
     assert w8a8_block_sizes_3d(128, 197, 100, 3072) is None
     assert w8a8_block_sizes_3d(127, 197, 768, 3072) == (1, 1024)  # B prime
+
+
+def test_dense_w8a8_fusedq_matches_reference_chain():
+    """Fused-activation-quant W8A8 kernel (quantize in VMEM; x streams in
+    bf16 so the int8 path adds zero HBM traffic over the bf16 dense it
+    replaces) vs the explicit quantize->int8 dot->dequant chain at the
+    same bf16 input, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.pallas_kernels import (dense_w8a8_fusedq_pallas,
+                                            w8a8_fusedq_block_sizes)
+
+    rng = np.random.default_rng(0)
+    n, d, f = 384, 256, 384
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    wq = jnp.asarray(rng.integers(-127, 128, (d, f)).astype(np.int8))
+    sw = jnp.asarray((0.001 + 0.002 * rng.random((1, f))).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+
+    y_k = dense_w8a8_fusedq_pallas(x, wq, sw, bias, block_n=128, block_f=128,
+                                   out_dtype=jnp.float32, interpret=True)
+
+    x32 = np.asarray(x, np.float32)
+    sx = np.maximum(np.abs(x32).max(axis=1, keepdims=True), 1e-12) / 127.0
+    xq = np.rint(np.clip(x32 / sx, -127.0, 127.0)).astype(np.int8)
+    acc = xq.astype(np.int32) @ np.asarray(wq, np.int32)
+    y_ref = acc.astype(np.float32) * sx * np.asarray(sw) + np.asarray(bias)
+    # NOT bit-equal: the in-kernel divide can differ from the host chain
+    # by 1 ulp of s_x, flipping round-to-nearest exactly AT quantization
+    # boundaries (x/s_x == k+0.5).  Each flip moves one xq by +-1, so the
+    # output moves by at most (flips per row) * max|w| * s_x * s_w —
+    # bound it at 1024 quantization steps (~2.6e-4 relative at D=256)
+    # and require the flips to be rare.
+    step = sx * np.asarray(sw)  # [n, f] dequant step
+    diff = np.abs(np.asarray(y_k) - y_ref)
+    assert (diff <= 1024 * step + 1e-5).all(), diff.max()
+    assert (diff > 1e-5).mean() < 0.05
+
+    # ragged N pads rows internally (same contract as dense_w8a8_pallas)
+    y_r = dense_w8a8_fusedq_pallas(x[:200], wq, sw, bias, block_n=128,
+                                   block_f=128, out_dtype=jnp.float32,
+                                   interpret=True)
+    diff_r = np.abs(np.asarray(y_r) - y_ref[:200])
+    assert (diff_r <= 1024 * step[:200] + 1e-5).all()
+
+    assert w8a8_fusedq_block_sizes(26624, 768, 3072) is not None
+    assert w8a8_fusedq_block_sizes(26624, 100, 3072) is None

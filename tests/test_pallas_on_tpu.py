@@ -272,3 +272,76 @@ def test_dense_w8a8_pallas_on_chip_matches_xla():
     np.testing.assert_allclose(y_k.astype(np.float32),
                                y_x.astype(np.float32), rtol=1e-2,
                                atol=1e-3)
+
+
+def test_dense_w8a8_fusedq_on_chip_matches_reference_chain():
+    """Mosaic-compiled fused-activation-quant W8A8 dense (quantize in
+    VMEM; the primary Int8Dense path) vs the explicit XLA quantize->
+    dot->dequant chain at a ViT fc1 shape, with the quick_gelu epilogue.
+    The in-kernel divide can differ from XLA's by 1 ulp of s_x, flipping
+    round-to-nearest exactly at quantization boundaries, so the contract
+    is step-bounded closeness + rare flips (same as the interpret test),
+    not bit equality."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.ops.pallas_kernels import dense_w8a8_fusedq_pallas
+
+    rng = np.random.default_rng(2)
+    n, d, f = 1000, 768, 3072
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    wq = jnp.asarray(rng.integers(-127, 128, (d, f)).astype(np.int8))
+    sw = jnp.asarray((0.001 + 0.002 * rng.random((1, f))).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+
+    y_k = np.asarray(dense_w8a8_fusedq_pallas(
+        x, wq, sw, b, out_dtype=jnp.float32, act="quick_gelu"),
+        np.float32)
+
+    @jax.jit
+    def ref(x, wq, sw, b):
+        x32 = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                         1e-12) / 127.0
+        xq = jnp.round(jnp.clip(x32 / sx, -127.0, 127.0)).astype(jnp.int8)
+        y = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * sx * sw + b
+        return y * jax.nn.sigmoid(1.702 * y), sx
+
+    y_x, sx = ref(x, wq, sw, b)
+    y_x, sx = np.asarray(y_x, np.float32), np.asarray(sx, np.float32)
+    step = sx * np.asarray(sw)
+    diff = np.abs(y_k - y_x)
+    # quick_gelu is 1-Lipschitz-ish (|d/dy| <= ~1.1), so the pre-act
+    # step bound carries through with a small factor
+    assert (diff <= 1.2 * 1024 * step + 1e-4).all(), diff.max()
+    assert (diff > 1e-4).mean() < 0.05, (diff > 1e-4).mean()
+
+
+def test_int8_padded_tower_on_chip_close_to_bf16():
+    """The --int8 extraction recipe end-to-end on hardware: pad_seq_to
+    "auto" (197 -> 208), fused-quant kernels at every int8 site, masked
+    pad keys.  Same params as the bf16 tower; CLS features must agree to
+    quantization tolerance (this is the r5 gate for the knob being
+    shippable at all)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models import VisionTransformer, dino_vit_b16_config
+
+    cfg_b = dino_vit_b16_config(compute_dtype=jnp.bfloat16, gelu_tanh=True)
+    cfg_q = dataclasses.replace(cfg_b, dense_int8=True)
+    mb, mq = VisionTransformer(cfg_b), VisionTransformer(cfg_q)
+    v = jax.jit(mb.init)(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 224, 224, 3), jnp.float32))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 224, 224, 3),
+                          jnp.float32)
+    a = np.asarray(jax.jit(mb.apply)(v, x), np.float32)
+    b = np.asarray(jax.jit(mq.apply)(v, x), np.float32)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1))
+    assert cos.min() > 0.995, cos
