@@ -202,9 +202,10 @@ def bench_clip_embed(batch: int = 128, dense_int8: bool = False):
     256, 2.6k at 512): the [B, 12, 197, 197] bf16 attention scores shrink
     enough for XLA to keep the softmax chain better-resident.
 
-    ``dense_int8`` benches the W8A8 dense path (models/vit.py Int8Dense):
-    the MXU runs int8 at 2x the bf16 rate and the dense layers are ~96%
-    of the tower's FLOPs, so the dense-bound fraction nearly halves."""
+    ``dense_int8`` benches the W8A8 dense path (models/vit.py Int8Dense).
+    Published as evidence, not as a recommendation: measured r5 the int8
+    tower LOSES to bf16 at ViT-B/16 scale on v5e (pad-to-208 + pallas_call
+    fusion barriers outweigh the per-GEMM kernel wins; see README)."""
     import jax
     import jax.numpy as jnp
 
@@ -1107,9 +1108,9 @@ def main():
             "clip_embed_int8_imgs_per_sec", 300,
             lambda: bench_clip_embed(dense_int8=True),
             lambda r: f"clip_embed W8A8 int8 dense: {r:.1f} imgs/sec/chip "
-                      f"(int8 MXU double-rate on the ~96%-of-FLOPs dense "
-                      "layers; feature-drift bounds in "
-                      "tests/test_models_extra.py)")
+                      "(measured SLOWER than the bf16 tower on v5e — "
+                      "published as the honest record for the --int8 knob; "
+                      "feature-drift bounds in tests/test_models_extra.py)")
         secondary(
             "kmeans_iters_per_sec", 300, lambda: bench_kmeans_iter()[0],
             lambda km: f"kmeans_em_iter DEFAULT path (estep='auto' parity "

@@ -145,9 +145,10 @@ class FeatureConfig:
     feat_model: str = "dino_vit"
     feature_dim: int = 768
     normalize: bool = True
-    # W8A8 int8 dense path for the ViT extraction towers (MXU double-rate;
-    # see models/vit.py ViTConfig.dense_int8).  Inference-only throughput
-    # knob; off by default pending measured feature-parity evidence.
+    # W8A8 int8 dense path for the ViT extraction towers (see
+    # models/vit.py ViTConfig.dense_int8).  Inference-only knob, off by
+    # default — measured r5 on v5e it LOSES 8-24% at tower level despite
+    # per-GEMM kernel wins (README "Quantized inference" has the numbers).
     dense_int8: bool = False
     # tanh-approx GELU for the DINO-family EXTRACTION towers (CLIP towers
     # use QuickGELU natively).  Exact-erf gelu upcasts the VPU chain to
@@ -177,8 +178,10 @@ class TrainConfig:
     seed: int = 1
     # int8-quantize the FROZEN trunk's dense layers (blocks <
     # grad_from_block): their forward is pure inference under the
-    # partial-freeze recipe, so it can ride the MXU's double-rate int8
-    # path while trainable blocks keep exact bf16 gradients.
+    # partial-freeze recipe, so it can take the int8 dense path while
+    # trainable blocks keep exact bf16 gradients.  Measured r5: a ~4%
+    # regression on v5e at ViT-B scale (see FeatureConfig.dense_int8) —
+    # parity-pinned but not a win here.
     int8_frozen: bool = False
 
 

@@ -44,14 +44,17 @@ class ViTConfig:
     # activation drift over 24+ norms if mismatched
     norm_eps: float = 1e-6
     compute_dtype: Any = jnp.float32
-    # W8A8 dynamic quantization of the dense layers (qkv/proj/fc1/fc2 —
-    # ~96% of the tower's FLOPs): the v5e MXU runs int8 at 2x the bf16
-    # rate (394 vs 197 TOPS), so the dense-bound fraction of the step
-    # nearly halves.  Per-token activation scales + per-output-channel
-    # weight scales, int32 accumulation; attention math and layernorms
-    # stay bf16/f32.  Inference-only knob (quantization is not
-    # differentiated); parameter tree is IDENTICAL to the f32 path, so
-    # every checkpoint loader works unchanged.
+    # W8A8 dynamic quantization of the dense layers (qkv/fc1, plus proj —
+    # fc2 stays bf16, its 4x-wide input tiles badly).  Per-token
+    # activation scales + per-output-channel weight scales, int32
+    # accumulation; attention math and layernorms stay bf16/f32.
+    # Inference-only knob (quantization is not differentiated); parameter
+    # tree is IDENTICAL to the f32 path, so every checkpoint loader works
+    # unchanged.  MEASURED r5 on v5e: the fused Pallas kernel wins 30-75%
+    # per GEMM site but every composed ViT-B/16 tower still LOSES 8-24%
+    # vs bf16 (pad-to-208 wall cost + pallas_call fusion barriers — see
+    # README "Quantized inference").  Keep it off at this scale; the path
+    # is parity-pinned for hardware/models where the tradeoff flips.
     dense_int8: bool = False
     # Rematerialize each transformer block under autodiff
     # (jax.checkpoint): activations are recomputed in the backward pass

@@ -380,7 +380,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--extract_feat", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="W8A8 int8 dense path for the ViT extraction "
-                        "towers (MXU double-rate; throughput knob)")
+                        "towers.  Measured 8-24% SLOWER than bf16 on v5e "
+                        "at ViT-B/16 scale (pad + fusion-barrier costs "
+                        "outweigh per-GEMM kernel wins; see README) — "
+                        "parity-pinned knob for hardware where that flips")
     # --no-run_cluster re-enters from the cached clustering artifact (a
     # store_true with default=True could never be switched off, silently
     # re-running SSKM/ConSSKM every invocation)

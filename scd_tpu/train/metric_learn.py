@@ -215,9 +215,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(models/vit.py Mlp); 0 keeps exact-erf parity")
     p.add_argument("--int8_frozen", type=int, default=0,
                    help="W8A8 int8 dense path for the FROZEN trunk blocks "
-                        "(< grad_from_block): pure-inference forward rides "
-                        "the MXU double-rate path, trainable blocks keep "
-                        "exact bf16 gradients")
+                        "(< grad_from_block); trainable blocks keep exact "
+                        "bf16 gradients.  Measured ~4% SLOWER than bf16 on "
+                        "v5e at ViT-B scale — parity knob, not a win here")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize trunk blocks under autodiff "
                         "(jax.checkpoint): O(1)-block activation memory "
