@@ -387,6 +387,64 @@ def bench_text_embed(batch: int = 2048, seq: int = 32):
     return batch / dt
 
 
+def bench_vocab_build(n_names: int = 8192, prefix: bool = False):
+    """Measured END-TO-END vocabulary build rate (prompts/sec): the real
+    builder loop — host tokenization, token upload, text-tower encode,
+    on-device ensemble reduction, weight fetch — on a fabricated vocabulary
+    with a WordNet-like name-length mix and the 80 ImageNet templates.
+    ``prefix=False`` (the pipeline default) runs the full-row sharded
+    builder; ``prefix=True`` the opt-in prefix-KV-cached builder
+    (``naming/zeroshot.py::build_zeroshot_weights_prefix`` — measured a
+    TIE at 20x the cold compile, which is why it is neither the pipeline
+    nor the bench default).  Unlike ``bench_text_embed`` (a fixed seq=32
+    tower scan) this includes every real overhead, so it is the number
+    the ~68k x 80 cold stage scales from."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models import CLIPModel, clip_vit_b16_config
+    from scd_tpu.models.tokenizer import HashTokenizer
+    from scd_tpu.naming.templates import IMAGENET_TEMPLATES
+    from scd_tpu.naming.zeroshot import (build_zeroshot_weights_prefix,
+                                         build_zeroshot_weights_sharded)
+
+    cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
+    model = CLIPModel(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32))
+    jax.block_until_ready(jax.tree_util.tree_leaves(variables)[0])
+    tokenizer = HashTokenizer()
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(997)]
+    # WordNet-ish mix: ~60% one-word, 30% two-word, 10% three-word lemmas
+    n_words = rng.choice([1, 2, 3], size=n_names, p=[0.6, 0.3, 0.1])
+    names = [" ".join(rng.choice(words, k)) for k in n_words]
+
+    fwd = lambda v, t: model.apply(v, t, method=CLIPModel.encode_text)
+
+    def run():
+        if prefix:
+            return build_zeroshot_weights_prefix(
+                fwd,
+                lambda v, t: model.apply(
+                    v, t, method=CLIPModel.encode_text_prefix),
+                lambda v, t, kv, p: model.apply(
+                    v, t, kv, p, method=CLIPModel.encode_text_suffix),
+                variables, tokenizer, names, IMAGENET_TEMPLATES)
+        return build_zeroshot_weights_sharded(
+            fwd, variables, tokenizer, names, IMAGENET_TEMPLATES)
+
+    run()  # compile + warm
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    return n_names * len(IMAGENET_TEMPLATES) / dt
+
+
 def bench_image_loader(n_images: int = 4096, src_size: int = 256,
                        image_size: int = 224, num_workers: int = 8,
                        batch: int = 256):
@@ -1139,6 +1197,24 @@ def main():
                        f"prompts/sec (68k-name x 80-template vocab in "
                        f"~{5.44e6 / tx / 60:.1f} min/chip; names axis "
                        "shards ~linearly over a mesh)")
+        secondary(
+            "vocab_build_prompts_per_sec", 300,
+            lambda: bench_vocab_build(prefix=False),
+            lambda vb: f"vocabulary build, full-row builder (DEFAULT; "
+                       f"measured end-to-end incl. host tokenize/upload/"
+                       f"fetch): {vb:.0f} prompts/sec (68k x 80 in "
+                       f"~{5.44e6 / vb / 60:.1f} min/chip)")
+        if os.environ.get("SCD_BENCH_PREFIX_VOCAB", "0") == "1":
+            # opt-in: the prefix-KV-cached builder's cold compile is
+            # ~636s on this transport — measured a warm TIE with the
+            # full-row builder (see build_zeroshot_weights_prefix), so
+            # it neither defaults in the pipeline nor in the bench.
+            secondary(
+                "vocab_build_prefix_prompts_per_sec", 1200,
+                lambda: bench_vocab_build(prefix=True),
+                lambda vb: f"vocabulary build, prefix-KV-cached opt-in: "
+                           f"{vb:.0f} prompts/sec "
+                           f"(~{5.44e6 / vb / 60:.1f} min/chip)")
         secondary(
             "loader_imgs_per_sec", 120, bench_image_loader,
             lambda lr: f"threaded JPEG loader (decode+preprocess, 8 "

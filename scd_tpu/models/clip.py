@@ -52,15 +52,37 @@ class TextTransformer(nn.Module):
     cfg: CLIPConfig
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """tokens: [B, L] int32 -> text features [B, embed_dim] (unnormalized)."""
+    def __call__(self, tokens: jnp.ndarray, prefix_kv=None, p_len=None,
+                 return_prefix_kv: bool = False) -> jnp.ndarray:
+        """tokens: [B, L] int32 -> text features [B, embed_dim] (unnormalized).
+
+        Prefix-cache modes (the prefix-cached vocabulary build,
+        ``naming/zeroshot.py::build_zeroshot_weights_prefix``):
+
+        * ``return_prefix_kv=True``: tokens are PREFIX rows ([T, P],
+          SOT-framed, zero-padded); returns the per-layer (k, v) head
+          projections as a ``(k_stack, v_stack)`` pair, each
+          [depth, T, P, heads, head_dim].  Causal masking means prefix
+          activations never see the padding, so the cache is exact.
+        * ``prefix_kv=((k, v) each [depth, P, H, d])`` + ``p_len`` ([]
+          int32, the real prefix length): tokens are SUFFIX rows
+          ([B, S] — name + template-suffix + EOT, zero-padded); they run at
+          positions ``p_len + j`` attending [cached prefix, own causal].
+          Output matches the full-sequence forward on
+          ``prefix + suffix`` rows (same key order, same dtypes).
+        """
         c = self.cfg
         B, L = tokens.shape
         tok_emb = self.param("token_embedding", nn.initializers.normal(0.02),
                              (c.vocab_size, c.text_width))
         pos_emb = self.param("pos_embed", nn.initializers.normal(0.01),
                              (c.context_length, c.text_width))
-        x = tok_emb[tokens] + pos_emb[None, :L]
+        if prefix_kv is None:
+            x = tok_emb[tokens] + pos_emb[None, :L]
+        else:
+            # suffix rows sit at positions p_len .. p_len+L-1
+            pos = jax.lax.dynamic_slice_in_dim(pos_emb, p_len, L, axis=0)
+            x = tok_emb[tokens] + pos[None]
         x = x.astype(c.compute_dtype)
 
         blk_cfg = ViTConfig(width=c.text_width, depth=c.text_depth,
@@ -75,11 +97,27 @@ class TextTransformer(nn.Module):
         # ViTConfig.pad_seq_to).  No key mask needed: pad rows sit at the
         # END and the causal mask already hides keys j > i from every
         # real query; EOT pooling below indexes tokens < L only.
+        # (Prefix-cache modes skip it: the builder falls back to the plain
+        # path when the int8 knob is on.)
         pad_to = seq_pad_target(blk_cfg, L)
-        if pad_to > L:
+        if pad_to > L and prefix_kv is None and not return_prefix_kv:
             x = jnp.pad(x, ((0, 0), (0, pad_to - L), (0, 0)))
+        prefix_valid = None
+        if prefix_kv is not None:
+            prefix_valid = jnp.arange(prefix_kv[0].shape[1]) < p_len
+        kvs = []
         for i in range(c.text_depth):
-            x = Block(blk_cfg, name=f"block_{i}")(x, causal=True)
+            blk = Block(blk_cfg, name=f"block_{i}")
+            layer_kv = None if prefix_kv is None else (
+                prefix_kv[0][i], prefix_kv[1][i])
+            x = blk(x, causal=True, prefix_kv=layer_kv,
+                    prefix_valid=prefix_valid, return_kv=return_prefix_kv)
+            if return_prefix_kv:
+                x, kv = x
+                kvs.append(kv)
+        if return_prefix_kv:
+            return (jnp.stack([k for k, _ in kvs]),
+                    jnp.stack([v for _, v in kvs]))
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
                          name="ln_final")(x)
 
@@ -108,6 +146,14 @@ class CLIPModel(nn.Module):
 
     def encode_text(self, tokens):
         return self.text(tokens)
+
+    def encode_text_prefix(self, tokens):
+        """Prefix rows [T, P] -> per-layer KV cache (see TextTransformer)."""
+        return self.text(tokens, return_prefix_kv=True)
+
+    def encode_text_suffix(self, tokens, prefix_kv, p_len):
+        """Suffix rows [B, S] + one template's cache -> [B, D] features."""
+        return self.text(tokens, prefix_kv=prefix_kv, p_len=p_len)
 
     def __call__(self, images, tokens):
         img = self.encode_image(images)

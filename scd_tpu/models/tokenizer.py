@@ -154,6 +154,45 @@ class CLIPTokenizer:
             out[i, :len(toks)] = toks
         return out
 
+    @property
+    def sot_id(self) -> int:
+        return self.encoder[SOT]
+
+    @property
+    def eot_id(self) -> int:
+        return self.encoder[EOT]
+
+    def template_pieces(self, templates: Sequence[str]) -> list:
+        """Per-template splice pieces: ``(pre_tokens, suf_tokens, template,
+        pre_punct, suf_punct)`` — ``pre_tokens is None`` marks a template
+        that cannot be spliced (no literal word-boundary ``{}``).
+
+        Splicing is only exact when the placeholder is a literal '{}' at
+        word boundaries; otherwise ('{0}'/'{name}' placeholders, or a glued
+        '{}s') callers must fall back to per-pair ``encode(t.format(n))`` —
+        slower but always equal to the non-compositional path.  A prefix
+        ENDING in an ASCII apostrophe is also unsafe regardless of the
+        name: the regex contraction alternatives ('s|'t|'re|'ve|'m|'ll|'d)
+        fuse the apostrophe with a following letter in the full encode
+        (e.g. "o'{}" + "sock" -> "'s" token) where the splice keeps them
+        apart.  The remaining merge hazard is name-dependent: a PUNCT
+        template boundary next to a PUNCT name boundary fuses into one
+        ``[^\\s\\w]+`` regex token in the full encode (e.g. name 'ph.d.' +
+        template '... {}.') — the returned boundary classes let callers
+        fall back per name (see ``name_boundary_punct``).
+
+        Pieces are constant across the vocabulary build's ~1k batch calls,
+        so they cache per templates-tuple."""
+        key = tuple(templates)
+        pieces = self._template_pieces_cache.get(key)
+        if pieces is None:
+            pieces = _split_template_pieces(self.encode, templates)
+            self._template_pieces_cache[key] = pieces
+        return pieces
+
+    name_boundary_punct = staticmethod(
+        lambda name: _name_boundary_punct(name))
+
     def prompt_tokens(self, templates: Sequence[str], names: Sequence[str],
                       context_length: int = CONTEXT_LENGTH) -> np.ndarray:
         """Tokenize ``template.format(name)`` for every (name, template)
@@ -175,86 +214,95 @@ class CLIPTokenizer:
         Output layout matches ``self([t.format(n) for n in names for t in
         templates])``: name-major, template-minor.
         """
-        sot, eot = self.encoder[SOT], self.encoder[EOT]
-        # template pieces are constant across the build's ~1k batch calls:
-        # cache them per templates-tuple instead of re-encoding 160 pieces
-        # per call
-        key = tuple(templates)
-        pieces = self._template_pieces_cache.get(key)
-        if pieces is None:
-            pieces = []
-            for t in templates:
-                pre, sep, suf = t.partition("{}")
-                # splicing is only exact when the placeholder is a literal
-                # '{}' at word boundaries; otherwise ('{0}'/'{name}'
-                # placeholders, or a glued '{}s') fall back to per-pair
-                # encode(t.format(n)) — slower but always equal to the
-                # non-compositional path.  A prefix ENDING in an ASCII
-                # apostrophe is also unsafe regardless of the name: the
-                # regex contraction alternatives ('s|'t|'re|'ve|'m|'ll|'d)
-                # fuse the apostrophe with a following letter in the full
-                # encode (e.g. "o'{}" + "sock" -> "'s" token) where the
-                # splice keeps them apart
-                exact = (bool(sep)
-                         and not (pre and pre[-1].isalnum())
-                         and not pre.endswith("'")
-                         and not (suf and suf[0].isalnum()))
-                if exact:
-                    # remaining merge hazard is name-dependent: a PUNCT
-                    # template boundary next to a PUNCT name boundary fuses
-                    # into one [^\s\w]+ regex token in the full encode
-                    # (e.g. name 'ph.d.' + template '... {}.') — record the
-                    # boundary classes so the splice loop can fall back per
-                    # name
-                    pieces.append((self.encode(pre), self.encode(suf), t,
-                                   _is_punct(pre[-1:]), _is_punct(suf[:1])))
-                else:
-                    pieces.append((None, None, t, False, False))
-            self._template_pieces_cache[key] = pieces
-        name_toks = [self.encode(n) for n in names]
-        out = np.zeros((len(names) * len(templates), context_length),
-                       np.int32)
-        row = 0
-        for name, ntoks in zip(names, name_toks):
-            nc = _clean(name)
-            # an empty (or whitespace-only) name makes pre and suf directly
-            # adjacent in the full encode, where a punct-punct meeting fuses
-            # into one [^\s\w]+ run — treat both boundaries as hazardous so
-            # punctuation-flanked templates fall back to the per-pair encode
-            empty = not nc
-            n_head_punct = empty or _is_punct(nc[:1])
-            n_tail_punct = empty or _is_punct(nc[-1:])
-            for pre, suf, tmpl, pre_punct, suf_punct in pieces:
-                if (suf is None or (pre_punct and n_head_punct)
-                        or (suf_punct and n_tail_punct)):
-                    # fallback: full format+encode (non-splittable template,
-                    # or punctuation-adjacent boundary that would merge)
-                    toks = [sot] + self.encode(tmpl.format(name)) + [eot]
-                else:
-                    toks = [sot] + pre + ntoks + suf + [eot]
-                if len(toks) > context_length:
-                    toks = toks[:context_length]
-                    toks[-1] = eot
-                out[row, :len(toks)] = toks
-                row += 1
-        return out
+        return _splice_prompt_tokens(self.encode, self.sot_id, self.eot_id,
+                                     self.template_pieces(templates),
+                                     templates, names, context_length)
+
+
+def _split_template_pieces(encode, templates: Sequence[str]) -> list:
+    """Shared piece-splitting behind ``template_pieces`` (see the method
+    docstring for the exactness rules)."""
+    pieces = []
+    for t in templates:
+        pre, sep, suf = t.partition("{}")
+        exact = (bool(sep)
+                 and not (pre and pre[-1].isalnum())
+                 and not pre.endswith("'")
+                 and not (suf and suf[0].isalnum()))
+        if exact:
+            pieces.append((encode(pre), encode(suf), t,
+                           _is_punct(pre[-1:]), _is_punct(suf[:1])))
+        else:
+            pieces.append((None, None, t, False, False))
+    return pieces
+
+
+def _name_boundary_punct(name: str) -> tuple:
+    """(head_punct, tail_punct) hazard classes of a class name — True when
+    the cleaned name starts/ends with a char the CLIP regex lumps into a
+    punctuation run (empty names count as both: the template pieces become
+    directly adjacent in the full encode)."""
+    nc = _clean(name)
+    empty = not nc
+    return (empty or _is_punct(nc[:1]), empty or _is_punct(nc[-1:]))
+
+
+def _splice_prompt_tokens(encode, sot: int, eot: int, pieces,
+                          templates, names, context_length) -> np.ndarray:
+    """Shared splice loop behind ``prompt_tokens`` (name-major layout,
+    hazard pairs fall back to full ``encode(t.format(n))``)."""
+    name_toks = [encode(n) for n in names]
+    out = np.zeros((len(names) * len(templates), context_length), np.int32)
+    row = 0
+    for name, ntoks in zip(names, name_toks):
+        # an empty (or whitespace-only) name makes pre and suf directly
+        # adjacent in the full encode, where a punct-punct meeting fuses
+        # into one [^\s\w]+ run — treat both boundaries as hazardous so
+        # punctuation-flanked templates fall back to the per-pair encode
+        n_head_punct, n_tail_punct = _name_boundary_punct(name)
+        for pre, suf, tmpl, pre_punct, suf_punct in pieces:
+            if (suf is None or (pre_punct and n_head_punct)
+                    or (suf_punct and n_tail_punct)):
+                # fallback: full format+encode (non-splittable template,
+                # or punctuation-adjacent boundary that would merge)
+                toks = [sot] + encode(tmpl.format(name)) + [eot]
+            else:
+                toks = [sot] + pre + ntoks + suf + [eot]
+            if len(toks) > context_length:
+                toks = toks[:context_length]
+                toks[-1] = eot
+            out[row, :len(toks)] = toks
+            row += 1
+    return out
 
 
 class HashTokenizer:
     """Deterministic fallback with the CLIP tokenizer interface: words hash
     into the CLIP vocab id range.  For tests / missing-asset environments —
-    NOT compatible with real CLIP checkpoints."""
+    NOT compatible with real CLIP checkpoints.
+
+    Text splits with the same word/punct regex shape as the CLIP BPE
+    pattern (letter runs | single digits | punctuation runs | contraction
+    alternatives), so the compositional splice machinery —
+    ``template_pieces`` / ``prompt_tokens`` / the prefix-cached vocabulary
+    build — has the SAME exactness and hazard semantics as the real
+    tokenizer and can be exercised without the BPE asset."""
+
+    _word_re = re.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
+        re.IGNORECASE | re.UNICODE)
 
     def __init__(self, vocab_size: int = 49408):
         self.vocab_size = vocab_size
         self.sot = vocab_size - 2
         self.eot = vocab_size - 1
+        self._template_pieces_cache: Dict[tuple, list] = {}
 
     def encode(self, text: str) -> List[int]:
         import hashlib
 
         out = []
-        for word in _clean(text).split():
+        for word in self._word_re.findall(_clean(text)):
             h = int(hashlib.md5(word.encode()).hexdigest(), 16)
             out.append(h % (self.vocab_size - 2))
         return out
@@ -269,3 +317,32 @@ class HashTokenizer:
                 toks[-1] = self.eot
             out[i, :len(toks)] = toks
         return out
+
+    @property
+    def sot_id(self) -> int:
+        return self.sot
+
+    @property
+    def eot_id(self) -> int:
+        return self.eot
+
+    def template_pieces(self, templates: Sequence[str]) -> list:
+        """CLIPTokenizer-compatible splice pieces (same regex-word
+        compositionality — see ``_split_template_pieces``)."""
+        key = tuple(templates)
+        pieces = self._template_pieces_cache.get(key)
+        if pieces is None:
+            pieces = _split_template_pieces(self.encode, templates)
+            self._template_pieces_cache[key] = pieces
+        return pieces
+
+    name_boundary_punct = staticmethod(
+        lambda name: _name_boundary_punct(name))
+
+    def prompt_tokens(self, templates: Sequence[str], names: Sequence[str],
+                      context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+        """Compositional (name, template) batch tokenization — same
+        contract as ``CLIPTokenizer.prompt_tokens``."""
+        return _splice_prompt_tokens(self.encode, self.sot_id, self.eot_id,
+                                     self.template_pieces(templates),
+                                     templates, names, context_length)

@@ -305,6 +305,36 @@ class Mlp(nn.Module):
         return x
 
 
+def _prefix_attention(q, k, v, pk, pv, scale, prefix_valid):
+    """Causal attention whose queries also see a cached shared prefix.
+
+    q/k/v: [B, S, H, d] suffix-token projections; pk/pv: [P, H, d] cached
+    prefix keys/values SHARED across the batch (broadcast inside the
+    einsums — the [B, P, H, d] expansion is never materialized in HBM);
+    prefix_valid: [P] bool masking prefix PAD keys to -inf.  Key order
+    [prefix, suffix] matches the full-sequence layout, so the softmax sees
+    the same operands in the same order as the uncached forward (prefix
+    activations in a causal tower depend only on prefix tokens, which is
+    what makes the cache exact).  Scores stay at the compute dtype
+    (bf16 on TPU — see ``_manual_attention_bf16``); softmax reductions
+    accumulate in f32.
+    """
+    dt = q.dtype
+    s_pre = jnp.einsum("bshd,phd->bhsp", q, pk) * jnp.asarray(scale, dt)
+    s_pre = jnp.where(prefix_valid[None, None, None, :], s_pre, -jnp.inf)
+    s_suf = jnp.einsum("bshd,bmhd->bhsm", q, k) * jnp.asarray(scale, dt)
+    S = s_suf.shape[-1]
+    tri = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    s_suf = jnp.where(tri[None, None], s_suf, -jnp.inf)
+    s = jnp.concatenate([s_pre, s_suf], axis=-1)  # [B, H, S, P+S]
+    m = jnp.max(s.astype(jnp.float32), axis=-1, keepdims=True)
+    e = jnp.exp(s.astype(jnp.float32) - m)
+    p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+    P = pk.shape[0]
+    out = jnp.einsum("bhsp,phd->bshd", p[..., :P], pv)
+    return out + jnp.einsum("bhsm,bmhd->bshd", p[..., P:], v)
+
+
 def _manual_attention_bf16(q, k, v, scale, causal, key_valid=None):
     """Softmax attention with bf16 score storage; reductions accumulate in
     f32 (reading bf16 from HBM) so stability costs no extra traffic.
@@ -334,7 +364,14 @@ class Attention(nn.Module):
     real_len: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, causal: bool = False):
+    def __call__(self, x, causal: bool = False, prefix_kv=None,
+                 prefix_valid=None, return_kv: bool = False):
+        """``prefix_kv``: optional ((k, v) each [P, H, d]) cached prefix
+        projections shared by the whole batch; queries attend
+        [prefix, own-causal] (see ``_prefix_attention``).  ``return_kv``
+        additionally returns this layer's (k, v) head projections — the
+        cache a later prefix-consuming call feeds back in.  Both power the
+        prefix-cached vocabulary build (``naming/zeroshot.py``)."""
         c = self.cfg
         B, L, D = x.shape
         head_dim = c.width // c.heads
@@ -347,7 +384,12 @@ class Attention(nn.Module):
         def heads(t):
             return t.reshape(B, L, c.heads, head_dim)
 
-        if c.compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        kv_out = (heads(k), heads(v)) if return_kv else None
+        if prefix_kv is not None:
+            pk, pv = prefix_kv
+            out = _prefix_attention(heads(q), heads(k), heads(v), pk, pv,
+                                    float(head_dim) ** -0.5, prefix_valid)
+        elif c.compute_dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
             # Manual attention with bf16 score storage: the [B, H, L, L]
             # score tensor is the tower's largest HBM round-trip (~1.9 GB
             # /layer at B=256 in f32) and the VPU softmax dominates over
@@ -372,8 +414,9 @@ class Attention(nn.Module):
                 heads(q), heads(k), heads(v), mask=mask)
         out = out.reshape(B, L, D)
         # proj: 768->768 int8 is a measured wash before quant-chain cost
-        return _dense(c, c.width, "proj", int8_site=False)(out).astype(
+        out = _dense(c, c.width, "proj", int8_site=False)(out).astype(
             c.compute_dtype)
+        return (out, kv_out) if return_kv else out
 
 
 class Block(nn.Module):
@@ -381,16 +424,23 @@ class Block(nn.Module):
     real_len: Optional[int] = None  # see Attention.real_len
 
     @nn.compact
-    def __call__(self, x, causal: bool = False):
+    def __call__(self, x, causal: bool = False, prefix_kv=None,
+                 prefix_valid=None, return_kv: bool = False):
         c = self.cfg
         y = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
                          name="norm1")(x)
-        x = x + Attention(c, real_len=self.real_len,
-                          name="attn")(y, causal=causal)
+        attn = Attention(c, real_len=self.real_len,
+                         name="attn")(y, causal=causal, prefix_kv=prefix_kv,
+                                      prefix_valid=prefix_valid,
+                                      return_kv=return_kv)
+        kv = None
+        if return_kv:
+            attn, kv = attn
+        x = x + attn
         y = nn.LayerNorm(epsilon=c.norm_eps, dtype=jnp.float32,
                          name="norm2")(x)
         x = x + Mlp(c, name="mlp")(y)
-        return x
+        return (x, kv) if return_kv else x
 
 
 class VisionTransformerWithLinear(nn.Module):

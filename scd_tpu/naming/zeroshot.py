@@ -11,6 +11,7 @@ embedding becomes embarrassingly parallel.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, List, Sequence
 
@@ -129,6 +130,65 @@ def _ensemble_reduce(emb: jnp.ndarray) -> jnp.ndarray:
     return mean / jnp.linalg.norm(mean, axis=-1, keepdims=True)
 
 
+@lru_cache(maxsize=8)
+def _prefix_kv_fn(prefix_forward):
+    """Jitted prefix-row encode: [T, P] tokens -> per-layer KV stacks."""
+    return jax.jit(prefix_forward)
+
+
+@lru_cache(maxsize=16)
+def _suffix_accum_fn(suffix_forward, n: int, s: int, row_sharding):
+    """Jitted accumulate step of the prefix-cached build: encode one
+    template's [n, s] suffix rows against its cached prefix KV and add the
+    NORMALIZED embeddings into the running f32 ensemble sum.  ``acc`` is
+    donated, so the 80-template chain streams through one buffer."""
+    jit_kwargs = {"donate_argnums": (5,)}
+    if row_sharding is not None:
+        jit_kwargs["out_shardings"] = row_sharding
+
+    @partial(jax.jit, **jit_kwargs)
+    def step(v, kv, t_idx, p_len, tokens, acc):
+        k, vv = kv
+        emb = suffix_forward(v, tokens, (k[:, t_idx], vv[:, t_idx]),
+                             p_len).astype(jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return acc + emb
+
+    return step
+
+
+@lru_cache(maxsize=16)
+def _full_accum_fn(forward, n: int, length: int, row_sharding):
+    """Accumulate step for templates the splice cannot cover: full-row
+    encode + normalize + add (same ensemble sum as ``_suffix_accum_fn``)."""
+    jit_kwargs = {"donate_argnums": (2,)}
+    if row_sharding is not None:
+        jit_kwargs["out_shardings"] = row_sharding
+
+    @partial(jax.jit, **jit_kwargs)
+    def step(v, tokens, acc):
+        emb = forward(v, tokens).astype(jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return acc + emb
+
+    return step
+
+
+@lru_cache(maxsize=8)
+def _ensemble_finalize_fn(t_count: int, row_sharding):
+    """Ensemble sum -> reference reduction: mean over templates,
+    renormalize (``_ensemble_reduce`` on a precomputed sum)."""
+    jit_kwargs = {} if row_sharding is None else {
+        "out_shardings": row_sharding}
+
+    @partial(jax.jit, **jit_kwargs)
+    def fin(acc):
+        mean = acc / t_count
+        return mean / jnp.linalg.norm(mean, axis=-1, keepdims=True)
+
+    return fin
+
+
 def build_zeroshot_weights(encode_text_fn: Callable[[List[str]], np.ndarray],
                            classnames: Sequence[str],
                            templates: Sequence[str],
@@ -153,6 +213,30 @@ def build_zeroshot_weights(encode_text_fn: Callable[[List[str]], np.ndarray],
         # device encode; optionally mesh-sharded).  Tiny calls — e.g. the
         # missing-classname repair encoding a handful of names — stay on
         # the plain path rather than padding to a whole batch.
+        from scd_tpu.core.multihost import is_multiprocess
+
+        if (os.environ.get("SCD_PREFIX_VOCAB", "0") == "1"
+                and hasattr(encode_text_fn, "prefix_forward")
+                and hasattr(encode_text_fn.tokenize, "template_pieces")
+                and not is_multiprocess()
+                and len(classnames) >= 2 * names_per_batch):
+            # prefix-KV-cached build: each template's shared prefix is
+            # encoded once; prompts re-run only name+tail tokens.  OPT-IN
+            # (SCD_PREFIX_VOCAB=1), not the default: measured on the v5e
+            # (8192 WordNet-like names x 80 templates, warm) it TIES the
+            # full-row builder — 37.8k vs 38.4k prompts/s — because the
+            # full build is already tower-FLOP-bound and the suffix
+            # bucket grid (8/16) plus 80 small per-template dispatches
+            # eat the ~30% token saving, while its cold compile costs
+            # 636s vs 32s (remote-compiled prefix-attention variants).
+            # Exactness is proven either way (min cosine 0.999999 on
+            # chip; CPU tests assert 1e-5).  Multi-controller processes
+            # keep the sharded full-row build (its pod contracts are
+            # proven).
+            return build_zeroshot_weights_prefix(
+                encode_text_fn.forward, encode_text_fn.prefix_forward,
+                encode_text_fn.suffix_forward, encode_text_fn.variables,
+                encode_text_fn.tokenize, classnames, templates, mesh)
         return build_zeroshot_weights_sharded(
             encode_text_fn.forward, encode_text_fn.variables,
             encode_text_fn.tokenize, classnames, templates, mesh,
@@ -315,3 +399,186 @@ def build_zeroshot_weights_sharded(forward, variables, tokenize,
         unsorted[order] = weights
         weights = unsorted
     return weights.T.astype(np.float32)  # [D, V]
+
+
+# Suffix-row bucket grid of the prefix-cached build.  Vocabulary prompts
+# put 1-5 name tokens + a 1-6 token template tail + EOT in the suffix, so
+# nearly everything lands in the 8 bucket — HALF the 16-token bucket the
+# full-row build pays per prompt (the shared prefix is the other half and
+# is encoded once per template instead of 68k times).
+PREFIX_SUFFIX_BUCKETS = (8, 16)
+PREFIX_ROW_MAX = 16  # templates with longer [SOT]+prefix rows fall back
+
+
+def build_zeroshot_weights_prefix(forward, prefix_forward, suffix_forward,
+                                  variables, tokenize,
+                                  classnames: Sequence[str],
+                                  templates: Sequence[str], mesh=None,
+                                  names_per_chunk: int = 8192,
+                                  data_axis: str = "data") -> np.ndarray:
+    """Prefix-KV-cached vocabulary embedding: encode each template's shared
+    prefix ONCE, then run only ``name + template-tail + EOT`` tokens.
+
+    The reference re-encodes the full prompt for every (name, template)
+    pair (``clip_lang_util.py:96-108``: 68k names x 80 templates x ~16
+    padded tokens).  In a CAUSAL tower the prefix activations depend only
+    on prefix tokens, so each template's per-layer K/V projections are
+    computed once ([80, 8] rows, one dispatch) and every prompt re-runs
+    only its suffix — typically 3-8 tokens, bucket 8 vs the full build's
+    16 — attending [cached prefix, own causal] (``models/clip.py::
+    TextTransformer`` prefix modes).  The ensemble reduction streams on
+    device: per name-chunk, 80 accumulate dispatches add normalized
+    embeddings into a donated f32 sum, one finalize renormalizes, one
+    [N, D] fetch returns.
+
+    Measured verdict (v5e, ViT-B/16 text tower, 8192 WordNet-like names x
+    80 ImageNet templates, warm): **a tie** — 37.8k prompts/s vs the
+    full-row builder's 38.4k — with a 636s vs 32s cold compile.  The
+    full build is already tower-FLOP-bound (its 17s ~= 655k prompts at
+    the measured bucket-16 encode rate; host splice tokenization is
+    ~2.5s, pipelined), and the theoretical ~30% token saving here is
+    spent on the coarse suffix bucket grid (a chunk-wide max name length
+    + the longest template tails push most rows from bucket 8 to 16) and
+    80 small per-template dispatches (~33 ms fixed round-trip each on
+    this transport).  Hence the pipeline keeps the full-row builder by
+    default and this path is opt-in (``SCD_PREFIX_VOCAB=1``) — the KV
+    plumbing it rides (``TextTransformer`` prefix modes) is exactness-
+    tested and available to serving paths with born-short suffixes.
+
+    Exactness: the splice is token-exact (``tokenizer.template_pieces``
+    hazard analysis); attention sees the same keys in the same order at
+    the same dtypes, so outputs match the full-row forward to float
+    rounding (~1e-6 f32 / bf16 lsb — the same class of difference the
+    grouped sharded build documents).  Pairs the splice cannot cover
+    (non-'{}' placeholders, punctuation-merge hazards, over-long names)
+    fall back: whole fallback TEMPLATES accumulate via full-row encode
+    dispatches, fallback NAMES route through
+    ``build_zeroshot_weights_sharded`` — every output column is exact.
+
+    Multi-controller processes use the sharded builder instead (the
+    dispatcher in ``build_zeroshot_weights`` handles this); with a
+    single-controller ``mesh`` the suffix rows and ensemble sum shard over
+    the data axis and the KV cache + weights replicate.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    sot, eot = tokenize.sot_id, tokenize.eot_id
+    context_length = 77
+    pieces = tokenize.template_pieces(templates)
+
+    # ---- classify templates: cached (spliceable, short prefix) vs fallback
+    cached = []  # (template_idx, prefix_row, suffix_tail)
+    fallback_t = []
+    any_pre_punct = any_suf_punct = False
+    for ti, (pre, suf, tmpl, pre_p, suf_p) in enumerate(pieces):
+        prow = None if pre is None else [sot] + pre
+        if prow is None or len(prow) > PREFIX_ROW_MAX:
+            fallback_t.append(ti)
+            continue
+        cached.append((ti, prow, list(suf) + [eot]))
+        any_pre_punct |= pre_p
+        any_suf_punct |= suf_p
+    if not cached:
+        return build_zeroshot_weights_sharded(
+            forward, variables, tokenize, classnames, templates, mesh)
+
+    max_plen = max(len(prow) for _, prow, _ in cached)
+    max_tail = max(len(tail) for _, _, tail in cached)
+    s_cap = min(PREFIX_SUFFIX_BUCKETS[-1], context_length - max_plen)
+
+    # ---- classify names: hazard boundaries / over-long suffixes fall back
+    name_toks = [tokenize.encode(n) for n in classnames]
+    cached_n, fallback_n = [], []
+    for ni, name in enumerate(classnames):
+        head_p, tail_p = tokenize.name_boundary_punct(name)
+        if ((head_p and any_pre_punct) or (tail_p and any_suf_punct)
+                or len(name_toks[ni]) + max_tail + 1 > s_cap):
+            fallback_n.append(ni)
+        else:
+            cached_n.append(ni)
+    if not cached_n:
+        return build_zeroshot_weights_sharded(
+            forward, variables, tokenize, classnames, templates, mesh)
+
+    n_dev = mesh.shape[data_axis] if mesh is not None else 1
+    if mesh is not None:
+        row = NamedSharding(mesh, PS(data_axis))
+        repl = NamedSharding(mesh, PS())
+        variables = jax.device_put(variables, repl)
+        put_rows = lambda a: jax.device_put(a, row)
+    else:
+        row = None
+        put_rows = lambda a: jnp.asarray(a)
+
+    # ---- one dispatch encodes every cached template's prefix KV
+    p_bucket = _bucket_for(max_plen, PREFIX_ROW_MAX,
+                           buckets=PREFIX_SUFFIX_BUCKETS)
+    prow_mat = np.zeros((len(cached), p_bucket), np.int32)
+    for i, (_, prow, _) in enumerate(cached):
+        prow_mat[i, :len(prow)] = prow
+    kv = _prefix_kv_fn(prefix_forward)(variables, jnp.asarray(prow_mat))
+    if mesh is not None:
+        kv = jax.device_put(kv, repl)
+    d = jax.eval_shape(
+        suffix_forward, jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables),
+        jax.ShapeDtypeStruct((8, 8), jnp.int32),
+        jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape[:1] + a.shape[2:],
+                                           a.dtype), kv),
+        jax.ShapeDtypeStruct((), jnp.int32)).shape[-1]
+
+    # ---- chunk cached names (length-sorted so chunks land in the tight
+    # suffix bucket); scatter back to original order at the end
+    order = sorted(cached_n, key=lambda ni: len(name_toks[ni]))
+    chunk = max(min(names_per_chunk, len(order)) // n_dev, 1) * n_dev
+    results = []  # (device_weights, valid, name_indices)
+    weights = np.zeros((len(classnames), d), np.float32)
+
+    def drain(upto: int):
+        while len(results) > upto:
+            w_dev, valid, idxs = results.pop(0)
+            weights[idxs] = np.asarray(w_dev)[:valid]
+
+    for start in range(0, len(order), chunk):
+        idxs = order[start:start + chunk]
+        valid = len(idxs)
+        idxs_padded = idxs + [idxs[-1]] * (chunk - valid)
+        ntk = [name_toks[i] for i in idxs_padded]
+        nlen = np.fromiter((len(t) for t in ntk), np.int64, chunk)
+        max_n = int(nlen.max())
+        nmat = np.zeros((chunk, max_n), np.int32)
+        for r, t in enumerate(ntk):
+            nmat[r, :len(t)] = t
+        acc = put_rows(np.zeros((chunk, d), np.float32))
+        for t_pos, (ti, prow, tail) in enumerate(cached):
+            s = _bucket_for(max_n + len(tail), s_cap,
+                            buckets=PREFIX_SUFFIX_BUCKETS)
+            rows = np.zeros((chunk, s), np.int32)
+            rows[:, :max_n] = nmat
+            rows[np.arange(chunk)[:, None],
+                 nlen[:, None] + np.arange(len(tail))[None]] = \
+                np.asarray(tail, np.int32)[None]
+            acc = _suffix_accum_fn(suffix_forward, chunk, s, row)(
+                variables, kv, jnp.int32(t_pos), jnp.int32(len(prow)),
+                put_rows(rows), acc)
+        for ti in fallback_t:
+            texts = [pieces[ti][2].format(classnames[i])
+                     for i in idxs_padded]
+            rows = truncate_to_eot_bucket(
+                np.asarray(tokenize(texts), np.int32))
+            acc = _full_accum_fn(forward, chunk, rows.shape[1], row)(
+                variables, put_rows(rows), acc)
+        results.append((_ensemble_finalize_fn(len(templates), row)(acc),
+                        valid, idxs))
+        drain(2)  # bound in-flight chunks; host assembles ahead meanwhile
+    drain(0)
+
+    # ---- fallback names take the full-row sharded build (exact path)
+    if fallback_n:
+        w_fb = build_zeroshot_weights_sharded(
+            forward, variables, tokenize,
+            [classnames[i] for i in fallback_n], templates, mesh)  # [D, M]
+        weights[fallback_n] = w_fb.T
+    return weights.T.astype(np.float32)  # [D, V] — reference layout

@@ -161,6 +161,17 @@ def build_encoders(cfg: PipelineConfig, extras: Dict, mesh=None):
         v, toks, method=CLIPModel.encode_text)
     encode_text.variables = clip_vars
     encode_text.tokenize = tokenizer
+    if not cfg.feature.dense_int8:
+        # prefix-KV-cache hooks for the opt-in SCD_PREFIX_VOCAB=1 build
+        # (naming/zeroshot.py — measured a TIE with the default full-row
+        # builder; see build_zeroshot_weights_prefix).  The int8 knob
+        # skips them — its tile-aligned seq padding doesn't compose with
+        # 8-token suffixes.
+        encode_text.prefix_forward = lambda v, toks: clip_model.apply(
+            v, toks, method=CLIPModel.encode_text_prefix)
+        encode_text.suffix_forward = lambda v, toks, kv, p_len: \
+            clip_model.apply(v, toks, kv, p_len,
+                             method=CLIPModel.encode_text_suffix)
 
     vit_feat_cfgs = vit_feature_backbones()
     if name == "clip":
@@ -380,7 +391,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--extract_feat", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="W8A8 int8 dense path for the ViT extraction "
-                        "towers.  Measured 8-24% SLOWER than bf16 on v5e "
+                        "towers.  Measured 8-24%% SLOWER than bf16 on v5e "
                         "at ViT-B/16 scale (pad + fusion-barrier costs "
                         "outweigh per-GEMM kernel wins; see README) — "
                         "parity-pinned knob for hardware where that flips")

@@ -210,13 +210,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_kmeans_iter", type=int, default=50)
     p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--gelu_tanh", type=int, default=0,
-                   help="tanh-approx gelu: +21% ViT throughput on v5e, "
+                   help="tanh-approx gelu: +21%% ViT throughput on v5e, "
                         "deviation under the bf16 rounding floor "
                         "(models/vit.py Mlp); 0 keeps exact-erf parity")
     p.add_argument("--int8_frozen", type=int, default=0,
                    help="W8A8 int8 dense path for the FROZEN trunk blocks "
                         "(< grad_from_block); trainable blocks keep exact "
-                        "bf16 gradients.  Measured ~4% SLOWER than bf16 on "
+                        "bf16 gradients.  Measured ~4%% SLOWER than bf16 on "
                         "v5e at ViT-B scale — parity knob, not a win here")
     p.add_argument("--remat", type=int, default=0,
                    help="rematerialize trunk blocks under autodiff "

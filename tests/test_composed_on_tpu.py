@@ -81,6 +81,45 @@ def test_fit_constrained_sinkhorn_on_chip():
     assert m["acc"] > 0.9, (m, sizes)
 
 
+def test_prefix_cached_vocab_build_on_chip():
+    """The prefix-KV-cached vocabulary build against the full-row builder
+    on real hardware with the bf16 CLIP text tower: the KV cache is exact
+    in a causal tower, so columns must agree to bf16 accumulation noise
+    (cosine ~1) and the ensemble weights must stay unit-norm."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models import CLIPModel, clip_vit_b16_config
+    from scd_tpu.models.tokenizer import HashTokenizer
+    from scd_tpu.naming.templates import IMAGENET_TEMPLATES
+    from scd_tpu.naming.zeroshot import (build_zeroshot_weights_prefix,
+                                         build_zeroshot_weights_sharded)
+
+    cfg = clip_vit_b16_config(compute_dtype=jnp.bfloat16)
+    model = CLIPModel(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32),
+        jnp.zeros((1, 77), jnp.int32))
+    tokenizer = HashTokenizer()
+    names = [f"word{i}" if i % 2 else f"two words{i}" for i in range(96)]
+    templates = IMAGENET_TEMPLATES[:16]
+
+    fwd = lambda v, t: model.apply(v, t, method=CLIPModel.encode_text)
+    w_pre = build_zeroshot_weights_prefix(
+        fwd,
+        lambda v, t: model.apply(v, t, method=CLIPModel.encode_text_prefix),
+        lambda v, t, kv, p: model.apply(
+            v, t, kv, p, method=CLIPModel.encode_text_suffix),
+        variables, tokenizer, names, templates, names_per_chunk=32)
+    w_full = build_zeroshot_weights_sharded(
+        fwd, variables, tokenizer, names, templates)
+    assert w_pre.shape == w_full.shape == (512, len(names))
+    np.testing.assert_allclose(np.linalg.norm(w_pre, axis=0), 1.0,
+                               atol=1e-5)
+    cos = (w_pre * w_full).sum(axis=0)
+    assert cos.min() > 1 - 2e-4, float(cos.min())
+
+
 def test_vocab_topk_on_chip_matches_xla():
     """The streaming vocabulary top-k (the voting pipeline's per-image
     name shortlist) against the XLA oracle at a vocab size that exercises

@@ -208,6 +208,19 @@ def test_hash_tokenizer():
                                               "a photo of a cat."]))
 
 
+def test_hash_tokenizer_prompt_tokens_match_full():
+    """HashTokenizer's compositional splice (shared with CLIPTokenizer)
+    equals its own full per-pair encode, including punctuation-glued
+    templates, hazard pairs, and non-'{}' placeholders."""
+    tok = HashTokenizer(vocab_size=997)
+    names = ["dog", "ice bear", "ph.d.", "", "o'neill", "x" * 5]
+    templates = ["a photo of a {}.", "itap of the {} thing",
+                 "art of the {0}", "graffiti {}s", "{} in a video game."]
+    spliced = tok.prompt_tokens(templates, names)
+    full = tok([t.format(n) for n in names for t in templates])
+    np.testing.assert_array_equal(spliced, full)
+
+
 def test_clip_tokenizer_with_synthetic_merges(tmp_path):
     from scd_tpu.models.tokenizer import CLIPTokenizer, bytes_to_unicode
 

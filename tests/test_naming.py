@@ -337,6 +337,145 @@ def test_build_zeroshot_weights_sharded_matches_single():
     np.testing.assert_allclose(sharded, single, atol=1e-6)
 
 
+def _tiny_clip_text_model():
+    """A small real CLIPModel (the prefix-cache modes live on the model)
+    plus its init variables."""
+    import jax
+    import jax.numpy as jnp
+
+    from scd_tpu.models.clip import CLIPConfig, CLIPModel
+    from scd_tpu.models.vit import ViTConfig
+
+    cfg = CLIPConfig(
+        vision=ViTConfig(image_size=16, patch_size=8, width=32, depth=1,
+                         heads=4, quick_gelu=True, pre_post_norm=True,
+                         output_proj=16, patch_bias=False),
+        vocab_size=512, context_length=77, text_width=32, text_depth=2,
+        text_heads=4, embed_dim=16)
+    model = CLIPModel(cfg)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32))
+    return model, variables
+
+
+def _clip_text_fns(model, variables):
+    import jax.numpy as jnp
+
+    from scd_tpu.models.clip import CLIPModel
+    from scd_tpu.models.tokenizer import HashTokenizer
+
+    tokenizer = HashTokenizer(vocab_size=512)
+
+    def encode_text(texts):
+        toks = jnp.asarray(tokenizer(texts))
+        return np.asarray(model.apply(variables, toks,
+                                      method=CLIPModel.encode_text))
+
+    encode_text.forward = lambda v, t: model.apply(
+        v, t, method=CLIPModel.encode_text)
+    encode_text.prefix_forward = lambda v, t: model.apply(
+        v, t, method=CLIPModel.encode_text_prefix)
+    encode_text.suffix_forward = lambda v, t, kv, p: model.apply(
+        v, t, kv, p, method=CLIPModel.encode_text_suffix)
+    encode_text.variables = variables
+    encode_text.tokenize = tokenizer
+    return encode_text
+
+
+def test_prefix_cached_build_matches_full():
+    """The prefix-KV-cached vocabulary build must equal the plain
+    full-prompt build: the splice is token-exact and a causal tower's
+    prefix activations are suffix-independent, so only float rounding may
+    differ (round-5: the build is the pipeline's longest cold stage)."""
+    from scd_tpu.core.config import MeshConfig
+    from scd_tpu.core.mesh import make_mesh
+    from scd_tpu.naming.zeroshot import build_zeroshot_weights_prefix
+
+    model, variables = _tiny_clip_text_model()
+    encode_text = _clip_text_fns(model, variables)
+
+    names = [f"name{i} word" if i % 3 else f"n{i}" for i in range(41)]
+    # all '{}' whitespace-bounded => spliceable for HashTokenizer
+    templates = ["a photo of a {} here", "art of the {} object",
+                 "the small {} model"]
+
+    def bare(texts):
+        return encode_text(texts)
+
+    single = build_zeroshot_weights(bare, names, templates,
+                                    names_per_batch=16)
+    prefix = build_zeroshot_weights_prefix(
+        encode_text.forward, encode_text.prefix_forward,
+        encode_text.suffix_forward, variables, encode_text.tokenize,
+        names, templates, names_per_chunk=16)
+    assert prefix.shape == single.shape
+    np.testing.assert_allclose(prefix, single, atol=1e-5)
+
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    sharded = build_zeroshot_weights_prefix(
+        encode_text.forward, encode_text.prefix_forward,
+        encode_text.suffix_forward, variables, encode_text.tokenize,
+        names, templates, names_per_chunk=16, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_prefix_cached_build_fallbacks():
+    """Fallback routes of the prefix-cached build stay exact: a
+    non-spliceable template (glued '{}.') accumulates via full-row encode;
+    an over-long name routes through the sharded full-row build."""
+    from scd_tpu.naming.zeroshot import build_zeroshot_weights_prefix
+
+    model, variables = _tiny_clip_text_model()
+    encode_text = _clip_text_fns(model, variables)
+
+    long_name = " ".join(f"w{i}" for i in range(20))  # > suffix bucket cap
+    names = [f"name{i}" for i in range(9)] + [long_name]
+    templates = ["a photo of a {} here",
+                 "art of the {}.",  # glued '.' splices (punct = own word)
+                 "art of the {0}"]  # {0} placeholder => fallback template
+
+    single = build_zeroshot_weights(lambda t: encode_text(t), names,
+                                    templates, names_per_batch=4)
+    prefix = build_zeroshot_weights_prefix(
+        encode_text.forward, encode_text.prefix_forward,
+        encode_text.suffix_forward, variables, encode_text.tokenize,
+        names, templates, names_per_chunk=8)
+    np.testing.assert_allclose(prefix, single, atol=1e-5)
+
+
+def test_prefix_cached_dispatch(monkeypatch):
+    """build_zeroshot_weights routes to the prefix-cached builder when the
+    opt-in knob is set and the encoder exposes the prefix hooks (it is
+    NOT the default: measured a tie with the full-row builder at 20x the
+    cold-compile cost — see build_zeroshot_weights_prefix)."""
+    from scd_tpu.naming import zeroshot as zs
+
+    model, variables = _tiny_clip_text_model()
+    encode_text = _clip_text_fns(model, variables)
+    names = [f"name{i}" for i in range(40)]
+    templates = ["a photo of a {} here"]
+
+    called = {}
+    orig = zs.build_zeroshot_weights_prefix
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(zs, "build_zeroshot_weights_prefix", spy)
+    w = zs.build_zeroshot_weights(encode_text, names, templates,
+                                  names_per_batch=16)
+    assert not called.get("yes"), "prefix path must be opt-in"
+    monkeypatch.setenv("SCD_PREFIX_VOCAB", "1")
+    w = zs.build_zeroshot_weights(encode_text, names, templates,
+                                  names_per_batch=16)
+    assert called.get("yes"), "prefix-cached path was not dispatched"
+    ref = zs.build_zeroshot_weights(lambda t: encode_text(t), names,
+                                    templates, names_per_batch=16)
+    np.testing.assert_allclose(w, ref, atol=1e-5)
+
+
 def test_eot_bucket_truncation_exact():
     """Truncating the token batch to an EOT-covering bucket must not change
     the text embeddings: the tower is causal and pooled at EOT, so dropped
